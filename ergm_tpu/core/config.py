@@ -1,0 +1,151 @@
+"""Configuration dataclasses for ERGM-TPU.
+
+``ModelConfig`` covers the GPT-2 family the reference supports
+(reference: src/model.py:40-46 lists gpt2, gpt2-medium, gpt2-large,
+gpt2-xl, distilgpt2) plus the ERGM extensions (emotion head, caption
+cross-attention, modality injection; reference: src/model.py:275,
+495-498, 607-608).
+
+``TrainConfig`` mirrors the reference argparse surface
+(reference: src/main.py:339-361) so ``train.sh`` / ``infer.sh`` keep
+their flag names, and adds TPU-native knobs (mesh shape, dtype policy,
+remat) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+# GPT-2 family hyperparameters, keyed by the reference model_type strings
+# (reference: src/model.py:40-46).
+GPT2_SIZES = {
+    "distilgpt2": dict(n_layer=6, n_head=12, n_embd=768),
+    "gpt2": dict(n_layer=12, n_head=12, n_embd=768),
+    "gpt2-medium": dict(n_layer=24, n_head=16, n_embd=1024),
+    "gpt2-large": dict(n_layer=36, n_head=20, n_embd=1280),
+    "gpt2-xl": dict(n_layer=48, n_head=25, n_embd=1600),
+}
+
+GPT2_VOCAB_SIZE = 50257
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture config for the ERGM GPT-2 backbone.
+
+    Defaults match HF GPT2Config (the reference vendors HF GPT-2;
+    src/model.py:33), with the ERGM additions:
+
+    - ``num_emotions``: 7-way emotion classification head on the final
+      hidden state (reference: src/model.py:607-608).
+    - ``use_cross_attention``: per-block cross-attention over caption
+      token embeddings shared through ``wte`` (reference:
+      src/model.py:275, 280-282, 460-463). Unlike the reference — which
+      force-enables it and then crashes when captions are absent
+      (src/model.py:521, a latent NameError; SURVEY.md §2.4.2) — the
+      rebuild allocates the weights when this flag is set but skips the
+      sublayer whenever no encoder states are given.
+    - ``modality_dim``: incoming audio/visual feature dimension
+      (wav2vec2-base / BLIP-base emit 768;
+      data_process/feature_extraction.py:8-52). When it differs from
+      ``n_embd`` a learned projection is applied (fixes SURVEY.md
+      §2.4.12's shape fragility).
+    """
+
+    vocab_size: int = GPT2_VOCAB_SIZE
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    n_inner: Optional[int] = None  # defaults to 4*n_embd
+    activation: str = "gelu_new"
+    layer_norm_epsilon: float = 1e-5
+    initializer_range: float = 0.02
+    embd_pdrop: float = 0.1
+    attn_pdrop: float = 0.1
+    resid_pdrop: float = 0.1
+    # Attention-scaling options preserved for logit parity
+    # (reference: src/model.py:87, 90, 92, 122-128).
+    scale_attn_weights: bool = True
+    scale_attn_by_inverse_layer_idx: bool = False
+    # ERGM extensions
+    num_emotions: int = 7
+    use_cross_attention: bool = True
+    modality_dim: int = 768
+    # Numerics policy (TPU-native; no reference counterpart).
+    # "bfloat16" activations with fp32 softmax/loss, or "float32" for
+    # the parity mode used by the golden tests (SURVEY.md §7.4).
+    dtype: str = "float32"
+    remat: bool = False  # jax.checkpoint per block (ref: model.py:377-379)
+    # Attention backend: "auto" picks the Pallas flash kernel on TPU and
+    # the XLA reference path elsewhere; "xla" / "pallas" force a path.
+    attention_impl: str = "auto"
+
+    @property
+    def head_dim(self) -> int:
+        assert self.n_embd % self.n_head == 0
+        return self.n_embd // self.n_head
+
+    @property
+    def inner_dim(self) -> int:
+        return self.n_inner if self.n_inner is not None else 4 * self.n_embd
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @classmethod
+    def from_model_type(cls, model_type: str, **overrides) -> "ModelConfig":
+        """Build a config from a reference model_type string (e.g. 'gpt2-medium')."""
+        if model_type not in GPT2_SIZES:
+            raise ValueError(
+                f"Unknown model_type {model_type!r}; expected one of {sorted(GPT2_SIZES)}"
+            )
+        return cls(**{**GPT2_SIZES[model_type], **overrides})
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Runtime config mirroring the reference CLI (src/main.py:339-361).
+
+    Field names intentionally match the argparse flags so that
+    ``train.sh`` / ``infer.sh`` translate one-to-one.
+    """
+
+    seed: int = 0
+    mode: str = "train"  # train | infer (src/main.py:341)
+    data_dir: str = "data"
+    train_prefix: str = "train"
+    valid_prefix: str = "valid"
+    model_type: str = "gpt2"
+    bos_token: str = "<bos>"
+    sp1_token: str = "<sp1>"
+    sp2_token: str = "<sp2>"
+    lr: float = 2e-5
+    warmup_ratio: float = 0.1
+    batch_size: int = 16
+    num_workers: int = 0
+    num_epochs: int = 100
+    max_len: int = 1024
+    max_turns: int = 10  # history truncation, actually honored here
+    # (the reference parses but never uses it; SURVEY.md §2.4.8)
+    top_p: float = 0.95
+    ckpt_dir: str = "saved_models"
+    output_dir: str = "outputs"
+    ckpt_name: Optional[str] = None
+    # TPU-native additions (no reference counterpart)
+    mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel over all devices
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    dtype: str = "bfloat16"
+    remat: bool = False
+    tokenizer_dir: Optional[str] = None  # dir with vocab.json/merges.txt
+    log_every: int = 50
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,112 @@
+"""Device mesh and sharding helpers.
+
+The reference is strictly single-device (src/main.py:40-43 picks one GPU
+index; no torch.distributed anywhere — SURVEY.md §2.3). The rebuild is
+SPMD from the start: a ``jax.sharding.Mesh`` with a ``data`` axis for
+batch sharding and an optional ``model`` axis for tensor parallelism on
+the larger GPT-2 sizes. XLA inserts the collectives (psum for gradient
+reduction, all-gather for TP activations) over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    shape: Sequence[int] = (-1,),
+    axis_names: Sequence[str] = (DATA_AXIS,),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh over ``devices`` (default: all local devices).
+
+    A single ``-1`` entry absorbs the remaining device count, so the
+    default ``shape=(-1,)`` is pure data parallelism over every chip.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(shape)
+    if shape.count(-1) > 1:
+        raise ValueError("at most one mesh axis may be -1")
+    known = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    if -1 in shape:
+        if len(devices) % known:
+            raise ValueError(f"{len(devices)} devices not divisible by {known}")
+        shape[shape.index(-1)] = len(devices) // known
+    total = int(np.prod(shape))
+    if total != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def logical_to_sharding(mesh: Mesh, spec: P) -> NamedSharding:
+    # Drop axis names the mesh doesn't have (e.g. "model" on a pure-DP mesh).
+    cleaned = []
+    for entry in spec:
+        if entry is None:
+            cleaned.append(None)
+        elif isinstance(entry, str):
+            cleaned.append(entry if entry in mesh.axis_names else None)
+        else:  # tuple of names
+            kept = tuple(a for a in entry if a in mesh.axis_names)
+            cleaned.append(kept if kept else None)
+    return NamedSharding(mesh, P(*cleaned))
+
+
+def param_partition_spec(path: Tuple[str, ...]) -> P:
+    """Tensor-parallel PartitionSpec for a parameter, by its pytree path.
+
+    Megatron-style sharding for transformer blocks:
+    - attention qkv / mlp up-projection: shard the output features
+      (column parallel) → ``P(None, "model")``
+    - attention out-proj / mlp down-projection: shard the input features
+      (row parallel) → ``P("model", None)``
+    - embeddings: shard the vocab/feature dim where cheap; layernorms and
+      biases of row-parallel layers stay replicated.
+
+    Returns ``P()`` (replicated) for anything unrecognized — correctness
+    never depends on a rule firing.
+    """
+    name = "/".join(str(p) for p in path)
+    # kernels
+    if name.endswith("c_attn/kernel") or name.endswith("q_attn/kernel"):
+        return P(None, MODEL_AXIS)
+    if name.endswith("c_fc/kernel"):
+        return P(None, MODEL_AXIS)
+    if name.endswith("c_proj/kernel"):
+        return P(MODEL_AXIS, None)
+    # column-parallel biases follow the sharded output dim
+    if name.endswith("c_attn/bias") or name.endswith("q_attn/bias") or name.endswith("c_fc/bias"):
+        return P(MODEL_AXIS)
+    if name.endswith("wte/embedding") or name.endswith("lm_head/kernel"):
+        return P(None, None)  # tied vocab table: replicate (vocab matmul is DP-bound here)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply `param_partition_spec` across a param pytree, via device_put."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        keys = tuple(
+            getattr(k, "key", getattr(k, "idx", getattr(k, "name", str(k)))) for k in path
+        )
+        sharding = logical_to_sharding(mesh, param_partition_spec(keys))
+        out.append(jax.device_put(leaf, sharding))
+    return jax.tree_util.tree_unflatten(treedef, out)

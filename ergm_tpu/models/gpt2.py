@@ -1,0 +1,532 @@
+"""ERGM GPT-2 backbone — pure-functional JAX, TPU-first.
+
+Re-implements the capability of the reference's modified GPT-2
+(reference: src/model.py) as a pure function over an explicit parameter
+pytree, designed for XLA:
+
+- layer stack as a single ``lax.scan`` over stacked per-layer params
+  (one trace, one compile, remat-friendly; the reference loops Python
+  modules — src/model.py:520-576),
+- attention via ergm_tpu/ops/attention.py (Pallas flash kernel on TPU),
+- fp32 softmax/loss on top of bf16 activations,
+- KV-cached decode with fixed-size buffers (the reference re-runs the
+  full prefix per generated token — src/main.py:255-257, SURVEY.md
+  §2.4.11),
+- optional per-block cross-attention over caption-token embeddings
+  shared through ``wte`` (src/model.py:460-463, 311-329), actually
+  optional here (fixes the reference NameError, SURVEY.md §2.4.2),
+- multimodal injection: image feature added to the position-0 embedding,
+  audio to position 1 (src/model.py:495-498), with a learned projection
+  when the feature dim mismatches ``n_embd`` (fixes SURVEY.md §2.4.12),
+- 7-way emotion head on the final hidden state with joint LM+emotion CE
+  loss (src/model.py:607-608, 700-713),
+- ``lm_head`` weight-tied to ``wte`` (src/model.py:600).
+
+Param pytree layout (block params stacked over the layer axis L):
+
+    wte/embedding [V, D]          wpe/embedding [P, D]
+    blocks/ln_1/{scale,bias} [L, D]
+    blocks/attn/{c_attn,c_proj}/{kernel,bias}     kernels [L, D, 3D] / [L, D, D]
+    blocks/ln_cross/{scale,bias}                  (cross-attn only)
+    blocks/cross_attn/{q_attn,c_attn,c_proj}/...  kernels [L,D,D]/[L,D,2D]/[L,D,D]
+    blocks/ln_2/{scale,bias}
+    blocks/mlp/{c_fc,c_proj}/{kernel,bias}        kernels [L, D, 4D] / [L, 4D, D]
+    ln_f/{scale,bias} [D]
+    emotion_head/kernel [D, 7]
+    img_proj|aud_proj/{kernel,bias}               (only when modality_dim != n_embd)
+
+Kernels use the GPT-2 Conv1D orientation (in_features, out_features), so
+HF Conv1D weights convert with a straight copy and nn.Linear weights
+(emotion head) with a transpose (SURVEY.md §5 checkpoint row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.ops.attention import attention_bias_from_mask, multihead_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _normal(rng, shape, std):
+    return jax.random.normal(rng, shape, dtype=jnp.float32) * std
+
+
+def init_params(rng: jax.Array, config: ModelConfig) -> Params:
+    """Random init matching the reference (src/model.py:359-375): N(0, 0.02)
+    for linears/embeddings, zero biases, unit layernorm scales, and the
+    GPT-2 residual-projection init std 0.02/sqrt(2*n_layer) for every
+    ``c_proj``."""
+    c = config
+    L, D, I, V = c.n_layer, c.n_embd, c.inner_dim, c.vocab_size
+    std = c.initializer_range
+    proj_std = std / (2 * c.n_layer) ** 0.5
+    keys = iter(jax.random.split(rng, 16))
+
+    def ln(shape=(L, D)):
+        return {"scale": jnp.ones(shape, jnp.float32), "bias": jnp.zeros(shape, jnp.float32)}
+
+    params: Params = {
+        "wte": {"embedding": _normal(next(keys), (V, D), std)},
+        "wpe": {"embedding": _normal(next(keys), (c.n_positions, D), std)},
+        "blocks": {
+            "ln_1": ln(),
+            "attn": {
+                "c_attn": {"kernel": _normal(next(keys), (L, D, 3 * D), std),
+                           "bias": jnp.zeros((L, 3 * D), jnp.float32)},
+                "c_proj": {"kernel": _normal(next(keys), (L, D, D), proj_std),
+                           "bias": jnp.zeros((L, D), jnp.float32)},
+            },
+            "ln_2": ln(),
+            "mlp": {
+                "c_fc": {"kernel": _normal(next(keys), (L, D, I), std),
+                         "bias": jnp.zeros((L, I), jnp.float32)},
+                "c_proj": {"kernel": _normal(next(keys), (L, I, D), proj_std),
+                           "bias": jnp.zeros((L, D), jnp.float32)},
+            },
+        },
+        "ln_f": {"scale": jnp.ones((D,), jnp.float32), "bias": jnp.zeros((D,), jnp.float32)},
+        "emotion_head": {"kernel": _normal(next(keys), (D, c.num_emotions), std)},
+    }
+    if c.use_cross_attention:
+        params["blocks"]["ln_cross"] = ln()
+        params["blocks"]["cross_attn"] = {
+            "q_attn": {"kernel": _normal(next(keys), (L, D, D), std),
+                       "bias": jnp.zeros((L, D), jnp.float32)},
+            "c_attn": {"kernel": _normal(next(keys), (L, D, 2 * D), std),
+                       "bias": jnp.zeros((L, 2 * D), jnp.float32)},
+            "c_proj": {"kernel": _normal(next(keys), (L, D, D), proj_std),
+                       "bias": jnp.zeros((L, D), jnp.float32)},
+        }
+    if c.modality_dim != c.n_embd:
+        for name in ("img_proj", "aud_proj"):
+            params[name] = {"kernel": _normal(next(keys), (c.modality_dim, D), std),
+                            "bias": jnp.zeros((D,), jnp.float32)}
+    return params
+
+
+def resize_token_embeddings(params: Params, rng: jax.Array, new_vocab: int,
+                            config: ModelConfig) -> Params:
+    """Extend ``wte`` rows for added special tokens, like HF
+    ``resize_token_embeddings`` (reference: src/main.py:63). New rows are
+    N(0, initializer_range); ``lm_head`` stays tied so nothing else moves."""
+    wte = params["wte"]["embedding"]
+    old_vocab = wte.shape[0]
+    if new_vocab <= old_vocab:
+        return params
+    extra = _normal(rng, (new_vocab - old_vocab, wte.shape[1]), config.initializer_range)
+    out = dict(params)
+    out["wte"] = {"embedding": jnp.concatenate([wte, extra], axis=0)}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x, p, eps):
+    # fp32 statistics for bf16 stability
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def dense(x, p):
+    """GPT-2 Conv1D: y = x @ kernel + bias, kernel [in, out].
+
+    fp32 MXU accumulation, result cast back to the activation dtype.
+    precision='highest' pins fp32-input matmuls to true fp32 (XLA CPU's
+    DEFAULT runs them in lower precision); bf16 inputs are unaffected, so
+    the TPU fast path still uses bf16 MXU passes."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype),
+                preferred_element_type=jnp.float32, precision="highest")
+    return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _activation(name: str):
+    if name == "gelu_new":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"unsupported activation {name!r}")
+
+
+def _dropout(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def _split_heads(x, n_head):
+    b, l, d = x.shape
+    return x.reshape(b, l, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Fixed-size decode cache. ``k``/``v``: [L, B, H, T, Dh]; ``index``:
+    scalar int32 count of filled positions. Cross-attention K/V are
+    computed once per sequence and stored in ``ck``/``cv`` ([L, B, H, Lc,
+    Dh]) — the reference recomputed them every step via its uncached loop."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    index: jnp.ndarray
+    ck: Optional[jnp.ndarray] = None
+    cv: Optional[jnp.ndarray] = None
+
+
+def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
+                  caption_len: int = 0, dtype=None) -> KVCache:
+    c = config
+    dtype = dtype or c.compute_dtype
+    shape = (c.n_layer, batch, c.n_head, max_len, c.head_dim)
+    k = jnp.zeros(shape, dtype)
+    v = jnp.zeros(shape, dtype)
+    ck = cv = None
+    if c.use_cross_attention and caption_len > 0:
+        cshape = (c.n_layer, batch, c.n_head, caption_len, c.head_dim)
+        ck = jnp.zeros(cshape, dtype)
+        cv = jnp.zeros(cshape, dtype)
+    return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv)
+
+
+# ---------------------------------------------------------------------------
+# Transformer forward
+# ---------------------------------------------------------------------------
+
+
+class ModelOutput(NamedTuple):
+    logits: jnp.ndarray  # [B, L, V]
+    emotion_logits: jnp.ndarray  # [B, num_emotions]
+    hidden: jnp.ndarray  # [B, L, D] final hidden states
+    loss: Optional[jnp.ndarray] = None
+    lm_loss: Optional[jnp.ndarray] = None
+    emotion_loss: Optional[jnp.ndarray] = None
+    cache: Optional[KVCache] = None
+
+
+def _self_attention(h, p, li, *, config, bias, cache_slice, cache_index,
+                    deterministic, rng):
+    """Self-attention sublayer. Returns (out, (new_k, new_v)) where the new
+    K/V cover this call's tokens (for cache update)."""
+    c = config
+    qkv = dense(h, p["c_attn"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = _split_heads(q, c.n_head)
+    k = _split_heads(k, c.n_head)
+    v = _split_heads(v, c.n_head)
+
+    scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
+    if c.scale_attn_by_inverse_layer_idx:
+        # reference: src/model.py:127-128
+        scale = scale / (li + 1.0)
+
+    if cache_slice is not None:
+        ck, cv = cache_slice  # [B, H, T, Dh]
+        k_all = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        v_all = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        T = k_all.shape[-2]
+        # Mask unwritten cache tail; causal_offset shifts query positions.
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+        valid = kpos < (cache_index + q.shape[-2])
+        tail_bias = jnp.where(valid, 0.0, -1e9)
+        full_bias = tail_bias if bias is None else bias + tail_bias
+        out = multihead_attention(
+            q, k_all, v_all, causal=True, bias=full_bias, scale=scale,
+            causal_offset=cache_index, impl=c.attention_impl,
+        )
+        new_kv = (k_all, v_all)
+    else:
+        out = multihead_attention(
+            q, k, v, causal=True, bias=bias, scale=scale, impl=c.attention_impl,
+            dropout_rate=c.attn_pdrop, deterministic=deterministic,
+            rng=None if rng is None else jax.random.fold_in(rng, 1),
+        )
+        new_kv = (k, v)
+    out = _merge_heads(out)
+    out = dense(out, p["c_proj"])
+    out = _dropout(out, c.resid_pdrop, deterministic,
+                   None if rng is None else jax.random.fold_in(rng, 2))
+    return out, new_kv
+
+
+def _cross_attention(h, enc, p, li, *, config, enc_bias, cached_kv,
+                     deterministic, rng):
+    """Cross-attention: Q from hidden states, K/V from encoder states via a
+    shared c_attn (reference: src/model.py:211-226). Non-causal."""
+    c = config
+    q = _split_heads(dense(h, p["q_attn"]), c.n_head)
+    if cached_kv is not None:
+        k, v = cached_kv
+    else:
+        kv = dense(enc, p["c_attn"])
+        k, v = jnp.split(kv, 2, axis=-1)
+        k = _split_heads(k, c.n_head)
+        v = _split_heads(v, c.n_head)
+    scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
+    if c.scale_attn_by_inverse_layer_idx:
+        scale = scale / (li + 1.0)
+    out = multihead_attention(
+        q, k, v, causal=False, bias=enc_bias, scale=scale, impl=c.attention_impl,
+        dropout_rate=c.attn_pdrop, deterministic=deterministic,
+        rng=None if rng is None else jax.random.fold_in(rng, 3),
+    )
+    out = _merge_heads(out)
+    out = dense(out, p["c_proj"])
+    out = _dropout(out, c.resid_pdrop, deterministic,
+                   None if rng is None else jax.random.fold_in(rng, 4))
+    return out, (k, v)
+
+
+def _mlp(h, p, *, config, deterministic, rng):
+    act = _activation(config.activation)
+    h = dense(h, p["c_fc"])
+    h = act(h)
+    h = dense(h, p["c_proj"])
+    return _dropout(h, config.resid_pdrop, deterministic,
+                    None if rng is None else jax.random.fold_in(rng, 5))
+
+
+def transformer(
+    params: Params,
+    config: ModelConfig,
+    input_ids: jnp.ndarray,  # [B, L]
+    *,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    attention_bias: Optional[jnp.ndarray] = None,  # additive [B,1,1,Lk] (or None)
+    imgs: Optional[jnp.ndarray] = None,  # [B, modality_dim]
+    auds: Optional[jnp.ndarray] = None,  # [B, modality_dim]
+    caption_ids: Optional[jnp.ndarray] = None,  # [B, Lc]
+    encoder_hidden_states: Optional[jnp.ndarray] = None,  # [B, Lc, D]
+    encoder_attention_mask: Optional[jnp.ndarray] = None,  # [B, Lc] 0/1
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+):
+    """GPT2Model.forward equivalent (reference: src/model.py:420-596).
+
+    Returns (hidden [B, L, D], new_cache_or_None).
+    """
+    c = config
+    dtype = c.compute_dtype
+    B, L = input_ids.shape
+
+    past_len = cache.index if cache is not None else 0
+    if position_ids is None:
+        position_ids = past_len + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    wte = params["wte"]["embedding"]
+    h = jnp.take(wte, input_ids, axis=0).astype(dtype)
+
+    # Caption conditioning through the shared wte (src/model.py:460-463).
+    if caption_ids is not None and encoder_hidden_states is None and c.use_cross_attention:
+        encoder_hidden_states = jnp.take(wte, caption_ids, axis=0).astype(dtype)
+    use_cross = c.use_cross_attention and (
+        encoder_hidden_states is not None or (cache is not None and cache.ck is not None)
+    )
+
+    # Multimodal injection at embedding slots 0 and 1 (src/model.py:495-498),
+    # with projection on dim mismatch (fixes SURVEY.md §2.4.12).
+    if imgs is not None:
+        img_f = imgs.astype(dtype)
+        if "img_proj" in params:
+            img_f = dense(img_f, params["img_proj"])
+        h = h.at[:, 0, :].add(img_f)
+    if auds is not None:
+        aud_f = auds.astype(dtype)
+        if "aud_proj" in params:
+            aud_f = dense(aud_f, params["aud_proj"])
+        h = h.at[:, 1, :].add(aud_f)
+
+    h = h + jnp.take(params["wpe"]["embedding"], position_ids, axis=0).astype(dtype)
+    if token_type_ids is not None:
+        # Token types embed through wte (src/model.py:502-504).
+        h = h + jnp.take(wte, token_type_ids, axis=0).astype(dtype)
+    h = _dropout(h, c.embd_pdrop, deterministic,
+                 None if rng is None else jax.random.fold_in(rng, 0))
+
+    enc_bias = None
+    if use_cross and encoder_attention_mask is not None:
+        enc_bias = attention_bias_from_mask(encoder_attention_mask)
+
+    enc = encoder_hidden_states
+    decode = cache is not None
+
+    def block(carry, xs):
+        h = carry
+        if decode:
+            p, li, k_slice, v_slice, ckv = xs
+        else:
+            p, li = xs[0], xs[1]
+            k_slice = v_slice = ckv = None
+        layer_rng = None if rng is None else jax.random.fold_in(rng, 1000 + li.astype(jnp.int32))
+
+        # self-attention (pre-LN residual, src/model.py:297-309)
+        attn_in = layer_norm(h, p["ln_1"], c.layer_norm_epsilon)
+        attn_out, new_kv = _self_attention(
+            attn_in, p["attn"], li, config=c, bias=attention_bias,
+            cache_slice=(k_slice, v_slice) if decode else None,
+            cache_index=past_len if decode else 0,
+            deterministic=deterministic, rng=layer_rng,
+        )
+        h = h + attn_out
+
+        # optional cross-attention (src/model.py:311-329)
+        new_ckv = None
+        if use_cross:
+            ca_in = layer_norm(h, p["ln_cross"], c.layer_norm_epsilon)
+            ca_out, new_ckv = _cross_attention(
+                ca_in, enc, p["cross_attn"], li, config=c, enc_bias=enc_bias,
+                cached_kv=ckv, deterministic=deterministic, rng=layer_rng,
+            )
+            h = h + ca_out
+
+        # MLP (src/model.py:331-334)
+        mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
+        h = h + _mlp(mlp_in, p["mlp"], config=c, deterministic=deterministic, rng=layer_rng)
+        return h, (new_kv, new_ckv)
+
+    block_fn = block
+    if c.remat:
+        # trade FLOPs for HBM like torch.utils.checkpoint (src/model.py:535-551)
+        block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+
+    layer_ids = jnp.arange(c.n_layer, dtype=jnp.float32)
+    blocks_p = dict(params["blocks"])
+    if not use_cross:
+        blocks_p.pop("ln_cross", None)
+        blocks_p.pop("cross_attn", None)
+    elif "cross_attn" not in blocks_p:
+        raise ValueError("cross-attention inputs given but model has no cross-attn params "
+                         "(config.use_cross_attention=False)")
+
+    if decode:
+        ckv_xs = None
+        if use_cross:
+            has_cached_ckv = cache.ck is not None
+            if has_cached_ckv and enc is None:
+                ckv_xs = (cache.ck, cache.cv)
+        xs = (blocks_p, layer_ids, cache.k, cache.v, ckv_xs)
+        h, (new_kv, new_ckv) = lax.scan(block_fn, h, xs)
+        new_k, new_v = new_kv
+        new_cache = KVCache(
+            k=new_k, v=new_v, index=cache.index + L,
+            ck=new_ckv[0] if (use_cross and new_ckv is not None) else cache.ck,
+            cv=new_ckv[1] if (use_cross and new_ckv is not None) else cache.cv,
+        )
+    else:
+        xs = (blocks_p, layer_ids)
+        h, _ = lax.scan(block_fn, h, xs)
+        new_cache = None
+
+    h = layer_norm(h, params["ln_f"], c.layer_norm_epsilon)
+    return h, new_cache
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: Optional[int] = None) -> jnp.ndarray:
+    """Mean CE over non-ignored targets, matching torch CrossEntropyLoss
+    (reference loss: src/model.py:703-713). fp32 throughout."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    safe_labels = jnp.maximum(labels, 0)
+    gold = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = logz - gold
+    if ignore_index is None:
+        return jnp.mean(nll)
+    mask = (labels != ignore_index).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask) / denom
+
+
+def forward(
+    params: Params,
+    config: ModelConfig,
+    input_ids: jnp.ndarray,
+    *,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    position_ids: Optional[jnp.ndarray] = None,
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, Lk] 0/1
+    imgs: Optional[jnp.ndarray] = None,
+    auds: Optional[jnp.ndarray] = None,
+    caption_ids: Optional[jnp.ndarray] = None,
+    encoder_hidden_states: Optional[jnp.ndarray] = None,
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    emotion_labels: Optional[jnp.ndarray] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    cache: Optional[KVCache] = None,
+) -> ModelOutput:
+    """GPT2LMHeadModel.forward equivalent (reference: src/model.py:654-737).
+
+    ``labels`` use -100 as the ignore index; loss is the joint LM + emotion
+    CE when both label kinds are given (src/model.py:704-713).
+    """
+    c = config
+    attention_bias = None
+    if attention_mask is not None:
+        attention_bias = attention_bias_from_mask(attention_mask)
+
+    hidden, new_cache = transformer(
+        params, c, input_ids,
+        token_type_ids=token_type_ids, position_ids=position_ids,
+        attention_bias=attention_bias, imgs=imgs, auds=auds,
+        caption_ids=caption_ids, encoder_hidden_states=encoder_hidden_states,
+        encoder_attention_mask=encoder_attention_mask,
+        deterministic=deterministic, rng=rng, cache=cache,
+    )
+
+    # lm_head tied to wte (src/model.py:600); fp32 logits for the loss path.
+    wte = params["wte"]["embedding"]
+    logits = jnp.einsum("bld,vd->blv", hidden, wte.astype(hidden.dtype),
+                        preferred_element_type=jnp.float32, precision="highest")
+    # emotion head on the final hidden state (src/model.py:700-701)
+    emotion_logits = jnp.dot(hidden[:, -1, :],
+                             params["emotion_head"]["kernel"].astype(hidden.dtype),
+                             preferred_element_type=jnp.float32, precision="highest")
+
+    loss = lm_loss = emo_loss = None
+    if labels is not None:
+        lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
+    if emotion_labels is not None:
+        emo_loss = cross_entropy(emotion_logits, emotion_labels)
+    if lm_loss is not None and emo_loss is not None:
+        loss = lm_loss + emo_loss  # src/model.py:713
+    elif lm_loss is not None:
+        loss = lm_loss
+    elif emo_loss is not None:
+        loss = emo_loss
+
+    return ModelOutput(logits=logits, emotion_logits=emotion_logits, hidden=hidden,
+                       loss=loss, lm_loss=lm_loss, emotion_loss=emo_loss,
+                       cache=new_cache)

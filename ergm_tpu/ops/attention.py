@@ -1,0 +1,118 @@
+"""Attention ops with pluggable backends.
+
+The reference computes attention eagerly with a materialized L×L causal
+mask buffer per layer (reference: src/model.py:68-74, 119-148). Here the
+math is identical but expressed once, with two backends:
+
+- ``xla``: plain einsum attention. XLA already fuses the softmax chain;
+  this is also the CPU/test path.
+- ``pallas``: blockwise flash attention (ergm_tpu/ops/flash_attention.py)
+  that never materializes the L×L matrix — memory-linear in sequence
+  length, targeting the TPU MXU.
+
+Semantics preserved from the reference:
+- 1/sqrt(head_dim) scaling gated by ``scale_attn_weights``
+  (src/model.py:122-125),
+- optional 1/(layer_idx+1) scaling (src/model.py:127-128),
+- causal masking with dtype-min fill (src/model.py:130-135),
+- additive attention bias support for padding / encoder masks
+  (src/model.py:137-138, 478-491),
+- softmax in fp32 regardless of compute dtype (the reference's
+  ``reorder_and_upcast_attn`` made this optional; on TPU we always
+  upcast the softmax — it is free relative to the MXU matmuls).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e9  # large-negative fill; fp32 softmax makes this safe in bf16 nets
+
+
+def attention_bias_from_mask(mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, Lk] 0/1 mask -> additive [B, 1, 1, Lk] bias (HF convention,
+    reference: src/model.py:478-482)."""
+    bias = (1.0 - mask.astype(dtype)) * _NEG_INF
+    return bias[:, None, None, :]
+
+
+def xla_attention(
+    q: jnp.ndarray,  # [B, H, Lq, D]
+    k: jnp.ndarray,  # [B, H, Lk, D]
+    v: jnp.ndarray,  # [B, H, Lk, D]
+    *,
+    causal: bool,
+    bias: Optional[jnp.ndarray] = None,  # additive, broadcastable to [B, H, Lq, Lk]
+    scale: Optional[float] = None,
+    causal_offset: int = 0,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Reference attention math on the XLA path.
+
+    ``causal_offset`` supports KV-cached decode: query position i attends
+    to key positions <= i + causal_offset (the reference equivalent is
+    slicing the bias buffer at key_length - query_length,
+    src/model.py:131-132).
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    # fp32 logits for a stable softmax (cf. _upcast_and_reordered_attn,
+    # src/model.py:150-188 — always on here).
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32, precision="highest")
+    logits = logits * scale
+    if causal:
+        lq, lk = q.shape[-2], k.shape[-2]
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0) + causal_offset
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        logits = jnp.where(kpos <= qpos, logits, _NEG_INF)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # attention-probability dropout (reference: src/model.py:101, 142)
+    if not deterministic and dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     precision="highest")
+    return out
+
+
+def multihead_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    bias: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    causal_offset: int = 0,
+    impl: str = "auto",
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Dispatch to the flash kernel on TPU, XLA math elsewhere.
+
+    The flash path skips attention-probability dropout (blockwise kernels
+    and prob-dropout don't compose cheaply); it is only used when dropout
+    is inactive, so training with attn_pdrop > 0 stays exact on XLA.
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    dropout_active = (not deterministic) and dropout_rate > 0.0 and rng is not None
+    if impl == "pallas" and not dropout_active:
+        from ergm_tpu.ops.flash_attention import flash_attention_supported, flash_mha
+
+        if flash_attention_supported(q, k, v, causal=causal, causal_offset=causal_offset):
+            return flash_mha(q, k, v, causal=causal, bias=bias, scale=scale,
+                             causal_offset=causal_offset)
+    return xla_attention(
+        q, k, v, causal=causal, bias=bias, scale=scale, causal_offset=causal_offset,
+        dropout_rate=dropout_rate, deterministic=deterministic, rng=rng,
+    )
