@@ -1,0 +1,163 @@
+"""CLI — flag-compatible with the reference (src/main.py:339-361), so the
+``train.sh`` / ``infer.sh`` surface carries over unchanged, plus TPU-native
+knobs (mesh shape, dtype, remat, tokenizer dir).
+
+Dispatch mirrors src/main.py:367-396: ``--mode=train`` runs the Trainer;
+``--mode=infer`` requires a checkpoint, runs the batched KV-cached test
+pass, evaluates (dist-1/2, BERTScore when a local scorer model is
+available, PPL, emotion accuracy), prints, and writes
+``{ckpt_name}_evaluation_results.txt`` into the data dir
+(src/main.py:393-396).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Optional
+
+from ergm_tpu.core.config import ModelConfig, TrainConfig
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="ERGM-TPU train/infer CLI")
+    # reference flags (src/main.py:339-361), names and defaults preserved
+    p.add_argument("--seed", type=int, default=0, help="The random seed.")
+    p.add_argument("--mode", type=str, required=True, choices=["train", "infer"])
+    p.add_argument("--data_dir", type=str, default="data")
+    p.add_argument("--train_prefix", type=str, default="train")
+    p.add_argument("--valid_prefix", type=str, default="valid")
+    p.add_argument("--model_type", type=str, default="gpt2")
+    p.add_argument("--bos_token", type=str, default="<bos>")
+    p.add_argument("--sp1_token", type=str, default="<sp1>")
+    p.add_argument("--sp2_token", type=str, default="<sp2>")
+    p.add_argument("--gpu", type=str, default="0",
+                   help="Accepted for reference CLI compatibility; device "
+                        "selection is JAX's job here.")
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--max_len", type=int, default=1024)
+    p.add_argument("--max_turns", type=int, default=10)
+    p.add_argument("--top_p", type=float, default=0.95)
+    p.add_argument("--ckpt_dir", type=str, default="saved_models")
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--ckpt_name", type=str, default=None)
+    # the reference's train.sh passes --layers=0 against an argparse that
+    # lacks the flag and dies (SURVEY.md §2.4.7); accept and ignore it
+    p.add_argument("--layers", type=int, default=None, help=argparse.SUPPRESS)
+    # TPU-native additions
+    p.add_argument("--mesh_shape", type=str, default="-1",
+                   help="Comma-separated mesh shape, e.g. '8' or '4,2'.")
+    p.add_argument("--mesh_axes", type=str, default="data",
+                   help="Comma-separated axis names matching --mesh_shape.")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--tokenizer_dir", type=str, default=None,
+                   help="Dir with GPT-2 vocab.json/merges.txt for text decode.")
+    p.add_argument("--prompt_mode", type=str, default="reference",
+                   choices=["reference", "history"],
+                   help="Infer prompts: 'reference' replicates src/main.py:316 "
+                        "(full non-eos prefix); 'history' prompts with the "
+                        "masked-history prefix only.")
+    p.add_argument("--bert_model_dir", type=str, default=None,
+                   help="Local HF encoder dir for BERTScore (no downloads).")
+    p.add_argument("--limit", type=int, default=None,
+                   help="Debug: use only the first N dialogues "
+                        "(the reference's [:1] slice, made explicit).")
+    return p
+
+
+def args_to_config(args) -> TrainConfig:
+    mesh_shape = tuple(int(x) for x in str(args.mesh_shape).split(","))
+    mesh_axes = tuple(str(args.mesh_axes).split(","))
+    return TrainConfig(
+        seed=args.seed, mode=args.mode, data_dir=args.data_dir,
+        train_prefix=args.train_prefix, valid_prefix=args.valid_prefix,
+        model_type=args.model_type, bos_token=args.bos_token,
+        sp1_token=args.sp1_token, sp2_token=args.sp2_token,
+        lr=args.lr, warmup_ratio=args.warmup_ratio, batch_size=args.batch_size,
+        num_workers=args.num_workers, num_epochs=args.num_epochs,
+        max_len=args.max_len, max_turns=args.max_turns, top_p=args.top_p,
+        ckpt_dir=args.ckpt_dir, output_dir=args.output_dir,
+        ckpt_name=args.ckpt_name, mesh_shape=mesh_shape,
+        mesh_axis_names=mesh_axes, dtype=args.dtype, remat=args.remat,
+        tokenizer_dir=args.tokenizer_dir,
+    )
+
+
+def run_infer(cfg: TrainConfig, args) -> dict:
+    import jax
+
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.data.dataset import DialogueDataset
+    from ergm_tpu.evaluation.evaluate import Evaluator
+    from ergm_tpu.infer.runner import run_test
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.train import checkpoint as ckpt_lib
+
+    st = read_meta(cfg.data_dir)
+    mcfg = ModelConfig.from_model_type(cfg.model_type, vocab_size=st.vocab_size,
+                                       dtype=cfg.dtype)
+    max_len = min(cfg.max_len, mcfg.n_positions)
+    dataset = DialogueDataset(cfg.valid_prefix, cfg.data_dir, sp1_id=st.sp1_id,
+                              sp2_id=st.sp2_id, eos_id=st.eos_id,
+                              max_len=max_len, limit=args.limit)
+
+    path = ckpt_lib.find_checkpoint(cfg.ckpt_dir, cfg.ckpt_name)
+    if path is None:
+        print(f"Cannot find checkpoint {cfg.ckpt_name!r} under {cfg.ckpt_dir}")
+        sys.exit(1)
+    template = gpt2.init_params(jax.random.PRNGKey(0), mcfg)
+    params = ckpt_lib.restore_params(path, template)
+
+    tokenizer = None
+    if cfg.tokenizer_dir:
+        from ergm_tpu.tokenizer.bpe import BPETokenizer
+
+        tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
+
+    hyps, refs, true_labels, losses, preds = run_test(
+        params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
+        sp2_id=st.sp2_id, max_len=max_len, top_p=cfg.top_p, seed=cfg.seed,
+        tokenizer=tokenizer, prompt_mode=args.prompt_mode)
+
+    evaluator = Evaluator(bert_model_dir=args.bert_model_dir)
+    metrics = evaluator.evaluate_all(hyps, refs, true_label_ids=true_labels,
+                                     losses=losses, pred_label_ids=preds)
+
+    print("\n--- Final Evaluation Results ---")
+    for k, v in metrics.items():
+        print(f"{k.upper():<12}: {v:.4f}" if isinstance(v, float) else f"{k.upper():<12}: {v}")
+    print("--------------------------------")
+    out_path = os.path.join(cfg.data_dir, f"{cfg.ckpt_name}_evaluation_results.txt")
+    with open(out_path, "w", encoding="utf-8") as f:
+        for k, v in metrics.items():
+            f.write(f"{k}: {v}\n")
+    print(f"Results written to {out_path}")
+    return metrics
+
+
+def main(argv: Optional[list] = None):
+    args = build_argparser().parse_args(argv)
+    # path suffixing with the model type (src/main.py:364-365)
+    args.data_dir = os.path.join(args.data_dir, args.model_type)
+    args.ckpt_dir = os.path.join(args.ckpt_dir, args.model_type)
+    cfg = args_to_config(args)
+
+    if args.mode == "train":
+        from ergm_tpu.train.trainer import Trainer
+
+        Trainer(cfg, limit=args.limit).train()
+    else:
+        assert cfg.ckpt_name is not None, \
+            "Please specify the trained checkpoint using --ckpt_name."
+        run_infer(cfg, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,9 +40,10 @@ def make_mesh(
             raise ValueError(f"{len(devices)} devices not divisible by {known}")
         shape[shape.index(-1)] = len(devices) // known
     total = int(np.prod(shape))
-    if total != len(devices):
-        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
-    dev_array = np.array(devices).reshape(shape)
+    if total > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {total} devices, have {len(devices)}")
+    # an explicit smaller shape uses a prefix of the devices
+    dev_array = np.array(devices[:total]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 

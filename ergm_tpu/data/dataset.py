@@ -1,0 +1,199 @@
+"""Dialogue dataset + static-shape batching for XLA.
+
+Re-implements the reference's dataset semantics (src/custom_dataset.py)
+torch-free, and replaces dynamic per-batch padding with bucketed static
+shapes so every batch hits a cached XLA executable:
+
+- loads ``multi_{prefix}_data.pkl`` / ``context_label_{prefix}_data.pkl``
+  (custom_dataset.py:14-28),
+- flattens dialogues into per-utterance examples with the reference's
+  exact rules: chain-flatten the window (49), skip >=1024 (51-52),
+  sp1/sp2 token types by window-sublist parity (55-56), labels =
+  target[2:-2] + [eos] left-padded with -100 / inputs extended with eos
+  on overshoot (59-70), per-dialogue first-clip img/aud feature (77-80),
+- pads batches with eos (ids/token types) and -100 (labels)
+  (custom_dataset.py:120-122), but to bucketed lengths (multiples of
+  ``pad_multiple``, capped at ``max_len``) instead of the batch max.
+
+The reference's ``[:1]`` debug truncation (custom_dataset.py:21, 27;
+SURVEY.md §2.4.6) becomes an explicit ``limit`` argument, default off.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+IGNORE_INDEX = -100
+
+
+@dataclass
+class Example:
+    input_ids: List[int]
+    token_type_ids: List[int]
+    labels: List[int]
+    img: np.ndarray  # [D]
+    aud: np.ndarray  # [D]
+    context: str
+    emotion_label: int
+
+
+@dataclass
+class Batch:
+    """Static-shape numpy batch; ``valid`` marks real (non-repeated) rows so
+    eval metrics can ignore fill added to complete the final batch."""
+
+    input_ids: np.ndarray  # [B, L] int32
+    token_type_ids: np.ndarray  # [B, L] int32
+    labels: np.ndarray  # [B, L] int32
+    imgs: np.ndarray  # [B, D] float32
+    auds: np.ndarray  # [B, D] float32
+    emotion_labels: np.ndarray  # [B] int32
+    attention_mask: np.ndarray  # [B, L] float32, 1 on real tokens
+    valid: np.ndarray  # [B] bool
+    contexts: List[str]
+
+
+def _feat(x) -> np.ndarray:
+    a = np.asarray(x, dtype=np.float32)
+    return a.reshape(-1)
+
+
+class DialogueDataset:
+    def __init__(
+        self,
+        prefix: str,
+        data_dir: str,
+        sp1_id: int,
+        sp2_id: int,
+        eos_id: int,
+        max_len: int = 1024,
+        limit: Optional[int] = None,
+    ):
+        data_path = os.path.join(data_dir, f"multi_{prefix}_data.pkl")
+        context_path = os.path.join(data_dir, f"context_label_{prefix}_data.pkl")
+        with open(data_path, "rb") as f:
+            data = pickle.load(f)
+        with open(context_path, "rb") as f:
+            context_label = pickle.load(f)
+
+        texts = data["txt"][:limit] if limit else data["txt"]
+        videos = data["img"][:limit] if limit else data["img"]
+        audios = data["aud"][:limit] if limit else data["aud"]
+        targets = data["label"][:limit] if limit else data["label"]
+        contexts_data = context_label["context"][:limit] if limit else context_label["context"]
+        emotions_data = context_label["label"][:limit] if limit else context_label["label"]
+
+        self.examples: List[Example] = []
+        for i in range(len(texts)):
+            dia_texts, dia_targets = texts[i], targets[i]
+            dia_ctx, dia_emo = contexts_data[i], emotions_data[i]
+            assert len(dia_texts) == len(dia_targets) == len(dia_ctx) == len(dia_emo)
+            img_f = _feat(videos[i][0])
+            aud_f = _feat(audios[i][0])
+            for j in range(len(dia_texts)):
+                window = dia_texts[j]
+                input_ids = [t for turn in window for t in turn]
+                if len(input_ids) >= max_len:  # custom_dataset.py:51-52
+                    continue
+                token_types = [
+                    sp1_id if c % 2 == 0 else sp2_id
+                    for c, turn in enumerate(window)
+                    for _ in turn
+                ]
+                labels = list(dia_targets[j][2:-2]) + [eos_id]  # custom_dataset.py:60
+                gap = len(input_ids) - len(labels)
+                if gap > 0:
+                    labels = [IGNORE_INDEX] * gap + labels
+                elif gap < 0:
+                    input_ids = input_ids + [eos_id] * (-gap)
+                    token_types = token_types + [token_types[-1]] * (-gap)
+                assert len(input_ids) == len(labels) == len(token_types)
+                self.examples.append(Example(
+                    input_ids=input_ids, token_type_ids=token_types, labels=labels,
+                    img=img_f, aud=aud_f, context=dia_ctx[j], emotion_label=int(dia_emo[j]),
+                ))
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def __getitem__(self, idx: int) -> Example:
+        return self.examples[idx]
+
+
+def _bucket_len(n: int, pad_multiple: int, max_len: int) -> int:
+    b = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+    return min(b, max_len)
+
+
+def collate(
+    examples: List[Example],
+    eos_id: int,
+    batch_size: int,
+    pad_multiple: int = 128,
+    max_len: int = 1024,
+) -> Batch:
+    """Pad a list of examples to a static [batch_size, bucketed_len] batch.
+
+    Fill semantics match the reference collator (eos for ids/token types,
+    -100 for labels; custom_dataset.py:120-122). Short batches are
+    completed by repeating the final example with ``valid=False``.
+    """
+    n = len(examples)
+    assert 0 < n <= batch_size
+    longest = max(len(e.input_ids) for e in examples)
+    L = _bucket_len(longest, pad_multiple, max_len)
+    D = examples[0].img.shape[0]
+
+    ids = np.full((batch_size, L), eos_id, np.int32)
+    tts = np.full((batch_size, L), eos_id, np.int32)
+    lbl = np.full((batch_size, L), IGNORE_INDEX, np.int32)
+    mask = np.zeros((batch_size, L), np.float32)
+    imgs = np.zeros((batch_size, D), np.float32)
+    auds = np.zeros((batch_size, D), np.float32)
+    emo = np.zeros((batch_size,), np.int32)
+    valid = np.zeros((batch_size,), bool)
+    contexts: List[str] = []
+
+    for b in range(batch_size):
+        e = examples[min(b, n - 1)]
+        k = min(len(e.input_ids), L)
+        ids[b, :k] = e.input_ids[:k]
+        tts[b, :k] = e.token_type_ids[:k]
+        lbl[b, :k] = e.labels[:k]
+        mask[b, :k] = 1.0
+        imgs[b] = e.img
+        auds[b] = e.aud
+        emo[b] = e.emotion_label
+        valid[b] = b < n
+        contexts.append(e.context)
+    return Batch(input_ids=ids, token_type_ids=tts, labels=lbl, imgs=imgs,
+                 auds=auds, emotion_labels=emo, attention_mask=mask,
+                 valid=valid, contexts=contexts)
+
+
+def batches(
+    dataset: DialogueDataset,
+    batch_size: int,
+    eos_id: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    pad_multiple: int = 128,
+    max_len: int = 1024,
+    drop_remainder: bool = False,
+) -> Iterator[Batch]:
+    """Host-side batch iterator (the reference's DataLoader role,
+    src/main.py:78-85). Sorting-free; bucketing keeps the number of
+    distinct compiled shapes <= max_len/pad_multiple."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for s in range(0, len(order), batch_size):
+        chunk = [dataset[i] for i in order[s:s + batch_size]]
+        if drop_remainder and len(chunk) < batch_size:
+            return
+        yield collate(chunk, eos_id, batch_size, pad_multiple, max_len)

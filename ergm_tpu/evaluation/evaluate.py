@@ -1,0 +1,181 @@
+"""Evaluation metrics — the reference Evaluator (eval/evaluate.py) with the
+API its caller actually needs.
+
+The reference calls ``evaluate_all(hypotheses, references,
+true_label_ids=..., losses=...)`` (src/main.py:378-383) but defines a
+2-argument method (eval/evaluate.py:71) — a TypeError on the published
+path (SURVEY.md §2.4.4). This Evaluator implements the intended
+4-metric version: distinct-1/2, BERTScore, test PPL (from collected LM
+losses, src/main.py:328-333), and emotion accuracy.
+
+Offline-environment handling:
+- distinct-n uses nltk word_tokenize when its punkt data is installed
+  (eval/evaluate.py:37), else a built-in Treebank-style fallback,
+- BERTScore (eval/evaluate.py:50-69 loads HF ``evaluate``'s bertscore)
+  is computed by a native implementation of the BERTScore greedy-cosine
+  matching over token embeddings; it needs a local embedding model
+  (pass ``bert_model_dir`` pointing at an HF checkpoint on disk, or an
+  ``embed_fn``). With neither, BERTScore fields are omitted with a
+  warning instead of crashing — there is no model download here.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import warnings
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+# -- tokenization -----------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""(?:[a-z]+n't)|(?:'(?:ll|re|ve|s|d|m|t))|(?:\w+)|(?:[^\w\s])""",
+    re.IGNORECASE,
+)
+
+
+def _fallback_word_tokenize(text: str) -> List[str]:
+    """Treebank-ish tokenizer: splits contractions and punctuation like
+    nltk.word_tokenize closely enough for distinct-n statistics."""
+    return _TOKEN_RE.findall(text)
+
+
+def word_tokenize(text: str) -> List[str]:
+    try:
+        from nltk.tokenize import word_tokenize as nltk_tok
+
+        return nltk_tok(text)
+    except (ImportError, LookupError):
+        return _fallback_word_tokenize(text)
+
+
+# -- metrics ---------------------------------------------------------------
+
+
+def calculate_distinct(sentences: Sequence[str]):
+    """Distinct-1/2 over the corpus, lowercased (eval/evaluate.py:26-48)."""
+    if not sentences:
+        return 0.0, 0.0
+    total_words = total_bigrams = 0
+    uniq_words, uniq_bigrams = set(), set()
+    for sent in sentences:
+        toks = word_tokenize(sent.lower())
+        total_words += len(toks)
+        uniq_words.update(toks)
+        bgs = list(zip(toks, toks[1:]))
+        total_bigrams += len(bgs)
+        uniq_bigrams.update(bgs)
+    d1 = len(uniq_words) / total_words if total_words else 0.0
+    d2 = len(uniq_bigrams) / total_bigrams if total_bigrams else 0.0
+    return d1, d2
+
+
+def bertscore_from_embeddings(
+    hyp_emb: np.ndarray, ref_emb: np.ndarray,
+    hyp_mask: Optional[np.ndarray] = None, ref_mask: Optional[np.ndarray] = None,
+):
+    """BERTScore P/R/F1 for one pair given token embeddings [Lh, D]/[Lr, D].
+
+    Greedy matching on cosine similarity (Zhang et al. 2020): precision =
+    mean over hypothesis tokens of max-sim to any reference token; recall
+    symmetric; F1 harmonic mean.
+    """
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    h, r = norm(hyp_emb), norm(ref_emb)
+    sim = h @ r.T  # [Lh, Lr]
+    if ref_mask is not None:
+        sim = np.where(ref_mask[None, :] > 0, sim, -1e9)
+    if hyp_mask is not None:
+        sim_t = np.where(hyp_mask[:, None] > 0, sim, -1e9)
+    else:
+        sim_t = sim
+    hyp_keep = hyp_mask.astype(bool) if hyp_mask is not None else np.ones(len(h), bool)
+    ref_keep = ref_mask.astype(bool) if ref_mask is not None else np.ones(len(r), bool)
+    p = float(sim.max(axis=1)[hyp_keep].mean()) if hyp_keep.any() else 0.0
+    rc = float(sim_t.max(axis=0)[ref_keep].mean()) if ref_keep.any() else 0.0
+    f1 = 2 * p * rc / (p + rc) if (p + rc) > 0 else 0.0
+    return p, rc, f1
+
+
+class Evaluator:
+    """4-metric evaluator (the reference's intended surface)."""
+
+    def __init__(self, bert_model_dir: Optional[str] = None,
+                 embed_fn: Optional[Callable[[List[str]], List[np.ndarray]]] = None):
+        self.embed_fn = embed_fn
+        if bert_model_dir is not None and embed_fn is None:
+            self.embed_fn = self._make_hf_embed_fn(bert_model_dir)
+
+    @staticmethod
+    def _make_hf_embed_fn(model_dir: str):
+        """Token-embedding fn from a local HF encoder checkpoint (torch,
+        host CPU — kept out of the jitted TPU path per SURVEY.md §7.4)."""
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        tok = AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+        model = AutoModel.from_pretrained(model_dir, local_files_only=True)
+        model.eval()
+
+        def embed(texts: List[str]) -> List[np.ndarray]:
+            out = []
+            with torch.no_grad():
+                for t in texts:
+                    enc = tok(t, return_tensors="pt", truncation=True, max_length=512)
+                    h = model(**enc).last_hidden_state[0]
+                    out.append(h.numpy())
+            return out
+
+        return embed
+
+    def calculate_distinct(self, sentences):
+        return calculate_distinct(sentences)
+
+    def calculate_bertscore(self, hypotheses, references) -> Optional[Dict[str, float]]:
+        if self.embed_fn is None:
+            warnings.warn(
+                "BERTScore skipped: no embedding model available "
+                "(pass bert_model_dir or embed_fn to Evaluator)")
+            return None
+        if not hypotheses or not references:
+            return {"bs_precision": 0.0, "bs_recall": 0.0, "bs_f1": 0.0}
+        hyp_embs = self.embed_fn(list(hypotheses))
+        ref_embs = self.embed_fn(list(references))
+        ps, rs, fs = [], [], []
+        for h, r in zip(hyp_embs, ref_embs):
+            p, rc, f1 = bertscore_from_embeddings(np.asarray(h), np.asarray(r))
+            ps.append(p); rs.append(rc); fs.append(f1)
+        return {"bs_precision": float(np.mean(ps)),
+                "bs_recall": float(np.mean(rs)),
+                "bs_f1": float(np.mean(fs))}
+
+    def evaluate_all(
+        self,
+        hypotheses: Sequence[str],
+        references: Sequence[str],
+        true_label_ids: Optional[Sequence[int]] = None,
+        losses: Optional[Sequence[float]] = None,
+        pred_label_ids: Optional[Sequence[int]] = None,
+    ) -> Dict[str, float]:
+        """The signature src/main.py:378-383 actually calls. Adds
+        ``pred_label_ids`` so emotion accuracy is computable (the
+        reference collected true labels but produced no predictions)."""
+        results: Dict[str, float] = {}
+        d1, d2 = self.calculate_distinct(hypotheses)
+        results["dist_1"], results["dist_2"] = d1, d2
+        bs = self.calculate_bertscore(hypotheses, references)
+        if bs is not None:
+            results.update(bs)
+        if losses is not None and len(losses):
+            mean = float(np.mean(losses))
+            ppl = math.exp(mean) if math.isfinite(mean) else float("inf")
+            results["ppl"] = 1e8 if not math.isfinite(ppl) else ppl
+        if true_label_ids is not None and pred_label_ids is not None and len(true_label_ids):
+            t = np.asarray(true_label_ids)
+            p = np.asarray(pred_label_ids)
+            results["emotion_acc"] = float((t == p).mean() * 100.0)
+        return results

@@ -1,0 +1,241 @@
+"""KV-cached nucleus-sampling generation, fully jitted and batched.
+
+Replaces the reference decode loop (src/main.py:253-282) which re-runs
+the entire prefix through the model for every generated token, with no
+KV cache, one sample at a time (SURVEY.md §2.4.11). Here:
+
+- the prompt is prefilled once into a fixed-size KV cache,
+- each subsequent token is one single-position step inside a
+  ``lax.while_loop`` (static shapes, compiled once per prompt bucket),
+- variable-length prompts in one batch are LEFT-padded: every row's last
+  real token lands at the same physical slot, so one program serves the
+  whole batch; per-row logical positions ride in explicit position_ids
+  and pads stay masked out of attention forever,
+- top-p filtering reproduces the reference math exactly
+  (src/main.py:259-270): sort descending, cumsum, shift the cutoff mask
+  right by one so the first super-threshold token is kept, renormalize,
+  sample,
+- generated tokens carry the sp2 token type (src/main.py:277-279) and
+  rows stop at eos (src/main.py:274) or when the buffer fills.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.models import gpt2
+
+
+def top_p_filter(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Exact reference semantics (src/main.py:261-267): keep the smallest
+    prefix of descending-sorted tokens whose cumulative probability
+    exceeds top_p, always keeping the first; zero the rest; renormalize."""
+    sorted_idx = jnp.argsort(probs, axis=-1)[..., ::-1]
+    sorted_probs = jnp.take_along_axis(probs, sorted_idx, axis=-1)
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    remove = cumsum > top_p
+    # shift right: first token always kept (src/main.py:264-265)
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+    kept = jnp.where(remove, 0.0, sorted_probs)
+    kept = kept / jnp.maximum(jnp.sum(kept, axis=-1, keepdims=True), 1e-20)
+    # scatter back to vocab order (src/main.py:269)
+    b_idx = jnp.arange(probs.shape[0])[:, None]
+    return jnp.zeros_like(probs).at[b_idx, sorted_idx].set(kept)
+
+
+class GenState(NamedTuple):
+    tokens: jnp.ndarray   # [B, T] physical token buffer
+    mask: jnp.ndarray     # [B, T] 1 on real (non-pad, written) positions
+    cache: gpt2.KVCache
+    cur: jnp.ndarray      # [] int32 physical write slot
+    last: jnp.ndarray     # [B, 1] last sampled token
+    done: jnp.ndarray     # [B] bool eos emitted
+    rng: jax.Array
+
+
+class GenerateOutput(NamedTuple):
+    tokens: jnp.ndarray          # [B, T] physical buffer (prompt + continuation)
+    lengths: jnp.ndarray         # [B] physical length incl. prompt slot count
+    emotion_logits: jnp.ndarray  # [B, num_emotions] from the prefill last token
+
+
+def generate(
+    params,
+    config: ModelConfig,
+    input_ids: jnp.ndarray,      # [B, Lp] prompts; left-padded if mask given
+    input_len: Optional[int] = None,  # uniform true prompt length (static)
+    *,
+    max_len: int,                # physical buffer / logical cap (ref max_len)
+    eos_id: int,
+    sp2_id: int,
+    top_p: float = 0.95,
+    rng: Optional[jax.Array] = None,
+    token_type_ids: Optional[jnp.ndarray] = None,
+    prompt_mask: Optional[jnp.ndarray] = None,  # [B, Lp] 1=real (left-pad mode)
+    imgs: Optional[jnp.ndarray] = None,
+    auds: Optional[jnp.ndarray] = None,
+    caption_ids: Optional[jnp.ndarray] = None,
+    greedy: bool = False,
+    logical_cap: Optional[int] = None,
+) -> GenerateOutput:
+    """Uniform mode: pass ``input_len`` (all rows share a true length).
+    Batched mode: pass left-aligned-pad ``prompt_mask`` (pads at the left,
+    every row's last real token at physical slot Lp-1).
+
+    ``max_len`` sizes the physical buffer; ``logical_cap`` (default
+    max_len) bounds each row's logical sequence length — the reference's
+    max_len stop condition (src/main.py:255)."""
+    if logical_cap is None:
+        logical_cap = max_len
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if (input_len is None) == (prompt_mask is None):
+        raise ValueError("pass exactly one of input_len / prompt_mask")
+
+    if input_len is not None:
+        input_ids = input_ids[:, :input_len]
+        if token_type_ids is not None:
+            token_type_ids = token_type_ids[:, :input_len]
+        prompt_mask = jnp.ones(input_ids.shape, jnp.float32)
+    B, Lp = input_ids.shape
+    prompt_mask = prompt_mask.astype(jnp.float32)
+
+    caption_len = caption_ids.shape[1] if caption_ids is not None else 0
+    cache = gpt2.init_kv_cache(config, B, max_len, caption_len=caption_len)
+
+    # full-width mask over the physical buffer; tail starts masked
+    mask = jnp.zeros((B, max_len), jnp.float32)
+    mask = lax.dynamic_update_slice(mask, prompt_mask, (0, 0))
+    # logical positions: pads clipped to 0, real tokens 0..len-1
+    prompt_pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0).astype(jnp.int32)
+    row_len = jnp.sum(prompt_mask, axis=-1).astype(jnp.int32)  # [B]
+
+    out = gpt2.forward(params, config, input_ids,
+                       token_type_ids=token_type_ids,
+                       position_ids=prompt_pos,
+                       attention_mask=mask,
+                       imgs=imgs, auds=auds, caption_ids=caption_ids,
+                       cache=cache)
+    emotion_logits = out.emotion_logits
+
+    def sample(logits, key):
+        if greedy:
+            return jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        filtered = top_p_filter(probs, top_p)
+        return jax.random.categorical(key, jnp.log(jnp.maximum(filtered, 1e-20)), axis=-1)
+
+    rng, key = jax.random.split(rng)
+    first = sample(out.logits[:, -1, :], key)  # [B]
+
+    tokens = jnp.full((B, max_len), eos_id, jnp.int32)
+    tokens = lax.dynamic_update_slice(tokens, input_ids.astype(jnp.int32), (0, 0))
+    # rows whose logical length already hit the cap cannot grow
+    full0 = row_len >= logical_cap
+    done0 = (first == eos_id) | full0
+    tokens = tokens.at[:, Lp].set(jnp.where(full0, eos_id, first)) if Lp < max_len else tokens
+    mask = mask.at[:, Lp].set(1.0) if Lp < max_len else mask
+
+    state = GenState(tokens=tokens, mask=mask, cache=out.cache,
+                     cur=jnp.asarray(min(Lp + 1, max_len), jnp.int32),
+                     last=first[:, None].astype(jnp.int32), done=done0, rng=rng)
+
+    def cond(s: GenState):
+        return jnp.logical_and(s.cur < max_len, ~jnp.all(s.done))
+
+    def body(s: GenState):
+        step_tt = jnp.full((B, 1), sp2_id, jnp.int32)  # src/main.py:277-279
+        # s.last sits at physical slot cur-1 -> logical row_len + (cur-1-Lp)
+        step_pos = (row_len + (s.cur - 1 - Lp))[:, None]
+        step_pos = jnp.minimum(step_pos, config.n_positions - 1)
+        o = gpt2.forward(params, config, s.last, token_type_ids=step_tt,
+                         position_ids=step_pos, attention_mask=s.mask,
+                         cache=s.cache)
+        rng, key = jax.random.split(s.rng)
+        nxt = sample(o.logits[:, -1, :], key)
+        # rows at their logical cap stop too (ref max_len bound)
+        at_cap = (row_len + (s.cur - Lp)) >= logical_cap
+        nxt = jnp.where(s.done | at_cap, eos_id, nxt)
+        tokens = s.tokens.at[:, s.cur].set(nxt)
+        mask = s.mask.at[:, s.cur].set(1.0)
+        done = s.done | (nxt == eos_id)
+        return GenState(tokens=tokens, mask=mask, cache=o.cache,
+                        cur=s.cur + 1, last=nxt[:, None].astype(jnp.int32),
+                        done=done, rng=rng)
+
+    state = lax.while_loop(cond, body, state)
+
+    # physical length: first eos at/after slot Lp (+1), else max_len
+    pos = jnp.arange(max_len)[None, :]
+    is_stop = (state.tokens == eos_id) & (pos >= Lp)
+    any_stop = jnp.any(is_stop, axis=-1)
+    first_stop = jnp.argmax(is_stop, axis=-1)
+    lengths = jnp.where(any_stop, first_stop + 1, max_len)
+    return GenerateOutput(tokens=state.tokens, lengths=lengths,
+                          emotion_logits=emotion_logits)
+
+
+def _bucket(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def generate_batch(
+    params,
+    config: ModelConfig,
+    prompts: Sequence[Sequence[int]],
+    *,
+    max_len: int,
+    eos_id: int,
+    sp2_id: int,
+    top_p: float = 0.95,
+    rng: Optional[jax.Array] = None,
+    token_types: Optional[Sequence[Sequence[int]]] = None,
+    imgs: Optional[np.ndarray] = None,
+    auds: Optional[np.ndarray] = None,
+    greedy: bool = False,
+    prompt_bucket: int = 64,
+    max_new_tokens: Optional[int] = None,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Host-level batched decode over ragged prompts.
+
+    Left-pads prompts to a bucketed width, runs one jitted generate for
+    the whole batch, and returns per-sample continuation token lists
+    (eos included when emitted, like src/main.py:272-274) plus emotion
+    logits from the prompt's final token.
+    """
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    Lp = _bucket(max(lens), prompt_bucket)
+    ids = np.full((B, Lp), eos_id, np.int32)
+    mask = np.zeros((B, Lp), np.float32)
+    tts = np.full((B, Lp), sp2_id, np.int32)
+    for b, p in enumerate(prompts):
+        ids[b, Lp - len(p):] = p
+        mask[b, Lp - len(p):] = 1.0
+        if token_types is not None:
+            tts[b, Lp - len(p):] = token_types[b]
+    cap = min(max_len, config.n_positions)
+    new_cap = max_new_tokens if max_new_tokens is not None else max(cap - min(lens), 0)
+    buffer_len = Lp + max(new_cap, 1)
+
+    out = generate(
+        params, config, jnp.asarray(ids),
+        prompt_mask=jnp.asarray(mask),
+        token_type_ids=jnp.asarray(tts) if token_types is not None else None,
+        max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
+        rng=rng, imgs=None if imgs is None else jnp.asarray(imgs),
+        auds=None if auds is None else jnp.asarray(auds), greedy=greedy,
+    )
+    tokens = np.asarray(out.tokens)
+    lengths = np.asarray(out.lengths)
+    results: List[List[int]] = []
+    for b in range(B):
+        results.append(tokens[b, Lp:lengths[b]].tolist())
+    return results, np.asarray(out.emotion_logits)

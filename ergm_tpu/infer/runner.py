@@ -1,0 +1,102 @@
+"""Inference/test driver — the reference ``Manager.test`` + evaluation
+dispatch (src/main.py:291-396), batched and KV-cached.
+
+Per validation batch:
+- collects the LM-only loss for corpus PPL (src/main.py:328-333),
+- extracts per-sample prompts exactly like the reference: the first
+  ``count(ids != eos)`` tokens (src/main.py:316) — note this includes
+  the gold response; ``prompt_mode="history"`` instead prompts with only
+  the masked-history prefix (labels == -100), the scientifically
+  conventional choice — the reference behavior stays the default,
+- generates continuations with the batched left-padded decoder
+  (ergm_tpu/infer/generate.py) instead of one uncached sample at a time,
+- collects emotion predictions from the prompt's final hidden state so
+  emotion accuracy is actually computable (the reference gathered only
+  true labels — SURVEY.md §2.4.4).
+
+Returns (hypotheses, references, true_labels, losses, pred_labels); text
+decoding uses the provided tokenizer, or a space-joined-id fallback for
+synthetic corpora.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.data.dataset import IGNORE_INDEX, DialogueDataset, batches
+from ergm_tpu.infer.generate import generate_batch
+from ergm_tpu.train.steps import batch_to_device, make_eval_step
+
+
+def _decode(tokenizer, ids: List[int]) -> str:
+    if tokenizer is None:
+        return " ".join(str(i) for i in ids)
+    return tokenizer.decode(ids, skip_special_tokens=True)
+
+
+def run_test(
+    params,
+    config: ModelConfig,
+    dataset: DialogueDataset,
+    *,
+    batch_size: int,
+    eos_id: int,
+    sp2_id: int,
+    max_len: int,
+    top_p: float,
+    seed: int = 0,
+    tokenizer=None,
+    prompt_mode: str = "reference",
+    use_modalities: bool = True,
+    max_new_tokens: Optional[int] = None,
+) -> Tuple[List[str], List[str], List[int], List[float], List[int]]:
+    eval_step = make_eval_step(config)
+    rng = jax.random.PRNGKey(seed)
+
+    hyps: List[str] = []
+    refs: List[str] = []
+    true_labels: List[int] = []
+    losses: List[float] = []
+    pred_labels: List[int] = []
+
+    for bi, batch in enumerate(batches(dataset, batch_size, eos_id, max_len=max_len)):
+        dev_batch = batch_to_device(batch)
+        metrics = jax.device_get(eval_step(params, dev_batch))
+        losses.append(float(metrics["lm_loss"]))
+
+        prompts, tts, imgs, auds = [], [], [], []
+        for i in range(batch.input_ids.shape[0]):
+            if not batch.valid[i]:
+                continue
+            ids = batch.input_ids[i]
+            if prompt_mode == "history":
+                hist = int(np.argmax(batch.labels[i] != IGNORE_INDEX))
+                n = max(hist, 1)
+            else:  # reference semantics: src/main.py:316
+                n = int((ids != eos_id).sum())
+                n = max(n, 1)
+            prompts.append(ids[:n].tolist())
+            tts.append(batch.token_type_ids[i][:n].tolist())
+            imgs.append(batch.imgs[i])
+            auds.append(batch.auds[i])
+
+            ref_ids = batch.labels[i][batch.labels[i] != IGNORE_INDEX]
+            refs.append(_decode(tokenizer, ref_ids.tolist()))
+            true_labels.append(int(batch.emotion_labels[i]))
+
+        rng, gen_rng = jax.random.split(rng)
+        outs, emo_logits = generate_batch(
+            params, config, prompts, token_types=tts,
+            imgs=np.stack(imgs) if use_modalities else None,
+            auds=np.stack(auds) if use_modalities else None,
+            max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
+            rng=gen_rng, max_new_tokens=max_new_tokens,
+        )
+        hyps.extend(_decode(tokenizer, o) for o in outs)
+        pred_labels.extend(int(p) for p in np.argmax(emo_logits, axis=-1))
+
+    return hyps, refs, true_labels, losses, pred_labels

@@ -322,7 +322,7 @@ def transformer(
     *,
     token_type_ids: Optional[jnp.ndarray] = None,
     position_ids: Optional[jnp.ndarray] = None,
-    attention_bias: Optional[jnp.ndarray] = None,  # additive [B,1,1,Lk] (or None)
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, Lk] 0/1 over keys
     imgs: Optional[jnp.ndarray] = None,  # [B, modality_dim]
     auds: Optional[jnp.ndarray] = None,  # [B, modality_dim]
     caption_ids: Optional[jnp.ndarray] = None,  # [B, Lc]
@@ -354,18 +354,31 @@ def transformer(
         encoder_hidden_states is not None or (cache is not None and cache.ck is not None)
     )
 
-    # Multimodal injection at embedding slots 0 and 1 (src/model.py:495-498),
-    # with projection on dim mismatch (fixes SURVEY.md §2.4.12).
+    # Multimodal injection at the first two REAL positions — slots 0/1 of
+    # the logical sequence (src/model.py:495-498) — with projection on dim
+    # mismatch (fixes SURVEY.md §2.4.12). With a left-padded attention
+    # mask the first real position differs per row, so inject via one-hot
+    # scatters derived from the mask.
+    if imgs is not None or auds is not None:
+        if attention_mask is not None:
+            m = attention_mask[:, :L].astype(dtype)
+            csum = jnp.cumsum(m, axis=-1)
+            slot0 = ((csum == 1) & (m > 0)).astype(dtype)
+            slot1 = ((csum == 2) & (m > 0)).astype(dtype)
+        else:
+            slot0 = slot1 = None
     if imgs is not None:
         img_f = imgs.astype(dtype)
         if "img_proj" in params:
             img_f = dense(img_f, params["img_proj"])
-        h = h.at[:, 0, :].add(img_f)
+        h = h + slot0[..., None] * img_f[:, None, :] if slot0 is not None \
+            else h.at[:, 0, :].add(img_f)
     if auds is not None:
         aud_f = auds.astype(dtype)
         if "aud_proj" in params:
             aud_f = dense(aud_f, params["aud_proj"])
-        h = h.at[:, 1, :].add(aud_f)
+        h = h + slot1[..., None] * aud_f[:, None, :] if slot1 is not None \
+            else h.at[:, 1, :].add(aud_f)
 
     h = h + jnp.take(params["wpe"]["embedding"], position_ids, axis=0).astype(dtype)
     if token_type_ids is not None:
@@ -374,6 +387,9 @@ def transformer(
     h = _dropout(h, c.embd_pdrop, deterministic,
                  None if rng is None else jax.random.fold_in(rng, 0))
 
+    attention_bias = None
+    if attention_mask is not None:
+        attention_bias = attention_bias_from_mask(attention_mask)
     enc_bias = None
     if use_cross and encoder_attention_mask is not None:
         enc_bias = attention_bias_from_mask(encoder_attention_mask)
@@ -493,14 +509,10 @@ def forward(
     CE when both label kinds are given (src/model.py:704-713).
     """
     c = config
-    attention_bias = None
-    if attention_mask is not None:
-        attention_bias = attention_bias_from_mask(attention_mask)
-
     hidden, new_cache = transformer(
         params, c, input_ids,
         token_type_ids=token_type_ids, position_ids=position_ids,
-        attention_bias=attention_bias, imgs=imgs, auds=auds,
+        attention_mask=attention_mask, imgs=imgs, auds=auds,
         caption_ids=caption_ids, encoder_hidden_states=encoder_hidden_states,
         encoder_attention_mask=encoder_attention_mask,
         deterministic=deterministic, rng=rng, cache=cache,

@@ -1,0 +1,87 @@
+"""Checkpoint save/restore via orbax.
+
+Reference behavior replicated (src/main.py:98-119, 184-196): best-valid-
+PPL checkpoints named ``best_ckpt_epoch={E}_valid_ppl={P:.4f}`` holding
+model/optimizer/schedule state plus counters; resume restores all of it.
+orbax gives atomic async-friendly directory checkpoints instead of
+torch.save blobs.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from ergm_tpu.train.steps import TrainState
+
+_CKPT_RE = re.compile(r"best_ckpt_epoch=(\d+)_valid_ppl=([\d.eE+-]+?)/?$")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_ppl: float) -> str:
+    name = f"best_ckpt_epoch={epoch}_valid_ppl={best_ppl:.4f}"
+    path = os.path.join(os.path.abspath(ckpt_dir), name)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": np.int32(epoch),
+        "best_ppl": np.float64(best_ppl),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint(path: str, template_state: TrainState) -> Dict[str, Any]:
+    """Restore into the shapes/dtypes of ``template_state``. Returns dict
+    with 'state', 'epoch', 'best_ppl'."""
+    template = {
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+        "epoch": np.int32(0),
+        "best_ppl": np.float64(0),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), item=template)
+    state = TrainState(params=restored["params"], opt_state=restored["opt_state"],
+                       step=restored["step"])
+    return {"state": state, "epoch": int(restored["epoch"]),
+            "best_ppl": float(restored["best_ppl"])}
+
+
+def restore_params(path: str, template_params) -> Any:
+    """Params-only restore (inference path, src/main.py:111-119): restore
+    the raw tree and coerce just the params subtree onto the template."""
+    import jax.numpy as jnp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path))
+    return jax.tree_util.tree_map(
+        lambda t, r: jnp.asarray(r, dtype=t.dtype),
+        template_params, restored["params"])
+
+
+def find_checkpoint(ckpt_dir: str, name: Optional[str] = None) -> Optional[str]:
+    """Resolve a checkpoint path: explicit name, or the best (lowest valid
+    ppl) when name is None or the sentinel "best"."""
+    if name == "best":
+        name = None
+    if name is not None:
+        p = os.path.join(ckpt_dir, name)
+        return p if os.path.isdir(p) else None
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for entry in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(entry)
+        if m:
+            ppl = float(m.group(2))
+            if best is None or ppl < best[0]:
+                best = (ppl, os.path.join(ckpt_dir, entry))
+    return best[1] if best else None

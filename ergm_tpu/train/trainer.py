@@ -1,0 +1,169 @@
+"""Trainer — the reference ``Manager``'s training role (src/main.py:36-251),
+rebuilt around jitted SPMD steps.
+
+Orchestrates: dataset meta -> model config -> params (fresh init, HF
+conversion, or checkpoint resume) -> mesh placement -> optax AdamW with
+the power-2 polynomial warmup schedule (src/main.py:93-95) -> epoch loop
+with per-epoch validation, best-PPL orbax checkpointing (src/main.py:
+184-196), and TensorBoard scalars with the reference's tag names
+(Loss/PPL/Accuracy x train/valid, src/main.py:177-179, 200-202).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+
+from ergm_tpu.core.config import ModelConfig, TrainConfig
+from ergm_tpu.core.mesh import make_mesh, replicated, shard_params
+from ergm_tpu.data.assembly import read_meta
+from ergm_tpu.data.dataset import DialogueDataset, batches
+from ergm_tpu.models import gpt2
+from ergm_tpu.train import checkpoint as ckpt_lib
+from ergm_tpu.train.schedule import polynomial_warmup_schedule
+from ergm_tpu.train.steps import (TrainState, batch_to_device, create_train_state,
+                                  make_eval_step, make_train_step)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, model_config: Optional[ModelConfig] = None,
+                 params=None, limit: Optional[int] = None):
+        self.cfg = cfg
+        self.st = read_meta(cfg.data_dir)
+
+        if model_config is None:
+            model_config = ModelConfig.from_model_type(
+                cfg.model_type, vocab_size=self.st.vocab_size,
+                dtype=cfg.dtype, remat=cfg.remat)
+        # clamp like the reference (src/main.py:64)
+        self.max_len = min(cfg.max_len, model_config.n_positions)
+        self.mcfg = model_config
+
+        self.mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+        if "data" in self.mesh.axis_names:
+            dp = self.mesh.shape["data"]
+            if cfg.batch_size % dp:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must be divisible by the mesh "
+                    f"data axis ({dp} devices); pick a divisible batch size or a "
+                    f"smaller mesh_shape")
+
+        print(f"Loading {cfg.train_prefix} & {cfg.valid_prefix} data from {cfg.data_dir}...")
+        ds_kw = dict(data_dir=cfg.data_dir, sp1_id=self.st.sp1_id,
+                     sp2_id=self.st.sp2_id, eos_id=self.st.eos_id,
+                     max_len=self.max_len, limit=limit)
+        self.train_set = DialogueDataset(cfg.train_prefix, **ds_kw)
+        self.valid_set = DialogueDataset(cfg.valid_prefix, **ds_kw)
+
+        num_batches = max(len(self.train_set) // cfg.batch_size, 1)
+        self.total_train_steps = cfg.num_epochs * num_batches
+        self.warmup_steps = int(cfg.warmup_ratio * self.total_train_steps)
+        schedule = polynomial_warmup_schedule(
+            cfg.lr, self.warmup_steps, self.total_train_steps, power=2.0)
+        self.tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+
+        if params is None:
+            params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), self.mcfg)
+        params = shard_params(params, self.mesh) if "model" in self.mesh.axis_names \
+            else jax.device_put(params, replicated(self.mesh))
+        self.state = create_train_state(params, self.tx)
+
+        self.train_step = make_train_step(self.mcfg, self.tx)
+        self.eval_step = make_eval_step(self.mcfg)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        self.best_ppl = float(sys.float_info.max)
+        self.last_epoch = 0
+        os.makedirs(cfg.ckpt_dir, exist_ok=True)
+
+        if cfg.ckpt_name is not None:
+            path = ckpt_lib.find_checkpoint(cfg.ckpt_dir, cfg.ckpt_name)
+            if path:
+                print(f"Resuming from checkpoint: {path}")
+                restored = ckpt_lib.restore_checkpoint(path, self.state)
+                self.state = restored["state"]
+                self.best_ppl = restored["best_ppl"]
+                self.last_epoch = restored["epoch"]
+            else:
+                print(f"Cannot find the specified checkpoint under {cfg.ckpt_dir}; "
+                      "training starts from scratch.")
+
+        self.writer = None
+        if cfg.output_dir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(logdir=os.path.join(cfg.output_dir, "tb"))
+            except Exception:
+                self.writer = None
+
+    # -- helpers ---------------------------------------------------------
+
+    def _scalars(self, split: str, epoch: int, loss: float, ppl: float, acc: float):
+        if self.writer is not None:
+            # reference tag names: src/main.py:177-179, 200-202
+            self.writer.add_scalar(f"Loss/{split}", loss, epoch)
+            self.writer.add_scalar(f"PPL/{split}", ppl, epoch)
+            self.writer.add_scalar(f"Accuracy/{split}", acc, epoch)
+
+    @staticmethod
+    def _epoch_metrics(all_metrics):
+        losses = [float(m["loss"]) for m in all_metrics]
+        lm = [float(m["lm_loss"]) for m in all_metrics]
+        correct = sum(int(m["emotion_correct"]) for m in all_metrics)
+        total = sum(int(m["num_examples"]) for m in all_metrics)
+        avg_loss = float(np.mean(losses)) if losses else float("nan")
+        ppl = math.exp(float(np.mean(lm))) if lm else float("nan")
+        if math.isnan(ppl) or math.isinf(ppl):
+            ppl = 1e8  # reference NaN guard, src/main.py:248-249
+        acc = 100.0 * correct / max(total, 1)
+        return avg_loss, ppl, acc
+
+    # -- loops -----------------------------------------------------------
+
+    def train(self):
+        cfg = self.cfg
+        print("Training starts.")
+        start_epoch = self.last_epoch + 1
+        for epoch in range(start_epoch, start_epoch + cfg.num_epochs):
+            t0 = time.time()
+            train_metrics = []
+            for batch in batches(self.train_set, cfg.batch_size, self.st.eos_id,
+                                 shuffle=True, seed=cfg.seed + epoch,
+                                 max_len=self.max_len, drop_remainder=True):
+                dev_batch = batch_to_device(batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, dev_batch, self.rng)
+                train_metrics.append(jax.device_get(metrics))
+            loss, ppl, acc = self._epoch_metrics(train_metrics)
+            dt = time.time() - t0
+            print(f"Epoch {epoch}: Train Loss: {loss:.4f} | Train PPL: {ppl:.4f} | "
+                  f"Train Emotion Acc: {acc:.2f}% | {dt:.1f}s")
+            self._scalars("train", epoch, loss, ppl, acc)
+
+            self.last_epoch = epoch
+            v_loss, v_ppl, v_acc = self.validation()
+            if v_ppl < self.best_ppl:
+                self.best_ppl = v_ppl
+                path = ckpt_lib.save_checkpoint(cfg.ckpt_dir, self.state, epoch, v_ppl)
+                print(f"Best checkpoint saved: {path}")
+            print(f"Best valid PPL: {self.best_ppl:.4f}")
+            print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} | "
+                  f"Valid Emotion Acc: {v_acc:.2f}%")
+            self._scalars("valid", epoch, v_loss, v_ppl, v_acc)
+        print("Training finished!")
+        return self.best_ppl
+
+    def validation(self):
+        metrics = []
+        for batch in batches(self.valid_set, self.cfg.batch_size, self.st.eos_id,
+                             max_len=self.max_len):
+            dev_batch = batch_to_device(batch, self.mesh)
+            metrics.append(jax.device_get(self.eval_step(self.state.params, dev_batch)))
+        return self._epoch_metrics(metrics)

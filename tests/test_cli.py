@@ -1,0 +1,76 @@
+"""CLI end-to-end: load_data -> train -> infer on the synthetic fixture,
+through the same entry points train.sh/infer.sh/load_data.sh call."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ergm_tpu.cli.load_data import main as load_data_main
+from ergm_tpu.cli.main import build_argparser, main as cli_main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("ws")
+    data_root = ws / "data"
+    load_data_main([
+        "--source=synthetic", f"--data_dir={data_root}", "--model_type=tiny",
+        "--num_dialogues=4", "--turns=3",
+    ])
+    assert (data_root / "tiny" / "multi_train_data.pkl").exists()
+    assert (data_root / "tiny" / "tokenizer_meta.json").exists()
+    return ws
+
+
+def _run_cli(ws, extra):
+    cwd = os.getcwd()
+    os.chdir(ws)
+    try:
+        cli_main(extra)
+    finally:
+        os.chdir(cwd)
+
+
+def _patch_tiny_model(monkeypatch):
+    """Route model_type 'tiny' to a small test config."""
+    from ergm_tpu.core import config as config_mod
+
+    monkeypatch.setitem(config_mod.GPT2_SIZES, "tiny",
+                        dict(n_layer=2, n_head=4, n_embd=32))
+
+
+def test_train_then_infer(workspace, monkeypatch):
+    _patch_tiny_model(monkeypatch)
+    common = [
+        "--data_dir=data", "--model_type=tiny", "--batch_size=4",
+        "--max_len=64", "--dtype=float32", "--mesh_shape=1", "--lr=1e-3",
+    ]
+    _run_cli(workspace, ["--mode=train", "--num_epochs=2", "--valid_prefix=valid",
+                         "--layers=0", *common])  # --layers accepted, ignored
+    ckpts = os.listdir(workspace / "saved_models" / "tiny")
+    assert any(c.startswith("best_ckpt_epoch=") for c in ckpts)
+
+    _run_cli(workspace, ["--mode=infer", "--ckpt_name=best", "--valid_prefix=valid",
+                         "--top_p=0.8", *common])
+    results = [f for f in os.listdir(workspace / "data" / "tiny")
+               if f.endswith("_evaluation_results.txt")]
+    assert results, "evaluation results file missing"
+    text = (workspace / "data" / "tiny" / results[0]).read_text()
+    assert "dist_1" in text and "ppl" in text and "emotion_acc" in text
+
+
+def test_argparser_has_reference_flags():
+    p = build_argparser()
+    args = p.parse_args([
+        "--mode=train", "--seed=0", "--data_dir=data", "--train_prefix=train",
+        "--valid_prefix=test", "--model_type=gpt2", "--bos_token=<bos>",
+        "--sp1_token=<sp1>", "--sp2_token=<sp2>", "--gpu=0", "--lr=1e-5",
+        "--warmup_ratio=0.0", "--batch_size=8", "--num_workers=0",
+        "--num_epochs=100", "--max_len=1024", "--max_turns=35",
+        "--top_p=0.8", "--ckpt_dir=saved_models", "--output_dir=outputs",
+        "--layers=0",  # the reference's phantom flag (SURVEY.md §2.4.7)
+    ])
+    assert args.model_type == "gpt2"
+    assert args.max_turns == 35

@@ -1,0 +1,137 @@
+"""Data pipeline tests: assembly conventions, reference flattening rules,
+static-shape collation. Targets the alignment logic SURVEY.md §4 calls
+the most bug-prone part (custom_dataset.py:59-70)."""
+
+import numpy as np
+import pytest
+
+from ergm_tpu.core.tokens import SpecialTokens
+from ergm_tpu.data.assembly import assemble_split, build_target, build_window, write_split
+from ergm_tpu.data.dataset import IGNORE_INDEX, DialogueDataset, batches, collate
+from ergm_tpu.data.synthetic import make_synthetic_split, synthetic_vocab, write_synthetic_dataset
+
+
+@pytest.fixture
+def st():
+    return SpecialTokens.register(synthetic_vocab(64))
+
+
+def test_build_window_parity_and_bos(st):
+    dia = [[10, 11], [12], [13, 14, 15]]
+    w = build_window(dia, 2, st)
+    assert w[0][:2] == [st.bos_id, st.sp1_id]
+    assert w[1][0] == st.sp2_id
+    assert w[2][0] == st.sp1_id
+    assert w[2][-1] == st.eos_id  # target turn closes with eos
+
+
+def test_build_window_max_turns(st):
+    dia = [[1], [2], [3], [4], [5]]
+    w = build_window(dia, 4, st, max_turns=2)
+    assert len(w) == 2
+    # window-local parity restarts at sp1 (matches the reference's
+    # window-index-based token-type rule, custom_dataset.py:55)
+    assert w[0][:2] == [st.bos_id, st.sp1_id]
+    assert w[0][2] == 4 and w[1][1] == 5
+
+
+def test_build_window_max_len_drops_oldest(st):
+    dia = [[1] * 50, [2] * 50, [3] * 50]
+    w = build_window(dia, 2, st, max_len=120)
+    flat = [t for turn in w for t in turn]
+    assert len(flat) < 120
+    assert 3 in flat and 1 not in flat  # oldest turn dropped
+
+
+def test_target_slice_roundtrip(st):
+    """The reference derives labels as target[2:-2] + [eos]
+    (custom_dataset.py:60); our stored form must survive that slice."""
+    utter = [7, 8, 9]
+    tgt = build_target(utter, st)
+    assert tgt[2:-2] == utter
+    assert (tgt[2:-2] + [st.eos_id]) == utter + [st.eos_id]
+
+
+def _dataset(tmp_path, st, **kw):
+    payloads, _ = make_synthetic_split(st=st, seed=1, **kw)
+    write_split(payloads, str(tmp_path), "train")
+    return DialogueDataset("train", str(tmp_path), sp1_id=st.sp1_id,
+                           sp2_id=st.sp2_id, eos_id=st.eos_id)
+
+
+def test_dataset_flattening_counts(tmp_path, st):
+    ds = _dataset(tmp_path, st, num_dialogues=3, turns_per_dialogue=4)
+    assert len(ds) == 12  # every utterance of every dialogue, none skipped
+
+
+def test_label_alignment(tmp_path, st):
+    """Every supervised label equals the input token at the same position
+    (the shifted CE then supervises next-token prediction on the
+    response span), and the masked prefix is exactly the history."""
+    ds = _dataset(tmp_path, st, num_dialogues=3, turns_per_dialogue=4)
+    for ex in ds.examples:
+        lab = np.array(ex.labels)
+        ids = np.array(ex.input_ids)
+        sup = lab != IGNORE_INDEX
+        assert sup.any()
+        np.testing.assert_array_equal(lab[sup], ids[sup])
+        # supervised region is a contiguous suffix
+        first = np.argmax(sup)
+        assert sup[first:].all()
+        assert ids[-1] == st.eos_id
+
+
+def test_token_types_alternate(tmp_path, st):
+    ds = _dataset(tmp_path, st, num_dialogues=2, turns_per_dialogue=3)
+    for ex in ds.examples:
+        tts = set(ex.token_type_ids)
+        assert tts <= {st.sp1_id, st.sp2_id}
+
+
+def test_long_windows_skipped(tmp_path, st):
+    payloads, _ = make_synthetic_split(st=st, seed=2, num_dialogues=1,
+                                       turns_per_dialogue=8,
+                                       utter_len=range(200, 201), max_len=None)
+    write_split(payloads, str(tmp_path), "train")
+    ds = DialogueDataset("train", str(tmp_path), sp1_id=st.sp1_id,
+                         sp2_id=st.sp2_id, eos_id=st.eos_id, max_len=1024)
+    # windows >= 1024 tokens are skipped (custom_dataset.py:51-52)
+    assert 0 < len(ds) < 8
+
+
+def test_collate_static_shapes(tmp_path, st):
+    ds = _dataset(tmp_path, st, num_dialogues=2, turns_per_dialogue=3)
+    b = collate(ds.examples[:3], st.eos_id, batch_size=4, pad_multiple=32)
+    assert b.input_ids.shape == b.labels.shape == b.token_type_ids.shape
+    assert b.input_ids.shape[0] == 4
+    assert b.input_ids.shape[1] % 32 == 0
+    assert b.valid.tolist() == [True, True, True, False]
+    # pad fill semantics (custom_dataset.py:120-122)
+    row = b.input_ids[0]
+    n_real = int(b.attention_mask[0].sum())
+    assert (row[n_real:] == st.eos_id).all()
+    assert (b.labels[0][n_real:] == IGNORE_INDEX).all()
+
+
+def test_batches_iterator(tmp_path, st):
+    ds = _dataset(tmp_path, st, num_dialogues=3, turns_per_dialogue=4)
+    out = list(batches(ds, batch_size=5, eos_id=st.eos_id, shuffle=True, seed=0))
+    assert sum(int(b.valid.sum()) for b in out) == len(ds)
+    for b in out:
+        assert b.input_ids.shape[0] == 5
+
+
+def test_write_synthetic_dataset_two_splits(tmp_path):
+    st = write_synthetic_dataset(str(tmp_path), prefixes=("train", "valid"),
+                                 num_dialogues=2, turns_per_dialogue=3)
+    for prefix in ("train", "valid"):
+        ds = DialogueDataset(prefix, str(tmp_path), sp1_id=st.sp1_id,
+                             sp2_id=st.sp2_id, eos_id=st.eos_id)
+        assert len(ds) == 6
+
+
+def test_limit_matches_reference_debug_slice(tmp_path, st):
+    ds_full = _dataset(tmp_path, st, num_dialogues=3, turns_per_dialogue=4)
+    ds_lim = DialogueDataset("train", str(tmp_path.as_posix()), sp1_id=st.sp1_id,
+                             sp2_id=st.sp2_id, eos_id=st.eos_id, limit=1)
+    assert len(ds_lim) == 4 and len(ds_full) == 12

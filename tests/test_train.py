@@ -1,0 +1,124 @@
+"""End-to-end training tests on the synthetic fixture: loss decreases,
+best-PPL checkpointing + resume, schedule parity, SPMD batch sharding on
+the 8-device virtual mesh."""
+
+import math
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ergm_tpu.core.config import ModelConfig, TrainConfig
+from ergm_tpu.data.synthetic import write_synthetic_dataset
+from ergm_tpu.train.schedule import polynomial_warmup_schedule
+
+
+def small_mcfg(vocab):
+    return ModelConfig(
+        vocab_size=vocab, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        use_cross_attention=False, dtype="float32",
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    write_synthetic_dataset(str(d), prefixes=("train", "valid"),
+                            num_dialogues=6, turns_per_dialogue=4,
+                            base_vocab_size=128)
+    return str(d)
+
+
+def make_trainer(data_dir, tmp_path, **overrides):
+    from ergm_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(
+        data_dir=data_dir, ckpt_dir=os.path.join(str(tmp_path), "ckpt"),
+        output_dir=os.path.join(str(tmp_path), "out"),
+        batch_size=4, num_epochs=2, lr=1e-3, max_len=64, seed=0,
+        dtype="float32", warmup_ratio=0.1, valid_prefix="valid",
+        mesh_shape=(1,),
+    )
+    cfg = cfg.replace(**overrides)
+    from ergm_tpu.data.assembly import read_meta
+
+    st = read_meta(data_dir)
+    return Trainer(cfg, model_config=small_mcfg(st.vocab_size))
+
+
+def test_training_reduces_loss_and_checkpoints(data_dir, tmp_path):
+    tr = make_trainer(data_dir, tmp_path, num_epochs=3)
+    first_loss, first_ppl, _ = None, None, None
+
+    # capture first-epoch metrics by running one manual epoch equivalent:
+    v0 = tr.validation()
+    best = tr.train()
+    v1 = tr.validation()
+    assert math.isfinite(best)
+    assert v1[1] < v0[1], f"valid ppl should improve: {v0[1]} -> {v1[1]}"
+    # a best checkpoint exists
+    names = os.listdir(tr.cfg.ckpt_dir)
+    assert any(n.startswith("best_ckpt_epoch=") for n in names)
+
+
+def test_resume_restores_state(data_dir, tmp_path):
+    tr = make_trainer(data_dir, tmp_path, num_epochs=1)
+    tr.train()
+    saved_step = int(tr.state.step)
+    assert saved_step > 0
+
+    tr2 = make_trainer(data_dir, tmp_path, num_epochs=1, ckpt_name="best")
+    assert int(tr2.state.step) == saved_step
+    assert tr2.best_ppl == pytest.approx(tr.best_ppl)
+    assert tr2.last_epoch == tr.last_epoch
+    # resumed params identical
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tr.state.params, tr2.state.params)
+
+
+def test_schedule_matches_reference_shape():
+    """Warmup ramp + power-2 decay to lr_end (src/main.py:93-95)."""
+    s = polynomial_warmup_schedule(1e-3, warmup_steps=10, total_steps=110, power=2.0)
+    assert float(s(0)) == 0.0
+    assert float(s(5)) == pytest.approx(5e-4)
+    assert float(s(10)) == pytest.approx(1e-3)
+    mid = float(s(60))  # halfway through decay: (1-0.5)^2 = 0.25 of range
+    assert mid == pytest.approx(1e-7 + (1e-3 - 1e-7) * 0.25, rel=1e-5)
+    assert float(s(110)) == pytest.approx(1e-7)
+    assert float(s(200)) == pytest.approx(1e-7)
+
+
+def test_schedule_matches_hf_torch():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.AdamW(m.parameters(), lr=1e-3)
+    sched = transformers.get_polynomial_decay_schedule_with_warmup(
+        opt, num_warmup_steps=7, num_training_steps=53, power=2)
+    ours = polynomial_warmup_schedule(1e-3, 7, 53, power=2.0)
+    for step in range(0, 60, 3):
+        hf_lr = sched.lr_lambdas[0](step) * 1e-3
+        np.testing.assert_allclose(float(ours(step)), hf_lr, rtol=1e-5,
+                                   err_msg=f"step {step}")
+
+
+def test_data_parallel_8dev_mesh(data_dir, tmp_path):
+    """Train step over an 8-device mesh: batch sharded on the data axis,
+    params replicated, metrics finite."""
+    assert jax.device_count() == 8
+    tr = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=8,
+                      mesh_shape=(8,))
+    from ergm_tpu.data.dataset import batches
+    from ergm_tpu.train.steps import batch_to_device
+
+    batch = next(batches(tr.train_set, 8, tr.st.eos_id, max_len=64))
+    dev_batch = batch_to_device(batch, tr.mesh)
+    assert len(dev_batch["input_ids"].sharding.device_set) == 8
+    state, metrics = tr.train_step(tr.state, dev_batch, tr.rng)
+    assert np.isfinite(float(metrics["loss"]))
+    # params remain replicated after the update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
