@@ -1,0 +1,114 @@
+"""Benchmark: tri-modal utterance generation throughput on one chip.
+
+Headline metric (BASELINE.json): utterances/sec/chip for tri-modal
+(text + image-feature + audio-feature conditioned) response generation
+with KV-cached top-p decode on the flagship GPT-2 geometry.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (SURVEY.md §6), so vs_baseline is the
+ratio against this repo's own first recorded TPU run, persisted in
+bench_baseline.json (created on first run, value 1.0 then).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
+
+# bench configuration: flagship gpt2 geometry, realistic dialogue shapes
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
+PROMPT_LEN = int(os.environ.get("BENCH_PROMPT", 128))
+NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", 128))
+MODEL_TYPE = os.environ.get("BENCH_MODEL", "gpt2")
+REPS = int(os.environ.get("BENCH_REPS", 3))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.infer.generate import generate
+    from ergm_tpu.models import gpt2
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({jax.default_backend()})", file=sys.stderr)
+
+    cfg = ModelConfig.from_model_type(
+        MODEL_TYPE, vocab_size=50271, dtype="bfloat16", modality_dim=768)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 50000, (BATCH, PROMPT_LEN)), jnp.int32)
+    tts = jnp.asarray(rng.integers(0, 50000, (BATCH, PROMPT_LEN)), jnp.int32)
+    imgs = jnp.asarray(rng.standard_normal((BATCH, 768)), jnp.bfloat16)
+    auds = jnp.asarray(rng.standard_normal((BATCH, 768)), jnp.bfloat16)
+    caps = jnp.asarray(rng.integers(0, 50000, (BATCH, 32)), jnp.int32)
+
+    total = PROMPT_LEN + NEW_TOKENS
+    eos_id = 50256
+
+    @jax.jit
+    def run(params, ids, tts, imgs, auds, caps, key):
+        # eos unused as a real stop so all NEW_TOKENS decode (worst case)
+        return generate(
+            params, cfg, ids, PROMPT_LEN, max_len=total, eos_id=eos_id,
+            sp2_id=50258, top_p=0.8, rng=key, token_type_ids=tts,
+            imgs=imgs, auds=auds, caption_ids=caps)
+
+    # compile + warmup. NOTE: block_until_ready is unreliable through the
+    # axon tunnel — a host fetch (np.asarray) is the completion barrier.
+    t0 = time.time()
+    out = run(params, ids, tts, imgs, auds, caps, jax.random.PRNGKey(0))
+    np.asarray(out.lengths)
+    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(REPS):
+        t0 = time.time()
+        out = run(params, ids, tts, imgs, auds, caps, jax.random.PRNGKey(i + 1))
+        lengths = np.asarray(out.lengths)  # forces completion
+        times.append(time.time() - t0)
+    best = min(times)
+    gen_tokens = int(lengths.sum()) - BATCH * PROMPT_LEN
+
+    utt_per_sec = BATCH / best
+    tok_per_sec = gen_tokens / best
+    print(f"times: {[f'{t:.3f}' for t in times]}; generated {gen_tokens} tokens; "
+          f"{tok_per_sec:.0f} tok/s decode", file=sys.stderr)
+
+    vs_baseline = 1.0
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = utt_per_sec / float(base["value"])
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"metric": "trimodal_generate_utterances_per_sec_per_chip",
+                       "value": utt_per_sec,
+                       "device": dev.device_kind,
+                       "config": {"batch": BATCH, "prompt": PROMPT_LEN,
+                                  "new_tokens": NEW_TOKENS, "model": MODEL_TYPE}},
+                      f, indent=1)
+
+    print(json.dumps({
+        "metric": "trimodal_generate_utterances_per_sec_per_chip",
+        "value": round(utt_per_sec, 3),
+        "unit": f"utt/s/chip (B={BATCH}, prompt={PROMPT_LEN}, new={NEW_TOKENS}, {MODEL_TYPE})",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -83,18 +83,25 @@ def param_partition_spec(path: Tuple[str, ...]) -> P:
 
     Returns ``P()`` (replicated) for anything unrecognized — correctness
     never depends on a rule firing.
+
+    Block params are stacked over the layer axis (leading L dim from the
+    lax.scan layer stack), so their specs get a leading None.
     """
     name = "/".join(str(p) for p in path)
-    # kernels
-    if name.endswith("c_attn/kernel") or name.endswith("q_attn/kernel"):
-        return P(None, MODEL_AXIS)
-    if name.endswith("c_fc/kernel"):
-        return P(None, MODEL_AXIS)
+    stacked = name.startswith("blocks")
+
+    def spec(*entries) -> P:
+        return P(None, *entries) if stacked else P(*entries)
+
+    # column-parallel kernels: shard output features
+    if name.endswith(("c_attn/kernel", "q_attn/kernel", "c_fc/kernel")):
+        return spec(None, MODEL_AXIS)
+    # row-parallel kernels: shard input features (XLA inserts the psum)
     if name.endswith("c_proj/kernel"):
-        return P(MODEL_AXIS, None)
+        return spec(MODEL_AXIS, None)
     # column-parallel biases follow the sharded output dim
-    if name.endswith("c_attn/bias") or name.endswith("q_attn/bias") or name.endswith("c_fc/bias"):
-        return P(MODEL_AXIS)
+    if name.endswith(("c_attn/bias", "q_attn/bias", "c_fc/bias")):
+        return spec(MODEL_AXIS)
     if name.endswith("wte/embedding") or name.endswith("lm_head/kernel"):
         return P(None, None)  # tied vocab table: replicate (vocab matmul is DP-bound here)
     return P()

@@ -35,7 +35,12 @@ from ergm_tpu.models import gpt2
 def top_p_filter(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """Exact reference semantics (src/main.py:261-267): keep the smallest
     prefix of descending-sorted tokens whose cumulative probability
-    exceeds top_p, always keeping the first; zero the rest; renormalize."""
+    exceeds top_p, always keeping the first; zero the rest; renormalize.
+
+    Full-vocab sort + scatter — the parity/oracle form. The decode loop
+    uses ``sample_top_p`` (top-k in sorted space) instead: a full 50k
+    sort + scatter per generated token is the single slowest op on TPU.
+    """
     sorted_idx = jnp.argsort(probs, axis=-1)[..., ::-1]
     sorted_probs = jnp.take_along_axis(probs, sorted_idx, axis=-1)
     cumsum = jnp.cumsum(sorted_probs, axis=-1)
@@ -48,6 +53,30 @@ def top_p_filter(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
     # scatter back to vocab order (src/main.py:269)
     b_idx = jnp.arange(probs.shape[0])[:, None]
     return jnp.zeros_like(probs).at[b_idx, sorted_idx].set(kept)
+
+
+def sample_top_p(logits: jnp.ndarray, key, top_p: float,
+                 top_k: int = 1024) -> jnp.ndarray:
+    """Sample from the top-p nucleus without a full-vocab sort.
+
+    ``lax.top_k`` restricts to the k most probable tokens; the nucleus
+    cutoff (identical math to src/main.py:261-267) is applied in sorted
+    space and the sampled index gathered back — no 50k scatter. Whenever
+    the top-k prefix holds at least ``top_p`` probability mass (always,
+    in practice, for trained-LM distributions with k=1024), the kept set
+    equals the reference's exactly; if not, the filter conservatively
+    keeps all k (mass shortfall <= 1 - cumsum[k-1]).
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    k = min(top_k, probs.shape[-1])
+    vals, idx = jax.lax.top_k(probs, k)  # descending
+    cumsum = jnp.cumsum(vals, axis=-1)
+    remove = cumsum > top_p
+    remove = jnp.concatenate(
+        [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+    kept = jnp.where(remove, 0.0, vals)
+    choice = jax.random.categorical(key, jnp.log(jnp.maximum(kept, 1e-20)), axis=-1)
+    return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
 
 
 class GenState(NamedTuple):
@@ -84,6 +113,7 @@ def generate(
     caption_ids: Optional[jnp.ndarray] = None,
     greedy: bool = False,
     logical_cap: Optional[int] = None,
+    sample_top_k: int = 1024,  # 0 => exact full-sort nucleus (parity mode)
 ) -> GenerateOutput:
     """Uniform mode: pass ``input_len`` (all rows share a true length).
     Batched mode: pass left-aligned-pad ``prompt_mask`` (pads at the left,
@@ -128,6 +158,8 @@ def generate(
     def sample(logits, key):
         if greedy:
             return jnp.argmax(logits, axis=-1)
+        if sample_top_k:
+            return sample_top_p(logits, key, top_p, top_k=sample_top_k)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         filtered = top_p_filter(probs, top_p)
         return jax.random.categorical(key, jnp.log(jnp.maximum(filtered, 1e-20)), axis=-1)
@@ -202,6 +234,7 @@ def generate_batch(
     greedy: bool = False,
     prompt_bucket: int = 64,
     max_new_tokens: Optional[int] = None,
+    sample_top_k: int = 1024,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
 
@@ -232,6 +265,7 @@ def generate_batch(
         max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
         rng=rng, imgs=None if imgs is None else jnp.asarray(imgs),
         auds=None if auds is None else jnp.asarray(auds), greedy=greedy,
+        sample_top_k=sample_top_k,
     )
     tokens = np.asarray(out.tokens)
     lengths = np.asarray(out.lengths)

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ergm_tpu.core.config import ModelConfig
-from ergm_tpu.ops.attention import attention_bias_from_mask, multihead_attention
+from ergm_tpu.ops.attention import multihead_attention
 
 Params = Dict[str, Any]
 
@@ -233,11 +233,13 @@ class ModelOutput(NamedTuple):
     cache: Optional[KVCache] = None
 
 
-def _self_attention(h, p, li, *, config, bias, cache_slice, cache_index,
+def _self_attention(h, p, li, *, config, attn_mask, cache_slice, cache_index,
                     deterministic, rng):
     """Self-attention sublayer. Returns (out, (new_k, new_v)) where the new
-    K/V cover this call's tokens (for cache update)."""
+    K/V cover this call's tokens (for cache update). ``attn_mask`` is a
+    raw [B, Lk] 0/1 key mask (Lk = cache width when caching)."""
     c = config
+    L = h.shape[1]
     qkv = dense(h, p["c_attn"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = _split_heads(q, c.n_head)
@@ -254,19 +256,21 @@ def _self_attention(h, p, li, *, config, bias, cache_slice, cache_index,
         k_all = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
         v_all = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
         T = k_all.shape[-2]
-        # Mask unwritten cache tail; causal_offset shifts query positions.
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
-        valid = kpos < (cache_index + q.shape[-2])
-        tail_bias = jnp.where(valid, 0.0, -1e9)
-        full_bias = tail_bias if bias is None else bias + tail_bias
+        # Mask the unwritten cache tail; combined with any caller key mask.
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        tail = (kpos < (cache_index + L)).astype(jnp.float32)
+        kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
         out = multihead_attention(
-            q, k_all, v_all, causal=True, bias=full_bias, scale=scale,
-            causal_offset=cache_index, impl=c.attention_impl,
+            q, k_all, v_all, causal=True, kv_mask=kv_mask,
+            q_mask=None if attn_mask is None else attn_mask[:, :L],
+            scale=scale, causal_offset=cache_index, impl=c.attention_impl,
         )
         new_kv = (k_all, v_all)
     else:
+        kv_mask = None if attn_mask is None else attn_mask[:, :L]
         out = multihead_attention(
-            q, k, v, causal=True, bias=bias, scale=scale, impl=c.attention_impl,
+            q, k, v, causal=True, kv_mask=kv_mask, q_mask=kv_mask,
+            scale=scale, impl=c.attention_impl,
             dropout_rate=c.attn_pdrop, deterministic=deterministic,
             rng=None if rng is None else jax.random.fold_in(rng, 1),
         )
@@ -278,10 +282,11 @@ def _self_attention(h, p, li, *, config, bias, cache_slice, cache_index,
     return out, new_kv
 
 
-def _cross_attention(h, enc, p, li, *, config, enc_bias, cached_kv,
+def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
                      deterministic, rng):
     """Cross-attention: Q from hidden states, K/V from encoder states via a
-    shared c_attn (reference: src/model.py:211-226). Non-causal."""
+    shared c_attn (reference: src/model.py:211-226). Non-causal;
+    ``enc_mask`` is the raw [B, Lc] caption mask."""
     c = config
     q = _split_heads(dense(h, p["q_attn"]), c.n_head)
     if cached_kv is not None:
@@ -295,7 +300,7 @@ def _cross_attention(h, enc, p, li, *, config, enc_bias, cached_kv,
     if c.scale_attn_by_inverse_layer_idx:
         scale = scale / (li + 1.0)
     out = multihead_attention(
-        q, k, v, causal=False, bias=enc_bias, scale=scale, impl=c.attention_impl,
+        q, k, v, causal=False, kv_mask=enc_mask, scale=scale, impl=c.attention_impl,
         dropout_rate=c.attn_pdrop, deterministic=deterministic,
         rng=None if rng is None else jax.random.fold_in(rng, 3),
     )
@@ -387,13 +392,7 @@ def transformer(
     h = _dropout(h, c.embd_pdrop, deterministic,
                  None if rng is None else jax.random.fold_in(rng, 0))
 
-    attention_bias = None
-    if attention_mask is not None:
-        attention_bias = attention_bias_from_mask(attention_mask)
-    enc_bias = None
-    if use_cross and encoder_attention_mask is not None:
-        enc_bias = attention_bias_from_mask(encoder_attention_mask)
-
+    enc_mask = encoder_attention_mask if use_cross else None
     enc = encoder_hidden_states
     decode = cache is not None
 
@@ -409,7 +408,7 @@ def transformer(
         # self-attention (pre-LN residual, src/model.py:297-309)
         attn_in = layer_norm(h, p["ln_1"], c.layer_norm_epsilon)
         attn_out, new_kv = _self_attention(
-            attn_in, p["attn"], li, config=c, bias=attention_bias,
+            attn_in, p["attn"], li, config=c, attn_mask=attention_mask,
             cache_slice=(k_slice, v_slice) if decode else None,
             cache_index=past_len if decode else 0,
             deterministic=deterministic, rng=layer_rng,
@@ -421,7 +420,7 @@ def transformer(
         if use_cross:
             ca_in = layer_norm(h, p["ln_cross"], c.layer_norm_epsilon)
             ca_out, new_ckv = _cross_attention(
-                ca_in, enc, p["cross_attn"], li, config=c, enc_bias=enc_bias,
+                ca_in, enc, p["cross_attn"], li, config=c, enc_mask=enc_mask,
                 cached_kv=ckv, deterministic=deterministic, rng=layer_rng,
             )
             h = h + ca_out

@@ -4,22 +4,23 @@ The reference computes attention eagerly with a materialized L×L causal
 mask buffer per layer (reference: src/model.py:68-74, 119-148). Here the
 math is identical but expressed once, with two backends:
 
-- ``xla``: plain einsum attention. XLA already fuses the softmax chain;
-  this is also the CPU/test path.
+- ``xla``: plain einsum attention with additive-bias masking. XLA fuses
+  the softmax chain; this is also the CPU/test path and the
+  single-token decode path.
 - ``pallas``: blockwise flash attention (ergm_tpu/ops/flash_attention.py)
   that never materializes the L×L matrix — memory-linear in sequence
-  length, targeting the TPU MXU.
+  length, targeting the TPU MXU. Padding masks ride as segment ids.
 
 Semantics preserved from the reference:
 - 1/sqrt(head_dim) scaling gated by ``scale_attn_weights``
   (src/model.py:122-125),
-- optional 1/(layer_idx+1) scaling (src/model.py:127-128),
-- causal masking with dtype-min fill (src/model.py:130-135),
-- additive attention bias support for padding / encoder masks
-  (src/model.py:137-138, 478-491),
+- optional 1/(layer_idx+1) scaling (src/model.py:127-128) — folded into
+  q on the flash path since kernel scales must be static,
+- causal masking with large-negative fill (src/model.py:130-135),
+- 0/1 key masks for padding / encoder masks (src/model.py:137-138,
+  478-491),
 - softmax in fp32 regardless of compute dtype (the reference's
-  ``reorder_and_upcast_attn`` made this optional; on TPU we always
-  upcast the softmax — it is free relative to the MXU matmuls).
+  ``reorder_and_upcast_attn`` made this optional; here it is always on).
 """
 
 from __future__ import annotations
@@ -89,7 +90,9 @@ def multihead_attention(
     v: jnp.ndarray,
     *,
     causal: bool,
-    bias: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, Lk] 1=real key
+    q_mask: Optional[jnp.ndarray] = None,   # [B, Lq] 1=real query (flash seg ids)
+    extra_bias: Optional[jnp.ndarray] = None,  # additive, XLA path only
     scale: Optional[float] = None,
     causal_offset: int = 0,
     impl: str = "auto",
@@ -99,19 +102,29 @@ def multihead_attention(
 ) -> jnp.ndarray:
     """Dispatch to the flash kernel on TPU, XLA math elsewhere.
 
-    The flash path skips attention-probability dropout (blockwise kernels
-    and prob-dropout don't compose cheaply); it is only used when dropout
-    is inactive, so training with attn_pdrop > 0 stays exact on XLA.
+    The flash path handles masking via segment ids and skips
+    attention-prob dropout; with dropout active or an ``extra_bias``
+    given, the XLA path (numerically identical masking via additive
+    bias) is used.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     dropout_active = (not deterministic) and dropout_rate > 0.0 and rng is not None
-    if impl == "pallas" and not dropout_active:
+    if impl == "pallas" and extra_bias is None:
         from ergm_tpu.ops.flash_attention import flash_attention_supported, flash_mha
 
-        if flash_attention_supported(q, k, v, causal=causal, causal_offset=causal_offset):
-            return flash_mha(q, k, v, causal=causal, bias=bias, scale=scale,
-                             causal_offset=causal_offset)
+        if flash_attention_supported(q, k, v, causal=causal,
+                                     causal_offset=causal_offset,
+                                     dropout_active=dropout_active):
+            if scale is not None and not isinstance(scale, (int, float)):
+                # traced scale (per-layer scaling under scan): fold into q
+                q = q * scale
+                scale = 1.0
+            return flash_mha(q, k, v, causal=causal, scale=scale,
+                             q_mask=q_mask, kv_mask=kv_mask)
+    bias = attention_bias_from_mask(kv_mask) if kv_mask is not None else None
+    if extra_bias is not None:
+        bias = extra_bias if bias is None else bias + extra_bias
     return xla_attention(
         q, k, v, causal=causal, bias=bias, scale=scale, causal_offset=causal_offset,
         dropout_rate=dropout_rate, deterministic=deterministic, rng=rng,

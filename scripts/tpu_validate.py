@@ -1,0 +1,105 @@
+"""On-TPU validation: flash-attention backend vs XLA reference math.
+
+Run manually on a machine with a TPU attached (the CI test suite runs on
+CPU where the Pallas TPU kernels can't execute):
+
+    python scripts/tpu_validate.py
+
+Checks, at training shapes (L=512, bf16):
+- forward parity: flash vs XLA path, causal self-attention
+- masked parity: segment-id masking vs additive-bias masking
+- gradient parity through the custom VJP
+- full-model forward: attention_impl='pallas' vs 'xla'
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9))
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend")
+        return 0
+    from ergm_tpu.ops.attention import multihead_attention
+
+    B, H, L, D = 2, 8, 512, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.bfloat16)
+    mask = jnp.asarray((rng.random((B, L)) > 0.2), jnp.float32)
+
+    ok = True
+
+    def check(name, a, b, tol):
+        nonlocal ok
+        e = rel_err(a, b)
+        status = "OK " if e < tol else "FAIL"
+        if e >= tol:
+            ok = False
+        print(f"{status} {name}: rel_err={e:.2e} (tol {tol})")
+
+    fl = jax.jit(lambda q, k, v: multihead_attention(q, k, v, causal=True, impl="pallas"))
+    xl = jax.jit(lambda q, k, v: multihead_attention(q, k, v, causal=True, impl="xla"))
+    check("causal forward", fl(q, k, v), xl(q, k, v), 2e-2)
+
+    flm = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=True, kv_mask=m, q_mask=m, impl="pallas"))
+    xlm = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=True, kv_mask=m, impl="xla"))
+    a, b = flm(q, k, v, mask), xlm(q, k, v, mask)
+    # compare only real rows (masked q rows are garbage on both paths but differ)
+    sel = np.asarray(mask, bool)
+    check("masked forward (real rows)",
+          np.asarray(a, np.float32).transpose(0, 2, 1, 3)[sel],
+          np.asarray(b, np.float32).transpose(0, 2, 1, 3)[sel], 2e-2)
+
+    # non-causal (cross-attention shape)
+    flx = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=False, kv_mask=m, impl="pallas"))
+    xlx = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=False, kv_mask=m, impl="xla"))
+    check("non-causal masked forward", flx(q, k, v, mask), xlx(q, k, v, mask), 2e-2)
+
+    def loss_fl(q, k, v):
+        return jnp.sum(multihead_attention(q, k, v, causal=True, impl="pallas")
+                       .astype(jnp.float32) ** 2)
+
+    def loss_xl(q, k, v):
+        return jnp.sum(multihead_attention(q, k, v, causal=True, impl="xla")
+                       .astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_fl, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.jit(jax.grad(loss_xl, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        check(f"grad {name}", a, b, 5e-2)
+
+    # full model forward, flash vs xla
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.models import gpt2
+
+    cfg_x = ModelConfig(vocab_size=1024, n_positions=512, n_embd=256, n_layer=2,
+                        n_head=4, dtype="bfloat16", attention_impl="xla",
+                        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    cfg_p = cfg_x.replace(attention_impl="pallas")
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg_x)
+    ids = jnp.asarray(rng.integers(0, 1024, (2, 512)), jnp.int32)
+    lx = jax.jit(lambda p, i: gpt2.forward(p, cfg_x, i).logits)(params, ids)
+    lp = jax.jit(lambda p, i: gpt2.forward(p, cfg_p, i).logits)(params, ids)
+    check("full model logits", lp, lx, 2e-2)
+
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,6 +49,24 @@ def test_top_p_filter_matches_reference(top_p):
     np.testing.assert_allclose(ours.sum(-1), 1.0, atol=1e-5)
 
 
+def test_sample_top_p_stays_in_exact_nucleus():
+    """The fast top-k sampler must only emit tokens the exact reference
+    filter (src/main.py:261-267) would keep."""
+    from ergm_tpu.infer.generate import sample_top_p
+
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((2, 64)).astype(np.float32) * 4  # peaked
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    allowed = reference_top_p(probs.copy(), 0.8) > 0
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    samples = jax.vmap(lambda k: sample_top_p(jnp.asarray(logits), k, 0.8, top_k=16))(keys)
+    samples = np.asarray(samples)  # [64, 2]
+    for b in range(2):
+        assert all(allowed[b, s] for s in samples[:, b])
+
+
 def test_top_p_mass_bound():
     rng = np.random.default_rng(1)
     probs = rng.dirichlet(np.ones(30), size=3).astype(np.float32)
