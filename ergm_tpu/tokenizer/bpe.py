@@ -60,6 +60,7 @@ class BPETokenizer:
         vocab: Dict[str, int],
         merges: Sequence[Tuple[str, str]],
         special_tokens: Optional[Iterable[str]] = None,
+        use_native: bool = True,
     ):
         self.vocab = dict(vocab)
         self.id_to_token = {i: t for t, i in self.vocab.items()}
@@ -67,6 +68,15 @@ class BPETokenizer:
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = unicode_to_bytes()
         self._bpe_cache: Dict[str, Tuple[str, ...]] = {}
+        self._id_cache: Dict[str, list] = {}
+        # C++ merge kernel (cpp/bpe_core.cpp) for the corpus-encode hot
+        # path; transparently absent when the library can't be built.
+        self._native = None
+        if use_native:
+            from ergm_tpu.tokenizer.native import NativeBPE
+
+            nat = NativeBPE(self.vocab, merges)
+            self._native = nat if nat.available else None
         self.special_tokens: Dict[str, int] = {}
         if special_tokens:
             self.add_special_tokens(special_tokens)
@@ -126,17 +136,36 @@ class BPETokenizer:
         self._bpe_cache[token] = word
         return word
 
+    def _word_ids_python(self, mapped: str) -> List[int]:
+        word_ids: List[int] = []
+        for piece in self._bpe(mapped):
+            if piece in self.vocab:
+                word_ids.append(self.vocab[piece])
+            else:
+                # unseen piece (possible with trained tiny vocabs):
+                # fall back to per-character byte tokens
+                word_ids.extend(self.vocab[ch] for ch in piece if ch in self.vocab)
+        return word_ids
+
     def _encode_ordinary(self, text: str) -> List[int]:
+        tokens = _PRETOKEN_RE.findall(text)
+        cache = self._id_cache  # keyed by raw pre-token
+        misses = [t for t in tokens if t not in cache]
+        if misses:
+            uniq = list(dict.fromkeys(misses))
+            if self._native is not None and self._native.has_byte_table:
+                # raw-bytes batch: mapping + merges run in the C++ kernel
+                for t, word_ids in zip(
+                        uniq, self._native.encode_word_bytes(
+                            [u.encode("utf-8") for u in uniq])):
+                    cache[t] = word_ids
+            else:
+                for t in uniq:
+                    mapped = "".join(self.byte_encoder[b] for b in t.encode("utf-8"))
+                    cache[t] = self._word_ids_python(mapped)
         ids: List[int] = []
-        for tok in _PRETOKEN_RE.findall(text):
-            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for piece in self._bpe(mapped):
-                if piece in self.vocab:
-                    ids.append(self.vocab[piece])
-                else:
-                    # unseen piece (possible with trained tiny vocabs):
-                    # fall back to per-character byte tokens
-                    ids.extend(self.vocab[ch] for ch in piece if ch in self.vocab)
+        for t in tokens:
+            ids.extend(cache[t])
         return ids
 
     def encode(self, text: str) -> List[int]:
