@@ -59,6 +59,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--tokenizer_dir", type=str, default=None,
                    help="Dir with GPT-2 vocab.json/merges.txt for text decode.")
+    p.add_argument("--init_params", type=str, default=None,
+                   help="Orbax params dir to initialize from "
+                        "(see ergm_tpu.cli.convert_ckpt).")
     p.add_argument("--prompt_mode", type=str, default="reference",
                    choices=["reference", "history"],
                    help="Infer prompts: 'reference' replicates src/main.py:316 "
@@ -86,7 +89,7 @@ def args_to_config(args) -> TrainConfig:
         ckpt_dir=args.ckpt_dir, output_dir=args.output_dir,
         ckpt_name=args.ckpt_name, mesh_shape=mesh_shape,
         mesh_axis_names=mesh_axes, dtype=args.dtype, remat=args.remat,
-        tokenizer_dir=args.tokenizer_dir,
+        tokenizer_dir=args.tokenizer_dir, init_params=args.init_params,
     )
 
 

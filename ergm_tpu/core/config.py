@@ -145,6 +145,7 @@ class TrainConfig:
     dtype: str = "bfloat16"
     remat: bool = False
     tokenizer_dir: Optional[str] = None  # dir with vocab.json/merges.txt
+    init_params: Optional[str] = None  # orbax params dir (e.g. converted HF/torch)
     log_every: int = 50
 
     def replace(self, **kw) -> "TrainConfig":

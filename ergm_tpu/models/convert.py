@@ -44,6 +44,17 @@ def _strip_prefix(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
+def infer_geometry(state_dict: Mapping[str, Any]) -> Dict[str, int]:
+    """(n_layer, n_embd, n_positions, vocab_size) from a GPT-2 state dict.
+    n_head is not recoverable from weights and must come from config."""
+    sd = _strip_prefix(state_dict)
+    n_layer = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("h."))
+    vocab, n_embd = sd["wte.weight"].shape
+    n_positions = sd["wpe.weight"].shape[0]
+    return {"n_layer": n_layer, "n_embd": n_embd,
+            "n_positions": n_positions, "vocab_size": vocab}
+
+
 def hf_to_params(
     state_dict: Mapping[str, Any],
     config: ModelConfig,

@@ -48,17 +48,9 @@ def load_wav(path: str) -> tuple:
 
 
 def _load_torch_state(model_dir: str):
-    safepath = os.path.join(model_dir, "model.safetensors")
-    binpath = os.path.join(model_dir, "pytorch_model.bin")
-    if os.path.exists(safepath):
-        from safetensors.torch import load_file
+    from ergm_tpu.utils.torch_io import load_torch_state
 
-        return load_file(safepath)
-    if os.path.exists(binpath):
-        import torch
-
-        return torch.load(binpath, map_location="cpu", weights_only=True)
-    raise FileNotFoundError(f"no model weights under {model_dir}")
+    return load_torch_state(model_dir)
 
 
 def build_audio_extractor(wav2vec2_dir: Optional[str]):

@@ -57,14 +57,33 @@ def restore_checkpoint(path: str, template_state: TrainState) -> Dict[str, Any]:
 
 def restore_params(path: str, template_params) -> Any:
     """Params-only restore (inference path, src/main.py:111-119): restore
-    the raw tree and coerce just the params subtree onto the template."""
+    the raw tree and coerce the params subtree onto the template.
+
+    Missing subtrees keep their template values — the reference's
+    ``strict=False`` load that tolerates e.g. a checkpoint without the
+    modality projections or emotion head (src/main.py:103)."""
     import jax.numpy as jnp
 
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(os.path.abspath(path))
-    return jax.tree_util.tree_map(
-        lambda t, r: jnp.asarray(r, dtype=t.dtype),
-        template_params, restored["params"])
+    source = restored["params"] if "params" in restored else restored
+
+    def merge(template, rest):
+        if isinstance(template, dict):
+            if not isinstance(rest, dict):
+                return template
+            return {k: merge(v, rest[k]) if k in rest else v
+                    for k, v in template.items()}
+        if isinstance(template, (list, tuple)):
+            if not isinstance(rest, (list, tuple)) or len(rest) != len(template):
+                return template
+            out = [merge(t, r) for t, r in zip(template, rest)]
+            return type(template)(out)
+        if rest is None:
+            return template
+        return jnp.asarray(rest, dtype=template.dtype)
+
+    return merge(template_params, source)
 
 
 def find_checkpoint(ckpt_dir: str, name: Optional[str] = None) -> Optional[str]:

@@ -71,6 +71,11 @@ class Trainer:
 
         if params is None:
             params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), self.mcfg)
+            if cfg.init_params:
+                # converted HF/torch starting point (cli/convert_ckpt.py),
+                # the from_pretrained role of src/main.py:62
+                print(f"Initializing params from {cfg.init_params}")
+                params = ckpt_lib.restore_params(cfg.init_params, params)
         params = shard_params(params, self.mesh) if "model" in self.mesh.axis_names \
             else jax.device_put(params, replicated(self.mesh))
         self.state = create_train_state(params, self.tx)
