@@ -501,11 +501,17 @@ def forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
+    seq_lengths: Optional[jnp.ndarray] = None,
 ) -> ModelOutput:
     """GPT2LMHeadModel.forward equivalent (reference: src/model.py:654-737).
 
     ``labels`` use -100 as the ignore index; loss is the joint LM + emotion
     CE when both label kinds are given (src/model.py:704-713).
+
+    ``seq_lengths`` [B]: when given, the emotion head reads each row's
+    LAST REAL token (position len-1) instead of the literal final
+    position (src/model.py:700 reads hidden[:, -1], which under padded
+    batches is an eos pad — SURVEY.md §3.3; pass None for strict parity).
     """
     c = config
     hidden, new_cache = transformer(
@@ -522,7 +528,12 @@ def forward(
     logits = jnp.einsum("bld,vd->blv", hidden, wte.astype(hidden.dtype),
                         preferred_element_type=jnp.float32, precision="highest")
     # emotion head on the final hidden state (src/model.py:700-701)
-    emotion_logits = jnp.dot(hidden[:, -1, :],
+    if seq_lengths is not None:
+        idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, hidden.shape[1] - 1)
+        last_hidden = jnp.take_along_axis(hidden, idx[:, None, None], axis=1)[:, 0]
+    else:
+        last_hidden = hidden[:, -1, :]
+    emotion_logits = jnp.dot(last_hidden,
                              params["emotion_head"]["kernel"].astype(hidden.dtype),
                              preferred_element_type=jnp.float32, precision="highest")
 

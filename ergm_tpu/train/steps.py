@@ -49,6 +49,8 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
         caption_ids=batch.get("caption_ids"),
         labels=labels,
         deterministic=deterministic, rng=rng,
+        # bucket-padded batches: emotion head reads the last real token
+        seq_lengths=batch.get("seq_lengths"),
     )
     lm_loss = out.lm_loss
     # emotion CE with fill rows masked (reference loss: src/model.py:710-711)
@@ -107,6 +109,7 @@ def batch_to_device(batch, mesh=None, include_modalities: bool = True) -> Dict[s
         "labels": batch.labels,
         "emotion_labels": batch.emotion_labels,
         "valid": batch.valid,
+        "seq_lengths": batch.attention_mask.sum(axis=-1).astype("int32"),
     }
     if include_modalities:
         arrays["imgs"] = batch.imgs

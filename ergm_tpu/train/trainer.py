@@ -131,6 +131,22 @@ class Trainer:
         acc = 100.0 * correct / max(total, 1)
         return avg_loss, ppl, acc
 
+    def _batches(self, dataset, shuffle: bool, seed: int, drop_remainder: bool = False):
+        """Plain host iterator, or the Grain pipeline (worker processes +
+        per-host sharding) when num_workers > 0 — giving the reference's
+        num_workers flag (src/main.py:353) real semantics."""
+        cfg = self.cfg
+        if cfg.num_workers > 0:
+            from ergm_tpu.data.grain_loader import make_grain_loader
+
+            return make_grain_loader(
+                dataset, batch_size=cfg.batch_size, eos_id=self.st.eos_id,
+                shuffle=shuffle, seed=seed, max_len=self.max_len,
+                drop_remainder=drop_remainder, num_workers=cfg.num_workers,
+                host_index=jax.process_index(), host_count=jax.process_count())
+        return batches(dataset, cfg.batch_size, self.st.eos_id, shuffle=shuffle,
+                       seed=seed, max_len=self.max_len, drop_remainder=drop_remainder)
+
     # -- loops -----------------------------------------------------------
 
     def train(self):
@@ -140,9 +156,8 @@ class Trainer:
         for epoch in range(start_epoch, start_epoch + cfg.num_epochs):
             t0 = time.time()
             train_metrics = []
-            for batch in batches(self.train_set, cfg.batch_size, self.st.eos_id,
-                                 shuffle=True, seed=cfg.seed + epoch,
-                                 max_len=self.max_len, drop_remainder=True):
+            for batch in self._batches(self.train_set, shuffle=True,
+                                       seed=cfg.seed + epoch, drop_remainder=True):
                 dev_batch = batch_to_device(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, dev_batch, self.rng)
                 train_metrics.append(jax.device_get(metrics))
@@ -167,8 +182,7 @@ class Trainer:
 
     def validation(self):
         metrics = []
-        for batch in batches(self.valid_set, self.cfg.batch_size, self.st.eos_id,
-                             max_len=self.max_len):
+        for batch in self._batches(self.valid_set, shuffle=False, seed=0):
             dev_batch = batch_to_device(batch, self.mesh)
             metrics.append(jax.device_get(self.eval_step(self.state.params, dev_batch)))
         return self._epoch_metrics(metrics)

@@ -165,6 +165,20 @@ def test_resize_token_embeddings(params):
                                   np.asarray(params["wte"]["embedding"]))
 
 
+def test_emotion_head_last_valid_token(params):
+    """seq_lengths routes the emotion head to the last REAL token; without
+    it the literal final (pad) position is used (reference parity)."""
+    ids_short = jnp.array([[5, 6, 7]])
+    padded = jnp.array([[5, 6, 7, 9, 9, 9]])  # eos-style right padding
+    ref = gpt2.forward(params, CFG, ids_short)
+    strict = gpt2.forward(params, CFG, padded)
+    routed = gpt2.forward(params, CFG, padded, seq_lengths=jnp.array([3]))
+    np.testing.assert_allclose(np.asarray(routed.emotion_logits),
+                               np.asarray(ref.emotion_logits), rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(strict.emotion_logits),
+                           np.asarray(ref.emotion_logits))
+
+
 def test_dropout_active_in_training_mode(params):
     cfg_d = CFG.replace(embd_pdrop=0.5, resid_pdrop=0.5)
     ids = jnp.ones((2, 6), jnp.int32)

@@ -105,6 +105,14 @@ def test_schedule_matches_hf_torch():
                                    err_msg=f"step {step}")
 
 
+def test_trainer_with_grain_loader(data_dir, tmp_path):
+    """num_workers > 0 routes batches through the Grain pipeline."""
+    pytest.importorskip("grain")
+    tr = make_trainer(data_dir, tmp_path, num_epochs=1, num_workers=1)
+    best = tr.train()
+    assert math.isfinite(best)
+
+
 def test_data_parallel_8dev_mesh(data_dir, tmp_path):
     """Train step over an 8-device mesh: batch sharded on the data axis,
     params replicated, metrics finite."""
