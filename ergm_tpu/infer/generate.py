@@ -56,16 +56,20 @@ def top_p_filter(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
 
 
 def sample_top_p(logits: jnp.ndarray, key, top_p: float,
-                 top_k: int = 1024) -> jnp.ndarray:
+                 top_k: int = 64) -> jnp.ndarray:
     """Sample from the top-p nucleus without a full-vocab sort.
 
     ``lax.top_k`` restricts to the k most probable tokens; the nucleus
     cutoff (identical math to src/main.py:261-267) is applied in sorted
     space and the sampled index gathered back — no 50k scatter. Whenever
-    the top-k prefix holds at least ``top_p`` probability mass (always,
-    in practice, for trained-LM distributions with k=1024), the kept set
-    equals the reference's exactly; if not, the filter conservatively
-    keeps all k (mass shortfall <= 1 - cumsum[k-1]).
+    the top-k prefix holds at least ``top_p`` probability mass (the
+    usual case for trained-LM distributions at the reference's
+    top_p=0.8), the kept set equals the reference's exactly; if not, the
+    filter conservatively keeps all k (mass shortfall <= 1 - cumsum[k-1]).
+
+    k=64 is the TPU cost knee: XLA lowers large-k top_k to a full sort
+    (~10x slower, profiled); small k stays on the fast partial-reduce
+    path. Pass top_k=0 to generate() for the exact full-sort parity mode.
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     k = min(top_k, probs.shape[-1])
@@ -113,7 +117,7 @@ def generate(
     caption_ids: Optional[jnp.ndarray] = None,
     greedy: bool = False,
     logical_cap: Optional[int] = None,
-    sample_top_k: int = 1024,  # 0 => exact full-sort nucleus (parity mode)
+    sample_top_k: int = 64,  # 0 => exact full-sort nucleus (parity mode)
 ) -> GenerateOutput:
     """Uniform mode: pass ``input_len`` (all rows share a true length).
     Batched mode: pass left-aligned-pad ``prompt_mask`` (pads at the left,
@@ -234,7 +238,7 @@ def generate_batch(
     greedy: bool = False,
     prompt_bucket: int = 64,
     max_new_tokens: Optional[int] = None,
-    sample_top_k: int = 1024,
+    sample_top_k: int = 64,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
 
