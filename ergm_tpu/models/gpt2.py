@@ -233,53 +233,75 @@ class ModelOutput(NamedTuple):
     cache: Optional[KVCache] = None
 
 
-def _self_attention(h, p, li, *, config, attn_mask, cache_slice, cache_index,
-                    deterministic, rng):
-    """Self-attention sublayer. Returns (out, (new_k, new_v)) where the new
-    K/V cover this call's tokens (for cache update). ``attn_mask`` is a
-    raw [B, Lk] 0/1 key mask (Lk = cache width when caching)."""
-    c = config
-    L = h.shape[1]
+def _qkv_heads(h, p, config):
+    """Project h -> per-head (q, k, v)."""
     qkv = dense(h, p["c_attn"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = _split_heads(q, c.n_head)
-    k = _split_heads(k, c.n_head)
-    v = _split_heads(v, c.n_head)
+    return (_split_heads(q, config.n_head), _split_heads(k, config.n_head),
+            _split_heads(v, config.n_head))
 
-    scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
-    if c.scale_attn_by_inverse_layer_idx:
+
+def _attn_scale(config, li):
+    scale = (1.0 / config.head_dim ** 0.5) if config.scale_attn_weights else 1.0
+    if config.scale_attn_by_inverse_layer_idx:
         # reference: src/model.py:127-128
         scale = scale / (li + 1.0)
+    return scale
 
-    if cache_slice is not None:
-        ck, cv = cache_slice  # [B, H, T, Dh]
-        k_all = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-        v_all = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
-        T = k_all.shape[-2]
-        # Mask the unwritten cache tail; combined with any caller key mask.
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        tail = (kpos < (cache_index + L)).astype(jnp.float32)
-        kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
-        out = multihead_attention(
-            q, k_all, v_all, causal=True, kv_mask=kv_mask,
-            q_mask=None if attn_mask is None else attn_mask[:, :L],
-            scale=scale, causal_offset=cache_index, impl=c.attention_impl,
-        )
-        new_kv = (k_all, v_all)
-    else:
-        kv_mask = None if attn_mask is None else attn_mask[:, :L]
-        out = multihead_attention(
-            q, k, v, causal=True, kv_mask=kv_mask, q_mask=kv_mask,
-            scale=scale, impl=c.attention_impl,
-            dropout_rate=c.attn_pdrop, deterministic=deterministic,
-            rng=None if rng is None else jax.random.fold_in(rng, 1),
-        )
-        new_kv = (k, v)
+
+def _attn_project(out, p, config, deterministic, rng):
     out = _merge_heads(out)
     out = dense(out, p["c_proj"])
-    out = _dropout(out, c.resid_pdrop, deterministic,
-                   None if rng is None else jax.random.fold_in(rng, 2))
-    return out, new_kv
+    return _dropout(out, config.resid_pdrop, deterministic,
+                    None if rng is None else jax.random.fold_in(rng, 2))
+
+
+def _self_attention(h, p, li, *, config, attn_mask, deterministic, rng):
+    """Training/no-cache self-attention sublayer. Returns (out, (k, v))."""
+    c = config
+    L = h.shape[1]
+    q, k, v = _qkv_heads(h, p, c)
+    kv_mask = None if attn_mask is None else attn_mask[:, :L]
+    out = multihead_attention(
+        q, k, v, causal=True, kv_mask=kv_mask, q_mask=kv_mask,
+        scale=_attn_scale(c, li), impl=c.attention_impl,
+        dropout_rate=c.attn_pdrop, deterministic=deterministic,
+        rng=None if rng is None else jax.random.fold_in(rng, 1),
+    )
+    return _attn_project(out, p, c, deterministic, rng), (k, v)
+
+
+def _self_attention_cached(h, p, li, li_int, k_full, v_full, *, config,
+                           attn_mask, cache_index, deterministic, rng):
+    """Decode self-attention over the carried full cache.
+
+    Writes ONLY the new tokens' K/V into the (li, :, :, index:index+L, :)
+    window — a [B, H, L, D] write, not a full-slice rewrite (profiling
+    showed the full-slice update+writeback costing a 50MB store per
+    layer-step) — then reads the layer slice once for attention.
+    Returns (out, k_full, v_full)."""
+    c = config
+    L = h.shape[1]
+    q, k, v = _qkv_heads(h, p, c)
+    zero = jnp.zeros((), jnp.int32)
+    k_full = lax.dynamic_update_slice(
+        k_full, k[None].astype(k_full.dtype), (li_int, zero, zero, cache_index, zero))
+    v_full = lax.dynamic_update_slice(
+        v_full, v[None].astype(v_full.dtype), (li_int, zero, zero, cache_index, zero))
+    k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
+    v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+    T = k_all.shape[-2]
+    # Mask the unwritten cache tail; combined with any caller key mask.
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    tail = (kpos < (cache_index + L)).astype(jnp.float32)
+    kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
+    out = multihead_attention(
+        q, k_all, v_all, causal=True, kv_mask=kv_mask,
+        q_mask=None if attn_mask is None else attn_mask[:, :L],
+        scale=_attn_scale(c, li), causal_offset=cache_index,
+        impl=c.attention_impl,
+    )
+    return _attn_project(out, p, c, deterministic, rng), k_full, v_full
 
 
 def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
@@ -397,16 +419,14 @@ def transformer(
     decode = cache is not None
 
     def block(carry, xs):
-        # decode carries the FULL stacked cache and updates its layer
-        # slice in place (dynamic_update_index on the scan carry — XLA
-        # aliases the buffer instead of re-materializing the cache per
-        # step, which profiling showed costing ~27% of decode time).
+        # decode carries the FULL stacked cache: new-token K/V are written
+        # into it with a tiny [B, H, L, D] store and the layer slice is
+        # read once for attention (XLA aliases the carry buffer, so the
+        # cache is genuinely updated in place across layers and steps).
         if decode:
             h, k_full, v_full, ck_full, cv_full = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
-            k_slice = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
-            v_slice = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
             if ck_full is not None and enc is None:
                 ckv = (lax.dynamic_index_in_dim(ck_full, li_int, 0, keepdims=False),
                        lax.dynamic_index_in_dim(cv_full, li_int, 0, keepdims=False))
@@ -415,17 +435,22 @@ def transformer(
         else:
             h = carry
             p, li = xs
-            k_slice = v_slice = ckv = None
+            ckv = None
         layer_rng = None if rng is None else jax.random.fold_in(rng, 1000 + li.astype(jnp.int32))
 
         # self-attention (pre-LN residual, src/model.py:297-309)
         attn_in = layer_norm(h, p["ln_1"], c.layer_norm_epsilon)
-        attn_out, new_kv = _self_attention(
-            attn_in, p["attn"], li, config=c, attn_mask=attention_mask,
-            cache_slice=(k_slice, v_slice) if decode else None,
-            cache_index=past_len if decode else 0,
-            deterministic=deterministic, rng=layer_rng,
-        )
+        if decode:
+            attn_out, k_full, v_full = _self_attention_cached(
+                attn_in, p["attn"], li, li_int, k_full, v_full, config=c,
+                attn_mask=attention_mask, cache_index=past_len,
+                deterministic=deterministic, rng=layer_rng,
+            )
+        else:
+            attn_out, _ = _self_attention(
+                attn_in, p["attn"], li, config=c, attn_mask=attention_mask,
+                deterministic=deterministic, rng=layer_rng,
+            )
         h = h + attn_out
 
         # optional cross-attention (src/model.py:311-329)
@@ -442,8 +467,6 @@ def transformer(
         mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
         h = h + _mlp(mlp_in, p["mlp"], config=c, deterministic=deterministic, rng=layer_rng)
         if decode:
-            k_full = lax.dynamic_update_index_in_dim(k_full, new_kv[0], li_int, 0)
-            v_full = lax.dynamic_update_index_in_dim(v_full, new_kv[1], li_int, 0)
             # store freshly computed cross K/V at prefill (skipped when the
             # values came from the cache, or no cross cache was allocated)
             if new_ckv is not None and enc is not None and ck_full is not None:
@@ -452,7 +475,7 @@ def transformer(
                 cv_full = lax.dynamic_update_index_in_dim(
                     cv_full, new_ckv[1].astype(cv_full.dtype), li_int, 0)
             return (h, k_full, v_full, ck_full, cv_full), None
-        return h, (new_kv, new_ckv)
+        return h, None
 
     block_fn = block
     if c.remat:
