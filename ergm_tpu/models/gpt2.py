@@ -291,16 +291,38 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, *, config,
     k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
     v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
     T = k_all.shape[-2]
-    # Mask the unwritten cache tail; combined with any caller key mask.
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    tail = (kpos < (cache_index + L)).astype(jnp.float32)
-    kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
-    out = multihead_attention(
-        q, k_all, v_all, causal=True, kv_mask=kv_mask,
-        q_mask=None if attn_mask is None else attn_mask[:, :L],
-        scale=_attn_scale(c, li), causal_offset=cache_index,
-        impl=c.attention_impl,
+    scale = _attn_scale(c, li)
+
+    # Experimental opt-in: the block-skipping Pallas decode kernel
+    # (ops/decode_attention.py). Measured on v5e it does NOT beat XLA's
+    # fused decode attention at these head counts (XLA: 26.5k tok/s at
+    # T=256 / 13.2k at T=1024 vs kernel 9.5k / 2.7k), so the default
+    # "auto"/"pallas" paths keep XLA for single-token steps.
+    use_kernel = (
+        L == 1 and T % 128 == 0
+        and c.attention_impl == "pallas_decode"
+        and not c.scale_attn_by_inverse_layer_idx  # kernel scale is static
+        and jax.default_backend() == "tpu"
     )
+    if use_kernel:
+        from ergm_tpu.ops.decode_attention import decode_attention
+
+        B = q.shape[0]
+        mask = (attn_mask[:, :T] if attn_mask is not None
+                else jnp.ones((B, T), jnp.float32))
+        out = decode_attention(q[:, :, 0, :], k_all, v_all,
+                               cache_index + L, mask, scale=scale)[:, :, None, :]
+    else:
+        # Mask the unwritten cache tail; combined with any caller key mask.
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        tail = (kpos < (cache_index + L)).astype(jnp.float32)
+        kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
+        out = multihead_attention(
+            q, k_all, v_all, causal=True, kv_mask=kv_mask,
+            q_mask=None if attn_mask is None else attn_mask[:, :L],
+            scale=scale, causal_offset=cache_index,
+            impl=c.attention_impl,
+        )
     return _attn_project(out, p, c, deterministic, rng), k_full, v_full
 
 
