@@ -143,7 +143,10 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = (-1,)  # data-parallel over all devices
     mesh_axis_names: Tuple[str, ...] = ("data",)
     dtype: str = "bfloat16"
-    remat: bool = False
+    # remat on by default: measured faster end-to-end on v5e because it
+    # unlocks batch sizes the non-remat program cannot compile at
+    # (46.5k tok/s at B=64-128 vs 39.8k at B=8), cf. jax.checkpoint
+    remat: bool = True
     tokenizer_dir: Optional[str] = None  # dir with vocab.json/merges.txt
     init_params: Optional[str] = None  # orbax params dir (e.g. converted HF/torch)
     log_every: int = 50

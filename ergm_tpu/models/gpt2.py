@@ -224,7 +224,7 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
 
 
 class ModelOutput(NamedTuple):
-    logits: jnp.ndarray  # [B, L, V]
+    logits: Optional[jnp.ndarray]  # [B, L, V]; None when compute_logits=False
     emotion_logits: jnp.ndarray  # [B, num_emotions]
     hidden: jnp.ndarray  # [B, L, D] final hidden states
     loss: Optional[jnp.ndarray] = None
@@ -527,6 +527,51 @@ def transformer(
     return h, new_cache
 
 
+def chunked_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
+                    ignore_index: int = -100, chunk: int = 128) -> jnp.ndarray:
+    """Shifted LM cross-entropy without materializing [B, L, V] logits.
+
+    The reference computes full logits then CE (src/model.py:698,
+    705-708) — at B=32, L=512, V=50k the fp32 logits plus their
+    cotangent alone exceed several GB of HBM. Here the sequence is
+    processed in chunks under ``jax.checkpoint``: each chunk's logits
+    exist only transiently in fwd and are recomputed in bwd, bounding
+    live memory at O(B * chunk * V). Numerically identical (fp32
+    logsumexp) to the dense path.
+    """
+    B, L, D = hidden.shape
+    # next-token shift: position t is scored against labels[t+1]
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), ignore_index, labels.dtype)], axis=1)
+    n = L // chunk
+    rem = L - n * chunk
+    main_h = hidden[:, :n * chunk].reshape(B, n, chunk, D).swapaxes(0, 1)
+    main_l = shifted[:, :n * chunk].reshape(B, n, chunk).swapaxes(0, 1)
+
+    def piece(h_c, l_c):
+        logits = jnp.einsum("bcd,vd->bcv", h_c, wte.astype(h_c.dtype),
+                            preferred_element_type=jnp.float32,
+                            precision="highest")
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(
+            logits, jnp.maximum(l_c, 0)[..., None], axis=-1)[..., 0]
+        mask = (l_c != ignore_index).astype(jnp.float32)
+        return jnp.sum((logz - gold) * mask), jnp.sum(mask)
+
+    piece = jax.checkpoint(piece, prevent_cse=False)
+
+    def scan_body(carry, xs):
+        s, c = piece(*xs)
+        return (carry[0] + s, carry[1] + c), None
+
+    (tot, cnt), _ = lax.scan(scan_body, (jnp.zeros(()), jnp.zeros(())),
+                             (main_h, main_l))
+    if rem:
+        s, c = piece(hidden[:, n * chunk:], shifted[:, n * chunk:])
+        tot, cnt = tot + s, cnt + c
+    return tot / jnp.maximum(cnt, 1.0)
+
+
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                   ignore_index: Optional[int] = None) -> jnp.ndarray:
     """Mean CE over non-ignored targets, matching torch CrossEntropyLoss
@@ -562,6 +607,7 @@ def forward(
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     seq_lengths: Optional[jnp.ndarray] = None,
+    compute_logits: bool = True,
 ) -> ModelOutput:
     """GPT2LMHeadModel.forward equivalent (reference: src/model.py:654-737).
 
@@ -584,9 +630,13 @@ def forward(
     )
 
     # lm_head tied to wte (src/model.py:600); fp32 logits for the loss path.
+    # compute_logits=False (training) skips the dense [B, L, V] logits and
+    # computes the LM loss chunked instead (see chunked_lm_loss).
     wte = params["wte"]["embedding"]
-    logits = jnp.einsum("bld,vd->blv", hidden, wte.astype(hidden.dtype),
-                        preferred_element_type=jnp.float32, precision="highest")
+    logits = None
+    if compute_logits:
+        logits = jnp.einsum("bld,vd->blv", hidden, wte.astype(hidden.dtype),
+                            preferred_element_type=jnp.float32, precision="highest")
     # emotion head on the final hidden state (src/model.py:700-701)
     if seq_lengths is not None:
         idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, hidden.shape[1] - 1)
@@ -599,7 +649,10 @@ def forward(
 
     loss = lm_loss = emo_loss = None
     if labels is not None:
-        lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
+        if logits is not None:
+            lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
+        else:
+            lm_loss = chunked_lm_loss(hidden, wte, labels)
     if emotion_labels is not None:
         emo_loss = cross_entropy(emotion_logits, emotion_labels)
     if lm_loss is not None and emo_loss is not None:

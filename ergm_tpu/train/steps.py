@@ -51,6 +51,9 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
         deterministic=deterministic, rng=rng,
         # bucket-padded batches: emotion head reads the last real token
         seq_lengths=batch.get("seq_lengths"),
+        # the loss path never needs dense [B, L, V] logits; the chunked
+        # rematerialized CE keeps HBM bounded at large batch
+        compute_logits=False,
     )
     lm_loss = out.lm_loss
     # emotion CE with fill rows masked (reference loss: src/model.py:710-711)

@@ -165,6 +165,26 @@ def test_resize_token_embeddings(params):
                                   np.asarray(params["wte"]["embedding"]))
 
 
+def test_chunked_lm_loss_matches_dense(params):
+    """chunked_lm_loss (training path, no dense logits) == dense shifted CE."""
+    key = jax.random.PRNGKey(11)
+    B, L = 2, 19  # odd length exercises the remainder chunk
+    ids = jax.random.randint(key, (B, L), 0, CFG.vocab_size)
+    labels = ids.at[:, :7].set(-100)
+    dense = gpt2.forward(params, CFG, ids, labels=labels)
+    lean = gpt2.forward(params, CFG, ids, labels=labels, compute_logits=False)
+    assert lean.logits is None
+    np.testing.assert_allclose(float(lean.lm_loss), float(dense.lm_loss), rtol=1e-5)
+    # grads agree too (the checkpointed bwd recomputes chunk logits)
+    g_dense = jax.grad(lambda p: gpt2.forward(p, CFG, ids, labels=labels).lm_loss)(params)
+    g_lean = jax.grad(lambda p: gpt2.forward(p, CFG, ids, labels=labels,
+                                             compute_logits=False).lm_loss)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=1e-6),
+        g_dense, g_lean)
+
+
 def test_emotion_head_last_valid_token(params):
     """seq_lengths routes the emotion head to the last REAL token; without
     it the literal final (pad) position is used (reference parity)."""
