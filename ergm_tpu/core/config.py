@@ -71,6 +71,10 @@ class ModelConfig:
     # (reference: src/model.py:87, 90, 92, 122-128).
     scale_attn_weights: bool = True
     scale_attn_by_inverse_layer_idx: bool = False
+    # Accepted for config parity (src/model.py:92): the rebuild ALWAYS
+    # computes the softmax in fp32, i.e. behaves as if this were True;
+    # the flag is recorded but changes nothing.
+    reorder_and_upcast_attn: bool = False
     # ERGM extensions
     num_emotions: int = 7
     use_cross_attention: bool = True
@@ -84,8 +88,14 @@ class ModelConfig:
     # the XLA reference path elsewhere; "xla" / "pallas" force a path.
     attention_impl: str = "auto"
 
+    # set by models.gpt2.prune_heads: after pruning, attention width is
+    # n_head * head_dim != n_embd, so the derived value no longer applies
+    head_dim_override: Optional[int] = None
+
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         assert self.n_embd % self.n_head == 0
         return self.n_embd // self.n_head
 

@@ -117,6 +117,71 @@ def init_params(rng: jax.Array, config: ModelConfig) -> Params:
     return params
 
 
+def prune_heads(params: Params, config: ModelConfig,
+                heads_to_prune: Dict[int, list]) -> tuple:
+    """Remove attention heads from self-attention layers
+    (reference: src/model.py:106-117, 416-418).
+
+    Returns (new_params, new_config) where every layer keeps
+    ``n_head - max_pruned`` heads (the stacked-layer format needs a
+    uniform head count, so each listed layer must prune the same number
+    of heads; the reference prunes per-layer independently — with a
+    scan-stacked pytree the uniform variant is the expressible one).
+    Pruned layers drop the chosen heads; unlisted layers drop their
+    highest-indexed heads to stay uniform.
+    """
+    import numpy as np
+
+    c = config
+    counts = {len(v) for v in heads_to_prune.values()}
+    if len(counts) != 1:
+        raise ValueError("stacked-layer pruning needs the same number of "
+                         "pruned heads per listed layer")
+    n_drop = counts.pop()
+    new_heads = c.n_head - n_drop
+    hd = c.head_dim
+
+    keep_per_layer = []
+    default_keep = list(range(new_heads))  # unlisted layers keep the first heads
+    for layer in range(c.n_layer):
+        pruned = set(heads_to_prune.get(layer, []))
+        if pruned:
+            keep = [h for h in range(c.n_head) if h not in pruned]
+        else:
+            keep = default_keep
+        keep_per_layer.append(keep)
+
+    attn = params["blocks"]["attn"]
+    ck = np.asarray(attn["c_attn"]["kernel"])  # [L, D, 3D]
+    cb = np.asarray(attn["c_attn"]["bias"])    # [L, 3D]
+    pk = np.asarray(attn["c_proj"]["kernel"])  # [L, D, D]
+    D = c.n_embd
+
+    new_ck = np.empty((c.n_layer, D, 3 * new_heads * hd), ck.dtype)
+    new_cb = np.empty((c.n_layer, 3 * new_heads * hd), cb.dtype)
+    new_pk = np.empty((c.n_layer, new_heads * hd, D), pk.dtype)
+    for li, keep in enumerate(keep_per_layer):
+        cols = np.concatenate([np.arange(h * hd, (h + 1) * hd) for h in keep])
+        qkv_cols = np.concatenate([cols, D + cols, 2 * D + cols])
+        new_ck[li] = ck[li][:, qkv_cols]
+        new_cb[li] = cb[li][qkv_cols]
+        new_pk[li] = pk[li][cols, :]
+
+    import jax.numpy as jnp
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    out["blocks"] = dict(params["blocks"])
+    out["blocks"]["attn"] = {
+        "c_attn": {"kernel": jnp.asarray(new_ck), "bias": jnp.asarray(new_cb)},
+        "c_proj": {"kernel": jnp.asarray(new_pk), "bias": attn["c_proj"]["bias"]},
+    }
+    # n_embd stays; attention now operates on new_heads*hd features, so the
+    # head dim must be pinned explicitly rather than derived from n_embd
+    new_cfg = c.replace(n_head=new_heads, head_dim_override=hd,
+                        n_inner=c.inner_dim)
+    return out, new_cfg
+
+
 def resize_token_embeddings(params: Params, rng: jax.Array, new_vocab: int,
                             config: ModelConfig) -> Params:
     """Extend ``wte`` rows for added special tokens, like HF
