@@ -19,3 +19,24 @@ __version__ = "0.1.0"
 
 from ergm_tpu.core.config import ModelConfig, TrainConfig  # noqa: F401
 from ergm_tpu.core.tokens import SpecialTokens  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import ergm_tpu` light; jax-heavy modules
+    # load on first touch)
+    import importlib
+
+    lazy = {
+        "forward": ("ergm_tpu.models.gpt2", "forward"),
+        "init_params": ("ergm_tpu.models.gpt2", "init_params"),
+        "generate": ("ergm_tpu.infer.generate", "generate"),
+        "generate_batch": ("ergm_tpu.infer.generate", "generate_batch"),
+        "beam_search": ("ergm_tpu.infer.beam", "beam_search"),
+        "Trainer": ("ergm_tpu.train.trainer", "Trainer"),
+        "Evaluator": ("ergm_tpu.evaluation.evaluate", "Evaluator"),
+        "BPETokenizer": ("ergm_tpu.tokenizer.bpe", "BPETokenizer"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'ergm_tpu' has no attribute {name!r}")

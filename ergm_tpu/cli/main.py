@@ -24,7 +24,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="ERGM-TPU train/infer CLI")
     # reference flags (src/main.py:339-361), names and defaults preserved
     p.add_argument("--seed", type=int, default=0, help="The random seed.")
-    p.add_argument("--mode", type=str, required=True, choices=["train", "infer"])
+    p.add_argument("--mode", type=str, required=True,
+                   choices=["train", "infer", "interact"],
+                   help="train/infer match the reference surface; interact "
+                        "adds a live dialogue REPL on a trained checkpoint.")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--train_prefix", type=str, default="train")
     p.add_argument("--valid_prefix", type=str, default="valid")
@@ -159,10 +162,37 @@ def main(argv: Optional[list] = None):
         from ergm_tpu.train.trainer import Trainer
 
         Trainer(cfg, limit=args.limit).train()
+    elif args.mode == "interact":
+        run_interact(cfg)
     else:
         assert cfg.ckpt_name is not None, \
             "Please specify the trained checkpoint using --ckpt_name."
         run_infer(cfg, args)
+
+
+def run_interact(cfg: TrainConfig):
+    import jax
+
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.infer.interact import run_repl
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.tokenizer.bpe import BPETokenizer
+    from ergm_tpu.train import checkpoint as ckpt_lib
+
+    assert cfg.tokenizer_dir, "interact mode needs --tokenizer_dir"
+    st = read_meta(cfg.data_dir)
+    mcfg = ModelConfig.from_model_type(cfg.model_type, vocab_size=st.vocab_size,
+                                       dtype=cfg.dtype)
+    params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), mcfg)
+    path = ckpt_lib.find_checkpoint(cfg.ckpt_dir, cfg.ckpt_name)
+    if path:
+        print(f"Loading checkpoint {path}")
+        params = ckpt_lib.restore_params(path, params)
+    else:
+        print("WARNING: no checkpoint found; replies come from random init")
+    tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
+    run_repl(params, mcfg, st, tokenizer, max_len=cfg.max_len,
+             max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed)
 
 
 if __name__ == "__main__":
