@@ -62,6 +62,11 @@ class Trainer:
         self.train_set = DialogueDataset(cfg.train_prefix, **ds_kw)
         self.valid_set = DialogueDataset(cfg.valid_prefix, **ds_kw)
 
+        if len(self.train_set) < cfg.batch_size:
+            raise ValueError(
+                f"train set has {len(self.train_set)} examples < batch_size "
+                f"{cfg.batch_size}; training drops partial batches, so no step "
+                f"would ever run — lower --batch_size or add data")
         num_batches = max(len(self.train_set) // cfg.batch_size, 1)
         self.total_train_steps = cfg.num_epochs * num_batches
         self.warmup_steps = int(cfg.warmup_ratio * self.total_train_steps)
