@@ -96,11 +96,11 @@ def main():
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)
-        if base.get("config") != config:
-            base = None  # config changed: re-anchor the baseline honestly
-    if base and base.get("value"):
+    if base and base.get("config") == config and base.get("value"):
         vs_baseline = utt_per_sec / float(base["value"])
-    else:
+    elif base is None:
+        # anchor only once, at the default config — ad-hoc env-override
+        # runs must not clobber the recorded baseline
         with open(BASELINE_FILE, "w") as f:
             json.dump({"metric": "trimodal_generate_utterances_per_sec_per_chip",
                        "value": utt_per_sec,

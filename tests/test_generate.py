@@ -172,6 +172,33 @@ def test_generate_batch_modality_conditioning(params):
     assert with_m != without
 
 
+def test_data_parallel_decode_8dev_mesh(params):
+    """Batched generation sharded over the mesh data axis produces the
+    same tokens as the single-device run (SPMD serving path)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ergm_tpu.core.mesh import make_mesh
+
+    assert jax.device_count() == 8
+    mesh = make_mesh((8,), ("data",))
+    eos_id, sp2_id = CFG.vocab_size - 1, 5
+    B, Lp = 8, 4
+    ids = jax.random.randint(jax.random.PRNGKey(9), (B, Lp), 0, CFG.vocab_size - 1)
+
+    single = generate(params, CFG, ids, Lp, max_len=10, eos_id=eos_id,
+                      sp2_id=sp2_id, greedy=True, rng=jax.random.PRNGKey(0))
+
+    sharded_ids = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    with mesh:
+        dp = jax.jit(lambda p, i: generate(p, CFG, i, Lp, max_len=10,
+                                           eos_id=eos_id, sp2_id=sp2_id,
+                                           greedy=True,
+                                           rng=jax.random.PRNGKey(0)))(params, sharded_ids)
+    np.testing.assert_array_equal(np.asarray(dp.tokens), np.asarray(single.tokens))
+    np.testing.assert_array_equal(np.asarray(dp.lengths), np.asarray(single.lengths))
+
+
 def test_sampling_deterministic_given_rng(params):
     eos_id, sp2_id = CFG.vocab_size - 1, 5
     ids = jax.random.randint(jax.random.PRNGKey(5), (2, 4), 0, CFG.vocab_size - 1)
