@@ -72,6 +72,51 @@ def calculate_distinct(sentences: Sequence[str]):
     return d1, d2
 
 
+def calculate_bleu(hypotheses: Sequence[str], references: Sequence[str],
+                   max_n: int = 4) -> float:
+    """Corpus BLEU-N with add-one smoothing on higher-order n-grams
+    (dependency-free). Extends the reference's metric set per the
+    project north star; the reference itself ships only distinct-n and
+    BERTScore (eval/evaluate.py)."""
+    if not hypotheses or not references:
+        return 0.0
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    hyp_len = ref_len = 0
+    for hyp, ref in zip(hypotheses, references):
+        h = word_tokenize(hyp.lower())
+        r = word_tokenize(ref.lower())
+        hyp_len += len(h)
+        ref_len += len(r)
+        for n in range(1, max_n + 1):
+            h_ngrams: dict = {}
+            for i in range(len(h) - n + 1):
+                g = tuple(h[i:i + n])
+                h_ngrams[g] = h_ngrams.get(g, 0) + 1
+            r_ngrams: dict = {}
+            for i in range(len(r) - n + 1):
+                g = tuple(r[i:i + n])
+                r_ngrams[g] = r_ngrams.get(g, 0) + 1
+            totals[n - 1] += max(len(h) - n + 1, 0)
+            clipped[n - 1] += sum(min(c, r_ngrams.get(g, 0))
+                                  for g, c in h_ngrams.items())
+    if clipped[0] == 0:
+        return 0.0  # no unigram overlap: BLEU is 0, unsmoothed
+    precisions = []
+    for n in range(max_n):
+        if totals[n] == 0:
+            precisions.append(0.0)
+        elif clipped[n] == 0:
+            precisions.append(1.0 / (2 * totals[n]))  # smooth higher orders only
+        else:
+            precisions.append(clipped[n] / totals[n])
+    if min(precisions) == 0.0:
+        return 0.0
+    log_avg = sum(math.log(p) for p in precisions) / max_n
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    return bp * math.exp(log_avg)
+
+
 def bertscore_from_embeddings(
     hyp_emb: np.ndarray, ref_emb: np.ndarray,
     hyp_mask: Optional[np.ndarray] = None, ref_mask: Optional[np.ndarray] = None,
@@ -167,6 +212,7 @@ class Evaluator:
         results: Dict[str, float] = {}
         d1, d2 = self.calculate_distinct(hypotheses)
         results["dist_1"], results["dist_2"] = d1, d2
+        results["bleu"] = calculate_bleu(hypotheses, references)
         bs = self.calculate_bertscore(hypotheses, references)
         if bs is not None:
             results.update(bs)

@@ -55,15 +55,22 @@ class DialogueSession:
         fake = turns + [[]]
         w = build_window(fake, len(fake) - 1, self.st,
                          max_turns=self.max_turns, max_len=self.max_len)
-        flat = [t for turn in w for t in turn]
-        return flat[:-1]  # drop the trailing eos of the placeholder turn
+        flat, tts = [], []
+        # token types follow the window-parity rule the dataset uses
+        # (ergm_tpu/data/dataset.py token_types)
+        for c, turn in enumerate(w):
+            sp = self.st.sp1_id if c % 2 == 0 else self.st.sp2_id
+            flat.extend(turn)
+            tts.extend([sp] * len(turn))
+        return flat[:-1], tts[:-1]  # drop the placeholder's trailing eos
 
     def reply(self, user_text: str, max_new_tokens: int = 64) -> str:
         self.turns.append(self._encode(user_text))
-        prompt = self._window()
+        prompt, tts = self._window()
         self.rng, key = jax.random.split(self.rng)
         outs, _ = generate_batch(
-            self.params, self.config, [prompt], max_len=self.max_len,
+            self.params, self.config, [prompt], token_types=[tts],
+            max_len=self.max_len,
             eos_id=self.st.eos_id, sp2_id=self.st.sp2_id, top_p=self.top_p,
             rng=key, max_new_tokens=max_new_tokens)
         reply_ids = [t for t in outs[0] if t != self.st.eos_id]

@@ -47,6 +47,31 @@ def test_bertscore_asymmetric():
     assert 0 < f1 < 1.0
 
 
+def test_bleu_perfect_and_disjoint():
+    from ergm_tpu.evaluation.evaluate import calculate_bleu
+
+    assert calculate_bleu(["the cat sat on the mat today ok"],
+                          ["the cat sat on the mat today ok"]) == pytest.approx(1.0)
+    assert calculate_bleu(["aa bb cc dd"], ["xx yy zz ww"]) == pytest.approx(0.0)
+    assert calculate_bleu([], []) == 0.0
+
+
+def test_bleu_matches_nltk_when_available():
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import SmoothingFunction, corpus_bleu
+
+    from ergm_tpu.evaluation.evaluate import calculate_bleu, word_tokenize
+
+    hyps = ["the cat sat on a mat", "how are you doing today my friend"]
+    refs = ["the cat sat on the mat", "how are you feeling today friend"]
+    ours = calculate_bleu(hyps, refs)
+    ref_tok = [[word_tokenize(r.lower())] for r in refs]
+    hyp_tok = [word_tokenize(h.lower()) for h in hyps]
+    theirs = corpus_bleu(ref_tok, hyp_tok,
+                         smoothing_function=SmoothingFunction().method0)
+    assert ours == pytest.approx(theirs, rel=1e-6)
+
+
 def test_evaluate_all_full_surface():
     """The call signature src/main.py:378-383 makes (TypeError in the
     reference) must work and report all four metric families."""

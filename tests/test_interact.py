@@ -43,8 +43,9 @@ def test_session_max_turns_truncation(setup):
     for _ in range(3):
         s.reply("hello there today", max_new_tokens=4)
     # window stays bounded: prompt assembled from at most 2 turns
-    prompt = s._window()
-    assert len(prompt) < 64
+    prompt, tts = s._window()
+    assert len(prompt) < 64 and len(tts) == len(prompt)
+    assert set(tts) <= {st.sp1_id, st.sp2_id}
 
 
 def test_repl_loop(setup):
