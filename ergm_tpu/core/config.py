@@ -87,6 +87,10 @@ class ModelConfig:
     # Attention backend: "auto" picks the Pallas flash kernel on TPU and
     # the XLA reference path elsewhere; "xla" / "pallas" force a path.
     attention_impl: str = "auto"
+    # "auto" stores decode K/V in the compute dtype; "int8" quantizes the
+    # self-attention cache with per-(token, head) scales, halving the
+    # cache-read bandwidth that dominates long decode.
+    kv_cache_dtype: str = "auto"
 
     # set by models.gpt2.prune_heads: after pruning, attention width is
     # n_head * head_dim != n_embd, so the derived value no longer applies

@@ -259,28 +259,51 @@ class KVCache(NamedTuple):
     """Fixed-size decode cache. ``k``/``v``: [L, B, H, T, Dh]; ``index``:
     scalar int32 count of filled positions. Cross-attention K/V are
     computed once per sequence and stored in ``ck``/``cv`` ([L, B, H, Lc,
-    Dh]) — the reference recomputed them every step via its uncached loop."""
+    Dh]) — the reference recomputed them every step via its uncached loop.
+
+    With ``kv_cache_dtype="int8"`` the self-attention cache stores int8
+    values with per-(token, head) fp32 scales (``k_scale``/``v_scale``,
+    [L, B, H, T, 1]) — roughly halving the cache-read bandwidth that
+    dominates decode. Cross K/V stay in the compute dtype (small)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     index: jnp.ndarray
     ck: Optional[jnp.ndarray] = None
     cv: Optional[jnp.ndarray] = None
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
                   caption_len: int = 0, dtype=None) -> KVCache:
     c = config
-    dtype = dtype or c.compute_dtype
+    quant = c.kv_cache_dtype == "int8"
+    dtype = dtype or (jnp.int8 if quant else c.compute_dtype)
     shape = (c.n_layer, batch, c.n_head, max_len, c.head_dim)
     k = jnp.zeros(shape, dtype)
     v = jnp.zeros(shape, dtype)
+    ks = vs = None
+    if quant:
+        sshape = (c.n_layer, batch, c.n_head, max_len, 1)
+        ks = jnp.zeros(sshape, jnp.float32)
+        vs = jnp.zeros(sshape, jnp.float32)
     ck = cv = None
     if c.use_cross_attention and caption_len > 0:
         cshape = (c.n_layer, batch, c.n_head, caption_len, c.head_dim)
-        ck = jnp.zeros(cshape, dtype)
-        cv = jnp.zeros(cshape, dtype)
-    return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv)
+        ck = jnp.zeros(cshape, c.compute_dtype)
+        cv = jnp.zeros(cshape, c.compute_dtype)
+    return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv,
+                   k_scale=ks, v_scale=vs)
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """[..., D] -> (int8 values, fp32 scale [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / safe), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -336,25 +359,39 @@ def _self_attention(h, p, li, *, config, attn_mask, deterministic, rng):
     return _attn_project(out, p, c, deterministic, rng), (k, v)
 
 
-def _self_attention_cached(h, p, li, li_int, k_full, v_full, *, config,
-                           attn_mask, cache_index, deterministic, rng):
+def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
+                           *, config, attn_mask, cache_index, deterministic, rng):
     """Decode self-attention over the carried full cache.
 
     Writes ONLY the new tokens' K/V into the (li, :, :, index:index+L, :)
     window — a [B, H, L, D] write, not a full-slice rewrite (profiling
     showed the full-slice update+writeback costing a 50MB store per
-    layer-step) — then reads the layer slice once for attention.
-    Returns (out, k_full, v_full)."""
+    layer-step) — then reads the layer slice once for attention. With an
+    int8 cache (ks_full/vs_full scales present) new tokens quantize on
+    write and the slice dequantizes on read.
+    Returns (out, k_full, v_full, ks_full, vs_full)."""
     c = config
     L = h.shape[1]
     q, k, v = _qkv_heads(h, p, c)
     zero = jnp.zeros((), jnp.int32)
-    k_full = lax.dynamic_update_slice(
-        k_full, k[None].astype(k_full.dtype), (li_int, zero, zero, cache_index, zero))
-    v_full = lax.dynamic_update_slice(
-        v_full, v[None].astype(v_full.dtype), (li_int, zero, zero, cache_index, zero))
-    k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
-    v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+    idx5 = (li_int, zero, zero, cache_index, zero)
+    if ks_full is not None:
+        kq, ksc = _quantize_kv(k)
+        vq, vsc = _quantize_kv(v)
+        k_full = lax.dynamic_update_slice(k_full, kq[None], idx5)
+        v_full = lax.dynamic_update_slice(v_full, vq[None], idx5)
+        ks_full = lax.dynamic_update_slice(ks_full, ksc[None], idx5)
+        vs_full = lax.dynamic_update_slice(vs_full, vsc[None], idx5)
+        dt = c.compute_dtype
+        k_all = (lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False).astype(dt)
+                 * lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False).astype(dt))
+        v_all = (lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False).astype(dt)
+                 * lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False).astype(dt))
+    else:
+        k_full = lax.dynamic_update_slice(k_full, k[None].astype(k_full.dtype), idx5)
+        v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
+        k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
+        v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
     T = k_all.shape[-2]
     scale = _attn_scale(c, li)
 
@@ -366,6 +403,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, *, config,
     use_kernel = (
         L == 1 and T % 128 == 0
         and c.attention_impl == "pallas_decode"
+        and ks_full is None  # kernel reads the raw (unquantized) cache
         and not c.scale_attn_by_inverse_layer_idx  # kernel scale is static
         and jax.default_backend() == "tpu"
     )
@@ -388,7 +426,8 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, *, config,
             scale=scale, causal_offset=cache_index,
             impl=c.attention_impl,
         )
-    return _attn_project(out, p, c, deterministic, rng), k_full, v_full
+    return (_attn_project(out, p, c, deterministic, rng),
+            k_full, v_full, ks_full, vs_full)
 
 
 def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
@@ -511,7 +550,7 @@ def transformer(
         # read once for attention (XLA aliases the carry buffer, so the
         # cache is genuinely updated in place across layers and steps).
         if decode:
-            h, k_full, v_full, ck_full, cv_full = carry
+            h, k_full, v_full, ks_full, vs_full, ck_full, cv_full = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
             if ck_full is not None and enc is None:
@@ -528,9 +567,9 @@ def transformer(
         # self-attention (pre-LN residual, src/model.py:297-309)
         attn_in = layer_norm(h, p["ln_1"], c.layer_norm_epsilon)
         if decode:
-            attn_out, k_full, v_full = _self_attention_cached(
-                attn_in, p["attn"], li, li_int, k_full, v_full, config=c,
-                attn_mask=attention_mask, cache_index=past_len,
+            attn_out, k_full, v_full, ks_full, vs_full = _self_attention_cached(
+                attn_in, p["attn"], li, li_int, k_full, v_full, ks_full, vs_full,
+                config=c, attn_mask=attention_mask, cache_index=past_len,
                 deterministic=deterministic, rng=layer_rng,
             )
         else:
@@ -561,7 +600,7 @@ def transformer(
                     ck_full, new_ckv[0].astype(ck_full.dtype), li_int, 0)
                 cv_full = lax.dynamic_update_index_in_dim(
                     cv_full, new_ckv[1].astype(cv_full.dtype), li_int, 0)
-            return (h, k_full, v_full, ck_full, cv_full), None
+            return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full), None
         return h, None
 
     block_fn = block
@@ -580,10 +619,13 @@ def transformer(
 
     xs = (blocks_p, layer_ids)
     if decode:
-        carry = (h, cache.k, cache.v, cache.ck, cache.cv)
-        (h, new_k, new_v, new_ck, new_cv), _ = lax.scan(block_fn, carry, xs)
+        carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                 cache.ck, cache.cv)
+        (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv), _ = \
+            lax.scan(block_fn, carry, xs)
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
-                            ck=new_ck, cv=new_cv)
+                            ck=new_ck, cv=new_cv,
+                            k_scale=new_ks, v_scale=new_vs)
     else:
         h, _ = lax.scan(block_fn, h, xs)
         new_cache = None

@@ -149,6 +149,29 @@ def test_kv_cache_with_cross_attention(params):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_int8_kv_cache_close_to_bf16(params):
+    """int8 KV decode tracks the full-precision path closely (greedy
+    token agreement on a short horizon)."""
+    cfg_q = CFG.replace(kv_cache_dtype="int8")
+    B, L, T = 2, 6, 12
+    ids = jax.random.randint(jax.random.PRNGKey(8), (B, T), 0, CFG.vocab_size)
+
+    def run(cfg):
+        cache = gpt2.init_kv_cache(cfg, B, T)
+        pre = gpt2.forward(params, cfg, ids[:, :L], cache=cache)
+        toks, cache2 = [jnp.argmax(pre.logits[:, -1], -1)], pre.cache
+        for t in range(L, T - 1):
+            step = gpt2.forward(params, cfg, toks[-1][:, None], cache=cache2)
+            cache2 = step.cache
+            toks.append(jnp.argmax(step.logits[:, -1], -1))
+        return np.stack([np.asarray(t) for t in toks], 1)
+
+    full = run(CFG)
+    quant = run(cfg_q)
+    agreement = (full == quant).mean()
+    assert agreement >= 0.8, f"int8 KV diverged: agreement {agreement}"
+
+
 def test_remat_matches(params):
     cfg_r = CFG.replace(remat=True)
     ids = jnp.arange(6)[None, :]
