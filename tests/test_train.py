@@ -105,6 +105,35 @@ def test_schedule_matches_hf_torch():
                                    err_msg=f"step {step}")
 
 
+def test_overfit_single_batch(data_dir, tmp_path):
+    """Optimizer/schedule sanity: 80 steps on one repeated batch must
+    drive the joint loss way down (memorization)."""
+    import jax
+    import optax
+
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.data.dataset import DialogueDataset, batches
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.train.steps import batch_to_device, create_train_state, make_train_step
+
+    st = read_meta(data_dir)
+    mcfg = small_mcfg(st.vocab_size)
+    ds = DialogueDataset("train", data_dir, sp1_id=st.sp1_id, sp2_id=st.sp2_id,
+                         eos_id=st.eos_id, max_len=64)
+    batch = batch_to_device(next(batches(ds, 4, st.eos_id, max_len=64)))
+    tx = optax.adamw(3e-3)
+    state = create_train_state(gpt2.init_params(jax.random.PRNGKey(0), mcfg), tx)
+    step = make_train_step(mcfg, tx)
+    rng = jax.random.PRNGKey(0)
+    first = None
+    for _ in range(80):
+        state, metrics = step(state, batch, rng)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert last < first * 0.35, f"no memorization: {first:.2f} -> {last:.2f}"
+
+
 def test_trainer_with_grain_loader(data_dir, tmp_path):
     """num_workers > 0 routes batches through the Grain pipeline."""
     pytest.importorskip("grain")
