@@ -75,6 +75,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "masked-history prefix only.")
     p.add_argument("--bert_model_dir", type=str, default=None,
                    help="Local HF encoder dir for BERTScore (no downloads).")
+    p.add_argument("--num_beams", type=int, default=1,
+                   help=">1 decodes with beam search instead of nucleus "
+                        "sampling during inference.")
     p.add_argument("--limit", type=int, default=None,
                    help="Debug: use only the first N dialogues "
                         "(the reference's [:1] slice, made explicit).")
@@ -133,7 +136,8 @@ def run_infer(cfg: TrainConfig, args) -> dict:
     hyps, refs, true_labels, losses, preds = run_test(
         params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_len=max_len, top_p=cfg.top_p, seed=cfg.seed,
-        tokenizer=tokenizer, prompt_mode=args.prompt_mode)
+        tokenizer=tokenizer, prompt_mode=args.prompt_mode,
+        num_beams=args.num_beams)
 
     evaluator = Evaluator(bert_model_dir=args.bert_model_dir)
     metrics = evaluator.evaluate_all(hyps, refs, true_label_ids=true_labels,

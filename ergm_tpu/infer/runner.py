@@ -38,6 +38,34 @@ def _decode(tokenizer, ids: List[int]) -> str:
     return tokenizer.decode(ids, skip_special_tokens=True)
 
 
+def _beam_decode(params, config, prompts, tts, imgs, auds, *, num_beams,
+                 max_len, eos_id, sp2_id, max_new_tokens):
+    """Per-sample beam decode (beam_search uses uniform prompt lengths;
+    one compile per distinct prompt length — fine at the reference's
+    batch_size=1 inference setting, infer.sh:19)."""
+    import jax.numpy as jnp
+
+    from ergm_tpu.infer.beam import beam_search
+    from ergm_tpu.models import gpt2
+
+    cap = min(max_len, config.n_positions)
+    outs, emos = [], []
+    for i, p in enumerate(prompts):
+        ids = jnp.asarray([p])
+        tt = jnp.asarray([tts[i]])
+        im = None if imgs is None else jnp.asarray(imgs[i:i + 1])
+        au = None if auds is None else jnp.asarray(auds[i:i + 1])
+        horizon = max(min(max_new_tokens or cap - len(p), cap - len(p)), 1)
+        toks, lens = beam_search(params, config, ids, len(p),
+                                 num_beams=num_beams, max_len=len(p) + horizon,
+                                 eos_id=eos_id, sp2_id=sp2_id,
+                                 token_type_ids=tt, imgs=im, auds=au)
+        outs.append(np.asarray(toks)[0, len(p):int(lens[0])].tolist())
+        fwd = gpt2.forward(params, config, ids, token_type_ids=tt, imgs=im, auds=au)
+        emos.append(np.asarray(fwd.emotion_logits)[0])
+    return outs, np.stack(emos)
+
+
 def run_test(
     params,
     config: ModelConfig,
@@ -53,7 +81,11 @@ def run_test(
     prompt_mode: str = "reference",
     use_modalities: bool = True,
     max_new_tokens: Optional[int] = None,
+    num_beams: int = 1,
 ) -> Tuple[List[str], List[str], List[int], List[float], List[int]]:
+    """``num_beams > 1`` decodes with beam search instead of nucleus
+    sampling (the capability src/model.py:739-745 plumbs but the
+    reference never invokes)."""
     eval_step = make_eval_step(config)
     rng = jax.random.PRNGKey(seed)
 
@@ -89,13 +121,21 @@ def run_test(
             true_labels.append(int(batch.emotion_labels[i]))
 
         rng, gen_rng = jax.random.split(rng)
-        outs, emo_logits = generate_batch(
-            params, config, prompts, token_types=tts,
-            imgs=np.stack(imgs) if use_modalities else None,
-            auds=np.stack(auds) if use_modalities else None,
-            max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
-            rng=gen_rng, max_new_tokens=max_new_tokens,
-        )
+        if num_beams > 1:
+            outs, emo_logits = _beam_decode(
+                params, config, prompts, tts,
+                np.stack(imgs) if use_modalities else None,
+                np.stack(auds) if use_modalities else None,
+                num_beams=num_beams, max_len=max_len, eos_id=eos_id,
+                sp2_id=sp2_id, max_new_tokens=max_new_tokens)
+        else:
+            outs, emo_logits = generate_batch(
+                params, config, prompts, token_types=tts,
+                imgs=np.stack(imgs) if use_modalities else None,
+                auds=np.stack(auds) if use_modalities else None,
+                max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
+                rng=gen_rng, max_new_tokens=max_new_tokens,
+            )
         hyps.extend(_decode(tokenizer, o) for o in outs)
         pred_labels.extend(int(p) for p in np.argmax(emo_logits, axis=-1))
 

@@ -77,6 +77,50 @@ def test_beam_finds_brute_force_optimum(params):
     assert got[:n_got] == best[:n_got], (got, best, float(scores.max()))
 
 
+def test_beam_with_modalities_and_captions(params_cross=None):
+    """Beam decode conditions on img/aud features and captions."""
+    cfg = CFG.replace(use_cross_attention=True, modality_dim=CFG.n_embd)
+    p = gpt2.init_params(jax.random.PRNGKey(7), cfg)
+    ids = jnp.asarray([[1, 2, 3]])
+    # non-constant vectors: a constant feature is pure mean shift, which
+    # the first LayerNorm removes exactly
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((1, CFG.n_embd)) * 5, jnp.float32)
+    auds = jnp.asarray(rng.standard_normal((1, CFG.n_embd)) * 5, jnp.float32)
+    caps = jnp.asarray([[4, 5, 6, 7]])
+    with_m, lens = beam_search(p, cfg, ids, 3, num_beams=3, max_len=8, eos_id=EOS,
+                               sp2_id=SP2, imgs=imgs, auds=auds, caption_ids=caps)
+    assert np.asarray(with_m).shape == (1, 8)
+    assert int(lens[0]) >= 4
+    # conditioning reaches the logits (beam tokens may coincide on a
+    # 16-vocab random model whose argmax is dominated by one token)
+    o1 = gpt2.forward(p, cfg, ids, imgs=imgs, auds=auds, caption_ids=caps)
+    o2 = gpt2.forward(p, cfg, ids)
+    assert float(jnp.abs(o1.logits - o2.logits).max()) > 0.05
+
+
+def test_runner_beam_mode(tmp_path):
+    """run_test with num_beams>1 produces hypotheses via beam search."""
+    from ergm_tpu.data.dataset import DialogueDataset
+    from ergm_tpu.data.synthetic import write_synthetic_dataset
+    from ergm_tpu.infer.runner import run_test
+
+    st = write_synthetic_dataset(str(tmp_path), prefixes=("valid",),
+                                 num_dialogues=2, turns_per_dialogue=2,
+                                 base_vocab_size=64)
+    cfg = ModelConfig(vocab_size=st.vocab_size, n_positions=64, n_embd=16,
+                      n_layer=1, n_head=2, use_cross_attention=False,
+                      dtype="float32", embd_pdrop=0.0, attn_pdrop=0.0,
+                      resid_pdrop=0.0)
+    p = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    ds = DialogueDataset("valid", str(tmp_path), sp1_id=st.sp1_id,
+                         sp2_id=st.sp2_id, eos_id=st.eos_id, max_len=64)
+    hyps, refs, labels, losses, preds = run_test(
+        p, cfg, ds, batch_size=4, eos_id=st.eos_id, sp2_id=st.sp2_id,
+        max_len=64, top_p=0.9, num_beams=2, max_new_tokens=4)
+    assert len(hyps) == len(refs) == len(labels) == len(preds) == len(ds)
+
+
 def test_beam_scores_improve_over_greedy(params):
     """4-beam sequence log-prob >= greedy's, computed by the same
     enumeration scorer."""
