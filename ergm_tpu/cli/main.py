@@ -133,11 +133,17 @@ def run_infer(cfg: TrainConfig, args) -> dict:
 
         tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
 
-    hyps, refs, true_labels, losses, preds = run_test(
+    hyps, refs, true_labels, losses, preds, contexts = run_test(
         params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_len=max_len, top_p=cfg.top_p, seed=cfg.seed,
         tokenizer=tokenizer, prompt_mode=args.prompt_mode,
         num_beams=args.num_beams)
+
+    from ergm_tpu.infer.runner import write_generations
+
+    gen_path = os.path.join(cfg.data_dir, f"{cfg.ckpt_name}_generations.txt")
+    write_generations(gen_path, contexts, refs, hyps)
+    print(f"Sample generations written to {gen_path}")
 
     evaluator = Evaluator(bert_model_dir=args.bert_model_dir)
     metrics = evaluator.evaluate_all(hyps, refs, true_label_ids=true_labels,

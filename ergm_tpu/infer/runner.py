@@ -94,6 +94,7 @@ def run_test(
     true_labels: List[int] = []
     losses: List[float] = []
     pred_labels: List[int] = []
+    contexts: List[str] = []
 
     for bi, batch in enumerate(batches(dataset, batch_size, eos_id, max_len=max_len)):
         dev_batch = batch_to_device(batch)
@@ -119,6 +120,7 @@ def run_test(
             ref_ids = batch.labels[i][batch.labels[i] != IGNORE_INDEX]
             refs.append(_decode(tokenizer, ref_ids.tolist()))
             true_labels.append(int(batch.emotion_labels[i]))
+            contexts.append(batch.contexts[i])
 
         rng, gen_rng = jax.random.split(rng)
         if num_beams > 1:
@@ -139,4 +141,18 @@ def run_test(
         hyps.extend(_decode(tokenizer, o) for o in outs)
         pred_labels.extend(int(p) for p in np.argmax(emo_logits, axis=-1))
 
-    return hyps, refs, true_labels, losses, pred_labels
+    return hyps, refs, true_labels, losses, pred_labels, contexts
+
+
+def format_sample(context: str, ref: str, hypothesis: str) -> str:
+    """The reference's print_custom block format (src/main.py:26-33)."""
+    return (f"Context: {context}\n"
+            f"GPT-2: {hypothesis}\n"
+            f"Ref: {ref}\n"
+            + "-" * 63 + "\n")
+
+
+def write_generations(path: str, contexts, refs, hyps) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        for c, r, h in zip(contexts, refs, hyps):
+            f.write(format_sample(c, r, h))
