@@ -1,0 +1,77 @@
+"""Training-throughput benchmark (companion to the repo-root bench.py,
+which measures the serving path).
+
+    python scripts/train_bench.py            # B=64, L=512, gpt2, remat
+    TRAIN_BENCH_BATCH=128 python scripts/train_bench.py
+
+Prints one JSON line: tokens/sec for the full tri-modal training step
+(forward + joint loss + backward + AdamW) on the default device.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 64))
+SEQ = int(os.environ.get("TRAIN_BENCH_SEQ", 512))
+MODEL = os.environ.get("TRAIN_BENCH_MODEL", "gpt2")
+REPS = int(os.environ.get("TRAIN_BENCH_REPS", 4))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.train.steps import create_train_state, make_train_step
+
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+    cfg = ModelConfig.from_model_type(
+        MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
+        attn_pdrop=0.0, remat=True)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-4)
+    state = create_train_state(params, tx)
+    step = make_train_step(cfg, tx)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 50000, (BATCH, SEQ))
+    batch = {
+        "input_ids": jnp.asarray(ids, jnp.int32),
+        "token_type_ids": jnp.asarray(ids, jnp.int32),
+        "labels": jnp.asarray(ids, jnp.int32),
+        "emotion_labels": jnp.asarray(rng.integers(0, 7, (BATCH,)), jnp.int32),
+        "imgs": jnp.asarray(rng.standard_normal((BATCH, 768)), jnp.float32),
+        "auds": jnp.asarray(rng.standard_normal((BATCH, 768)), jnp.float32),
+        "valid": jnp.ones((BATCH,), bool),
+    }
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, m = step(state, batch, key)
+    _ = float(m["loss"])  # fetch barrier (block_until_ready unreliable on tunnels)
+    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        state, m = step(state, batch, key)
+        _ = float(m["loss"])
+        times.append(time.time() - t0)
+    best = min(times)
+    print(json.dumps({
+        "metric": "trimodal_train_tokens_per_sec_per_chip",
+        "value": round(BATCH * SEQ / best, 1),
+        "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, bf16+flash+remat)",
+        "step_ms": round(best * 1000, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
