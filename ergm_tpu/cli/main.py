@@ -78,6 +78,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_beams", type=int, default=1,
                    help=">1 decodes with beam search instead of nucleus "
                         "sampling during inference.")
+    p.add_argument("--kv_cache", type=str, default="auto",
+                   choices=["auto", "int8"],
+                   help="Decode KV-cache storage; int8 trades ~1e-2-level "
+                        "sampling drift for ~1.24x decode throughput.")
     p.add_argument("--limit", type=int, default=None,
                    help="Debug: use only the first N dialogues "
                         "(the reference's [:1] slice, made explicit).")
@@ -114,7 +118,8 @@ def run_infer(cfg: TrainConfig, args) -> dict:
 
     st = read_meta(cfg.data_dir)
     mcfg = ModelConfig.from_model_type(cfg.model_type, vocab_size=st.vocab_size,
-                                       dtype=cfg.dtype)
+                                       dtype=cfg.dtype,
+                                       kv_cache_dtype=getattr(args, "kv_cache", "auto"))
     max_len = min(cfg.max_len, mcfg.n_positions)
     dataset = DialogueDataset(cfg.valid_prefix, cfg.data_dir, sp1_id=st.sp1_id,
                               sp2_id=st.sp2_id, eos_id=st.eos_id,
