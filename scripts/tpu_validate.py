@@ -63,6 +63,18 @@ def main():
           np.asarray(a, np.float32).transpose(0, 2, 1, 3)[sel],
           np.asarray(b, np.float32).transpose(0, 2, 1, 3)[sel], 2e-2)
 
+    # rectangular causal: prefill queries against a longer cache buffer
+    # (shared origin; tail masked) — the exact generate-prefill shape
+    kr = jnp.asarray(rng.standard_normal((B, H, 2 * L, D)), jnp.bfloat16)
+    vr = jnp.asarray(rng.standard_normal((B, H, 2 * L, D)), jnp.bfloat16)
+    mask_r = jnp.concatenate([jnp.ones((B, L + 64)), jnp.zeros((B, L - 64))], axis=1)
+    flr = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=True, kv_mask=m, impl="pallas"))
+    xlr = jax.jit(lambda q, k, v, m: multihead_attention(
+        q, k, v, causal=True, kv_mask=m, impl="xla"))
+    check("rectangular causal prefill", flr(q, kr, vr, mask_r),
+          xlr(q, kr, vr, mask_r), 2e-2)
+
     # non-causal (cross-attention shape)
     flx = jax.jit(lambda q, k, v, m: multihead_attention(
         q, k, v, causal=False, kv_mask=m, impl="pallas"))
