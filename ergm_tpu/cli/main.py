@@ -82,6 +82,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "int8"],
                    help="Decode KV-cache storage; int8 trades ~1e-2-level "
                         "sampling drift for ~1.24x decode throughput.")
+    p.add_argument("--keep_best", type=int, default=None,
+                   help="Retain only the N lowest-PPL checkpoints "
+                        "(default: keep all, like the reference).")
     p.add_argument("--limit", type=int, default=None,
                    help="Debug: use only the first N dialogues "
                         "(the reference's [:1] slice, made explicit).")
@@ -103,6 +106,7 @@ def args_to_config(args) -> TrainConfig:
         ckpt_name=args.ckpt_name, mesh_shape=mesh_shape,
         mesh_axis_names=mesh_axes, dtype=args.dtype, remat=args.remat,
         tokenizer_dir=args.tokenizer_dir, init_params=args.init_params,
+        keep_best=args.keep_best,
     )
 
 

@@ -163,6 +163,7 @@ class TrainConfig:
     remat: bool = True
     tokenizer_dir: Optional[str] = None  # dir with vocab.json/merges.txt
     init_params: Optional[str] = None  # orbax params dir (e.g. converted HF/torch)
+    keep_best: Optional[int] = None  # retain only the N lowest-PPL checkpoints
     log_every: int = 50
 
     def replace(self, **kw) -> "TrainConfig":

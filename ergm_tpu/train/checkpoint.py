@@ -22,7 +22,13 @@ from ergm_tpu.train.steps import TrainState
 _CKPT_RE = re.compile(r"best_ckpt_epoch=(\d+)_valid_ppl=([\d.eE+-]+?)/?$")
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_ppl: float) -> str:
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_ppl: float,
+                    keep_best: Optional[int] = None) -> str:
+    """Save a best-PPL checkpoint (reference naming, src/main.py:193).
+
+    ``keep_best``: retain only the N lowest-PPL checkpoints, deleting
+    older/worse ones after a successful save (the reference accumulates
+    every best checkpoint forever)."""
     name = f"best_ckpt_epoch={epoch}_valid_ppl={best_ppl:.4f}"
     path = os.path.join(os.path.abspath(ckpt_dir), name)
     payload = {
@@ -34,7 +40,22 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_ppl: floa
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
+    if keep_best is not None:
+        _prune_checkpoints(ckpt_dir, keep_best)
     return path
+
+
+def _prune_checkpoints(ckpt_dir: str, keep_best: int) -> None:
+    import shutil
+
+    entries = []
+    for entry in os.listdir(ckpt_dir):
+        m = _CKPT_RE.match(entry)
+        if m:
+            entries.append((float(m.group(2)), entry))
+    entries.sort()  # lowest ppl first
+    for _, entry in entries[keep_best:]:
+        shutil.rmtree(os.path.join(ckpt_dir, entry), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, template_state: TrainState) -> Dict[str, Any]:

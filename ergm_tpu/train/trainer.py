@@ -176,7 +176,8 @@ class Trainer:
             v_loss, v_ppl, v_acc = self.validation()
             if v_ppl < self.best_ppl:
                 self.best_ppl = v_ppl
-                path = ckpt_lib.save_checkpoint(cfg.ckpt_dir, self.state, epoch, v_ppl)
+                path = ckpt_lib.save_checkpoint(cfg.ckpt_dir, self.state, epoch,
+                                                v_ppl, keep_best=cfg.keep_best)
                 print(f"Best checkpoint saved: {path}")
             print(f"Best valid PPL: {self.best_ppl:.4f}")
             print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} | "

@@ -105,6 +105,17 @@ def test_schedule_matches_hf_torch():
                                    err_msg=f"step {step}")
 
 
+def test_keep_best_retention(data_dir, tmp_path):
+    """keep_best=1 leaves only the lowest-PPL checkpoint on disk."""
+    tr = make_trainer(data_dir, tmp_path, num_epochs=3, lr=1e-3, keep_best=1)
+    tr.train()
+    names = [n for n in os.listdir(tr.cfg.ckpt_dir)
+             if n.startswith("best_ckpt_epoch=")]
+    assert len(names) == 1
+    # and it matches the reported best ppl
+    assert f"{tr.best_ppl:.4f}" in names[0]
+
+
 def test_overfit_single_batch(data_dir, tmp_path):
     """Optimizer/schedule sanity: 80 steps on one repeated batch must
     drive the joint loss way down (memorization)."""
