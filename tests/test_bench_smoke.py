@@ -1,0 +1,41 @@
+"""Smoke-test the driver-facing entry scripts in subprocesses: bench.py
+must print exactly one valid JSON line on stdout, and __graft_entry__
+must expose its two contract functions."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_prints_one_json_line(tmp_path):
+    env = dict(os.environ,
+               JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               BENCH_BATCH="2", BENCH_PROMPT="16", BENCH_NEW_TOKENS="4",
+               BENCH_MODEL="gpt2", BENCH_REPS="1")
+    # tiny geometry so the CPU run stays fast
+    code = (
+        "import ergm_tpu.core.config as c;"
+        "c.GPT2_SIZES['gpt2'] = dict(n_layer=2, n_head=4, n_embd=64);"
+        "import runpy, sys; sys.argv=['bench.py'];"
+        f"runpy.run_path(r'{os.path.join(REPO, 'bench.py')}', run_name='__main__')"
+    )
+    # isolate the baseline file so the smoke run can't touch the real anchor
+    cwd = str(tmp_path)
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=cwd,
+                          capture_output=True, text=True, timeout=500)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    assert callable(g.entry)
+    assert callable(g.dryrun_multichip)
