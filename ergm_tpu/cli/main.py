@@ -78,6 +78,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_beams", type=int, default=1,
                    help=">1 decodes with beam search instead of nucleus "
                         "sampling during inference.")
+    p.add_argument("--sampler", type=str, default="approx",
+                   choices=["approx", "exact", "full_sort"],
+                   help="Nucleus sampler: 'approx' (approx_max_k top-64, "
+                        "fastest on TPU), 'exact' (exact top-64), "
+                        "'full_sort' (reference-identical full-vocab sort).")
     p.add_argument("--kv_cache", type=str, default="auto",
                    choices=["auto", "int8"],
                    help="Decode KV-cache storage; int8 trades ~1e-2-level "
@@ -146,7 +151,7 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_len=max_len, top_p=cfg.top_p, seed=cfg.seed,
         tokenizer=tokenizer, prompt_mode=args.prompt_mode,
-        num_beams=args.num_beams)
+        num_beams=args.num_beams, sampler=getattr(args, "sampler", "approx"))
 
     from ergm_tpu.infer.runner import write_generations
 

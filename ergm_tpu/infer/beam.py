@@ -75,15 +75,17 @@ def beam_search(
     logp0 = jax.nn.log_softmax(out.logits[:, -1].astype(jnp.float32), axis=-1)  # [B, V]
     V = logp0.shape[-1]
 
-    # expand the cache across beams: [L, B, ...] -> [L, B*W, ...]
+    # expand the cache across beams: [L, B, ...] -> [L, B*W, ...].
+    # Every array field must ride along (incl. the int8 quantization
+    # scales), so map over the whole NamedTuple rather than naming fields.
     def expand(x):
         if x is None:
             return None
         return jnp.repeat(x, W, axis=1)
 
-    cache = gpt2.KVCache(k=expand(out.cache.k), v=expand(out.cache.v),
-                         index=out.cache.index,
-                         ck=expand(out.cache.ck), cv=expand(out.cache.cv))
+    cache = gpt2.KVCache(index=out.cache.index, **{
+        f: expand(getattr(out.cache, f))
+        for f in gpt2.KVCache._fields if f != "index"})
 
     # first expansion: top-W tokens of beam 0
     top_scores, top_tok = lax.top_k(logp0, W)  # [B, W]
@@ -121,13 +123,10 @@ def beam_search(
         tokens = tokens.at[:, :, s.cur].set(tok)
         finished = jnp.take_along_axis(s.finished, beam_idx, axis=1) | (tok == eos_id)
 
-        new_cache = gpt2.KVCache(
-            k=_gather_beams(o.cache.k, beam_idx, B, W),
-            v=_gather_beams(o.cache.v, beam_idx, B, W),
-            index=o.cache.index,
-            ck=None if o.cache.ck is None else _gather_beams(o.cache.ck, beam_idx, B, W),
-            cv=None if o.cache.cv is None else _gather_beams(o.cache.cv, beam_idx, B, W),
-        )
+        new_cache = gpt2.KVCache(index=o.cache.index, **{
+            f: (None if getattr(o.cache, f) is None
+                else _gather_beams(getattr(o.cache, f), beam_idx, B, W))
+            for f in gpt2.KVCache._fields if f != "index"})
         return BeamState(tokens=tokens, scores=flat_scores, cache=new_cache,
                          cur=s.cur + 1, last=tok, finished=finished)
 

@@ -82,10 +82,18 @@ def run_test(
     use_modalities: bool = True,
     max_new_tokens: Optional[int] = None,
     num_beams: int = 1,
+    sampler: str = "approx",
 ) -> Tuple[List[str], List[str], List[int], List[float], List[int]]:
     """``num_beams > 1`` decodes with beam search instead of nucleus
     sampling (the capability src/model.py:739-745 plumbs but the
-    reference never invokes)."""
+    reference never invokes).
+
+    ``sampler``: "approx" (default; approx_max_k top-64 nucleus, fastest
+    on TPU), "exact" (exact top-64 nucleus), "full_sort" (full-vocab
+    sort — bit-identical to the reference top-p math, slowest)."""
+    sample_kw = {"approx": dict(sample_top_k=64, sample_approx=True),
+                 "exact": dict(sample_top_k=64, sample_approx=False),
+                 "full_sort": dict(sample_top_k=0)}[sampler]
     eval_step = make_eval_step(config)
     rng = jax.random.PRNGKey(seed)
 
@@ -136,7 +144,7 @@ def run_test(
                 imgs=np.stack(imgs) if use_modalities else None,
                 auds=np.stack(auds) if use_modalities else None,
                 max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
-                rng=gen_rng, max_new_tokens=max_new_tokens,
+                rng=gen_rng, max_new_tokens=max_new_tokens, **sample_kw,
             )
         hyps.extend(_decode(tokenizer, o) for o in outs)
         pred_labels.extend(int(p) for p in np.argmax(emo_logits, axis=-1))

@@ -21,6 +21,7 @@ BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 64))
 SEQ = int(os.environ.get("TRAIN_BENCH_SEQ", 512))
 MODEL = os.environ.get("TRAIN_BENCH_MODEL", "gpt2")
 REPS = int(os.environ.get("TRAIN_BENCH_REPS", 4))
+REMAT = os.environ.get("TRAIN_BENCH_REMAT", "1") not in ("0", "false")
 
 
 def main():
@@ -35,7 +36,7 @@ def main():
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        attn_pdrop=0.0, remat=True)
+        attn_pdrop=0.0, remat=REMAT)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     tx = optax.adamw(1e-4)
     state = create_train_state(params, tx)
@@ -68,7 +69,8 @@ def main():
     print(json.dumps({
         "metric": "trimodal_train_tokens_per_sec_per_chip",
         "value": round(BATCH * SEQ / best, 1),
-        "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, bf16+flash+remat)",
+        "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, bf16+flash"
+                f"{'+remat' if REMAT else ''})",
         "step_ms": round(best * 1000, 1),
     }))
 

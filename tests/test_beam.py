@@ -43,6 +43,20 @@ def test_beam1_equals_greedy(params):
     assert int(b_len[0]) == int(g.lengths[0])
 
 
+def test_beam1_int8_cache_scales_carried(params):
+    """Beam search must carry the int8 cache's quantization scales through
+    the beam expand/reorder gathers (regression: they were dropped, so
+    raw float K/V were cast straight to int8, corrupting the cache)."""
+    cfg_q = CFG.replace(kv_cache_dtype="int8")
+    ids = jnp.asarray([[1, 4, 2, 7]])
+    g = generate(params, cfg_q, ids, 4, max_len=9, eos_id=EOS, sp2_id=SP2,
+                 greedy=True, token_type_ids=_tt(ids), rng=jax.random.PRNGKey(0))
+    b_tokens, b_len = beam_search(params, cfg_q, ids, 4, num_beams=1, max_len=9,
+                                  eos_id=EOS, sp2_id=SP2, token_type_ids=_tt(ids))
+    np.testing.assert_array_equal(np.asarray(b_tokens), np.asarray(g.tokens))
+    assert int(b_len[0]) == int(g.lengths[0])
+
+
 def _enumerate_scores(params, prompt, horizon=2):
     """Exact log-prob of every 'horizon'-token continuation via one
     batched forward (eos truncates: later tokens contribute 0)."""

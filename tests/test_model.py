@@ -172,6 +172,33 @@ def test_int8_kv_cache_close_to_bf16(params):
     assert agreement >= 0.8, f"int8 KV diverged: agreement {agreement}"
 
 
+def test_int8_cross_cache_close_to_bf16(params):
+    """The cross-attention caption cache also quantizes under
+    kv_cache_dtype="int8" (scales allocated, values int8) and greedy
+    decode stays close to the full-precision path."""
+    cfg_q = CFG.replace(kv_cache_dtype="int8")
+    B, L, T, Lc = 2, 6, 12, 5
+    ids = jax.random.randint(jax.random.PRNGKey(13), (B, T), 0, CFG.vocab_size)
+    cap = jax.random.randint(jax.random.PRNGKey(14), (B, Lc), 0, CFG.vocab_size)
+
+    def run(cfg):
+        cache = gpt2.init_kv_cache(cfg, B, T, caption_len=Lc)
+        pre = gpt2.forward(params, cfg, ids[:, :L], caption_ids=cap, cache=cache)
+        if cfg.kv_cache_dtype == "int8":
+            assert pre.cache.ck.dtype == jnp.int8
+            assert pre.cache.ck_scale is not None
+            assert pre.cache.ck_scale.shape == pre.cache.ck.shape[:-1] + (1,)
+        toks, cache2 = [jnp.argmax(pre.logits[:, -1], -1)], pre.cache
+        for t in range(L, T - 1):
+            step = gpt2.forward(params, cfg, toks[-1][:, None], cache=cache2)
+            cache2 = step.cache
+            toks.append(jnp.argmax(step.logits[:, -1], -1))
+        return np.stack([np.asarray(t) for t in toks], 1)
+
+    agreement = (run(CFG) == run(cfg_q)).mean()
+    assert agreement >= 0.8, f"int8 cross cache diverged: agreement {agreement}"
+
+
 def test_remat_matches(params):
     cfg_r = CFG.replace(remat=True)
     ids = jnp.arange(6)[None, :]
