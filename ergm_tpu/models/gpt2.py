@@ -261,12 +261,15 @@ class KVCache(NamedTuple):
     computed once per sequence and stored in ``ck``/``cv`` ([L, B, H, Lc,
     Dh]) — the reference recomputed them every step via its uncached loop.
 
-    With ``kv_cache_dtype="int8"`` both the self-attention cache and the
-    cross-attention cache store int8 values with per-(token, head) fp32
-    scales (``k_scale``/``v_scale`` [L, B, H, T, 1], ``ck_scale``/
-    ``cv_scale`` [L, B, H, Lc, 1]) — roughly halving the cache-read
-    bandwidth that dominates decode (ablation: the bf16 cross cache cost
-    0.77 ms/step of the 4.12 ms bench decode step at B=128)."""
+    With ``kv_cache_dtype="int8"`` the self-attention cache stores int8
+    values with per-(token, head) fp32 scales (``k_scale``/``v_scale``,
+    [L, B, H, T, 1]) — roughly halving the cache-read bandwidth that
+    dominates decode. Cross-attention K/V stay in the compute dtype:
+    quantizing them was measured SLOWER on v5e (0.89 vs 0.68 ms/step of
+    cross cost at B=128, Lc=32 — the dequant multiply doesn't fuse into
+    the cross-attention read the way the self-attention path does), so
+    ``ck_scale``/``cv_scale`` exist only for forward-compat and stay
+    None."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -292,17 +295,13 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         sshape = (c.n_layer, batch, c.n_head, max_len, 1)
         ks = jnp.zeros(sshape, jnp.float32)
         vs = jnp.zeros(sshape, jnp.float32)
-    ck = cv = cks = cvs = None
+    ck = cv = None
     if c.use_cross_attention and caption_len > 0:
         cshape = (c.n_layer, batch, c.n_head, caption_len, c.head_dim)
-        ck = jnp.zeros(cshape, dtype)
-        cv = jnp.zeros(cshape, dtype)
-        if quant:
-            csshape = cshape[:-1] + (1,)
-            cks = jnp.zeros(csshape, jnp.float32)
-            cvs = jnp.zeros(csshape, jnp.float32)
+        ck = jnp.zeros(cshape, c.compute_dtype)
+        cv = jnp.zeros(cshape, c.compute_dtype)
     return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv,
-                   k_scale=ks, v_scale=vs, ck_scale=cks, cv_scale=cvs)
+                   k_scale=ks, v_scale=vs)
 
 
 def _quantize_kv(x: jnp.ndarray):
@@ -558,20 +557,12 @@ def transformer(
         # read once for attention (XLA aliases the carry buffer, so the
         # cache is genuinely updated in place across layers and steps).
         if decode:
-            (h, k_full, v_full, ks_full, vs_full,
-             ck_full, cv_full, cks_full, cvs_full) = carry
+            h, k_full, v_full, ks_full, vs_full, ck_full, cv_full = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
             if ck_full is not None and enc is None:
-                ck_l = lax.dynamic_index_in_dim(ck_full, li_int, 0, keepdims=False)
-                cv_l = lax.dynamic_index_in_dim(cv_full, li_int, 0, keepdims=False)
-                if cks_full is not None:
-                    dt = c.compute_dtype
-                    ck_l = ck_l.astype(dt) * lax.dynamic_index_in_dim(
-                        cks_full, li_int, 0, keepdims=False).astype(dt)
-                    cv_l = cv_l.astype(dt) * lax.dynamic_index_in_dim(
-                        cvs_full, li_int, 0, keepdims=False).astype(dt)
-                ckv = (ck_l, cv_l)
+                ckv = (lax.dynamic_index_in_dim(ck_full, li_int, 0, keepdims=False),
+                       lax.dynamic_index_in_dim(cv_full, li_int, 0, keepdims=False))
             else:
                 ckv = None
         else:
@@ -612,20 +603,11 @@ def transformer(
             # store freshly computed cross K/V at prefill (skipped when the
             # values came from the cache, or no cross cache was allocated)
             if new_ckv is not None and enc is not None and ck_full is not None:
-                nck, ncv = new_ckv
-                if cks_full is not None:
-                    nck, nck_s = _quantize_kv(nck)
-                    ncv, ncv_s = _quantize_kv(ncv)
-                    cks_full = lax.dynamic_update_index_in_dim(
-                        cks_full, nck_s, li_int, 0)
-                    cvs_full = lax.dynamic_update_index_in_dim(
-                        cvs_full, ncv_s, li_int, 0)
                 ck_full = lax.dynamic_update_index_in_dim(
-                    ck_full, nck.astype(ck_full.dtype), li_int, 0)
+                    ck_full, new_ckv[0].astype(ck_full.dtype), li_int, 0)
                 cv_full = lax.dynamic_update_index_in_dim(
-                    cv_full, ncv.astype(cv_full.dtype), li_int, 0)
-            return (h, k_full, v_full, ks_full, vs_full,
-                    ck_full, cv_full, cks_full, cvs_full), None
+                    cv_full, new_ckv[1].astype(cv_full.dtype), li_int, 0)
+            return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full), None
         return h, None
 
     block_fn = block
@@ -645,13 +627,12 @@ def transformer(
     xs = (blocks_p, layer_ids)
     if decode:
         carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                 cache.ck, cache.cv, cache.ck_scale, cache.cv_scale)
-        (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv, new_cks, new_cvs), _ = \
+                 cache.ck, cache.cv)
+        (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv), _ = \
             lax.scan(block_fn, carry, xs)
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
                             ck=new_ck, cv=new_cv,
-                            k_scale=new_ks, v_scale=new_vs,
-                            ck_scale=new_cks, cv_scale=new_cvs)
+                            k_scale=new_ks, v_scale=new_vs)
     else:
         h, _ = lax.scan(block_fn, h, xs)
         new_cache = None

@@ -172,10 +172,11 @@ def test_int8_kv_cache_close_to_bf16(params):
     assert agreement >= 0.8, f"int8 KV diverged: agreement {agreement}"
 
 
-def test_int8_cross_cache_close_to_bf16(params):
-    """The cross-attention caption cache also quantizes under
-    kv_cache_dtype="int8" (scales allocated, values int8) and greedy
-    decode stays close to the full-precision path."""
+def test_int8_cache_with_captions_close_to_full(params):
+    """Under kv_cache_dtype="int8" the SELF cache quantizes but the
+    cross-attention caption cache stays in the compute dtype (quantizing
+    it measured slower on v5e — see KVCache docstring), and greedy
+    decode with captions stays close to the full-precision path."""
     cfg_q = CFG.replace(kv_cache_dtype="int8")
     B, L, T, Lc = 2, 6, 12, 5
     ids = jax.random.randint(jax.random.PRNGKey(13), (B, T), 0, CFG.vocab_size)
@@ -185,9 +186,9 @@ def test_int8_cross_cache_close_to_bf16(params):
         cache = gpt2.init_kv_cache(cfg, B, T, caption_len=Lc)
         pre = gpt2.forward(params, cfg, ids[:, :L], caption_ids=cap, cache=cache)
         if cfg.kv_cache_dtype == "int8":
-            assert pre.cache.ck.dtype == jnp.int8
-            assert pre.cache.ck_scale is not None
-            assert pre.cache.ck_scale.shape == pre.cache.ck.shape[:-1] + (1,)
+            assert pre.cache.k.dtype == jnp.int8
+            assert pre.cache.ck.dtype == cfg.compute_dtype
+            assert pre.cache.ck_scale is None
         toks, cache2 = [jnp.argmax(pre.logits[:, -1], -1)], pre.cache
         for t in range(L, T - 1):
             step = gpt2.forward(params, cfg, toks[-1][:, None], cache=cache2)
@@ -196,7 +197,7 @@ def test_int8_cross_cache_close_to_bf16(params):
         return np.stack([np.asarray(t) for t in toks], 1)
 
     agreement = (run(CFG) == run(cfg_q)).mean()
-    assert agreement >= 0.8, f"int8 cross cache diverged: agreement {agreement}"
+    assert agreement >= 0.8, f"int8 cache diverged: agreement {agreement}"
 
 
 def test_remat_matches(params):
