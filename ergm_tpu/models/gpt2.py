@@ -258,8 +258,9 @@ def _merge_heads(x):
 class KVCache(NamedTuple):
     """Fixed-size decode cache. ``k``/``v``: [L, B, H, T, Dh]; ``index``:
     scalar int32 count of filled positions. Cross-attention K/V are
-    computed once per sequence and stored in ``ck``/``cv`` ([L, B, H, Lc,
-    Dh]) — the reference recomputed them every step via its uncached loop.
+    computed once per sequence and stored in ``ck``/``cv`` in merged-head
+    layout [L, B, Lc, H*Dh] (tile-aligned minor dims — see init_kv_cache)
+    — the reference recomputed them every step via its uncached loop.
 
     With ``kv_cache_dtype="int8"`` the self-attention cache stores int8
     values with per-(token, head) fp32 scales (``k_scale``/``v_scale``,
@@ -297,7 +298,12 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         vs = jnp.zeros(sshape, jnp.float32)
     ck = cv = None
     if c.use_cross_attention and caption_len > 0:
-        cshape = (c.n_layer, batch, c.n_head, caption_len, c.head_dim)
+        # merged-head layout [L, B, Lc, H*Dh]: the minor dims (Lc, H*Dh)
+        # are tile-aligned on TPU, unlike the per-head [..., Lc, Dh=64]
+        # layout whose 64-lane minor dim gets padded to 128 — doubling
+        # the cross-cache read traffic of every decode step (seen in the
+        # compiled HLO layouts; the cache is read in full each step).
+        cshape = (c.n_layer, batch, caption_len, c.n_head * c.head_dim)
         ck = jnp.zeros(cshape, c.compute_dtype)
         cv = jnp.zeros(cshape, c.compute_dtype)
     return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv,
@@ -441,16 +447,37 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
                      deterministic, rng):
     """Cross-attention: Q from hidden states, K/V from encoder states via a
     shared c_attn (reference: src/model.py:211-226). Non-causal;
-    ``enc_mask`` is the raw [B, Lc] caption mask."""
+    ``enc_mask`` is the raw [B, Lc] caption mask.
+
+    ``cached_kv`` (decode) arrives in the cache's merged-head layout
+    [B, Lc, H*Dh] and is consumed in [B, Lc, H, Dh] form directly by the
+    attention einsums — a pure bitcast, no per-step transpose back to
+    [B, H, Lc, Dh]."""
     c = config
-    q = _split_heads(dense(h, p["q_attn"]), c.n_head)
+    q = _split_heads(dense(h, p["q_attn"]), c.n_head)  # [B, H, Lq, Dh]
     if cached_kv is not None:
-        k, v = cached_kv
-    else:
-        kv = dense(enc, p["c_attn"])
-        k, v = jnp.split(kv, 2, axis=-1)
-        k = _split_heads(k, c.n_head)
-        v = _split_heads(v, c.n_head)
+        B = q.shape[0]
+        k_r = cached_kv[0].reshape(B, -1, c.n_head, c.head_dim)  # [B, Lc, H, Dh]
+        v_r = cached_kv[1].reshape(B, -1, c.n_head, c.head_dim)
+        scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
+        if c.scale_attn_by_inverse_layer_idx:
+            scale = scale / (li + 1.0)
+        logits = jnp.einsum("bhqd,bkhd->bhqk", q, k_r,
+                            preferred_element_type=jnp.float32,
+                            precision="highest") * scale
+        if enc_mask is not None:
+            logits = logits + (1.0 - enc_mask.astype(jnp.float32))[:, None, None, :] * -1e9
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bhqd", probs.astype(v_r.dtype), v_r,
+                         precision="highest")
+        out = _merge_heads(out)
+        out = dense(out, p["c_proj"])
+        return _dropout(out, c.resid_pdrop, deterministic,
+                        None if rng is None else jax.random.fold_in(rng, 4)), cached_kv
+    kv = dense(enc, p["c_attn"])
+    k, v = jnp.split(kv, 2, axis=-1)
+    k = _split_heads(k, c.n_head)
+    v = _split_heads(v, c.n_head)
     scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
     if c.scale_attn_by_inverse_layer_idx:
         scale = scale / (li + 1.0)
@@ -603,10 +630,14 @@ def transformer(
             # store freshly computed cross K/V at prefill (skipped when the
             # values came from the cache, or no cross cache was allocated)
             if new_ckv is not None and enc is not None and ck_full is not None:
+                def _merge_kv(x):  # [B, H, Lc, Dh] -> [B, Lc, H*Dh]
+                    b, nh, lc, hd = x.shape
+                    return x.transpose(0, 2, 1, 3).reshape(b, lc, nh * hd)
+
                 ck_full = lax.dynamic_update_index_in_dim(
-                    ck_full, new_ckv[0].astype(ck_full.dtype), li_int, 0)
+                    ck_full, _merge_kv(new_ckv[0]).astype(ck_full.dtype), li_int, 0)
                 cv_full = lax.dynamic_update_index_in_dim(
-                    cv_full, new_ckv[1].astype(cv_full.dtype), li_int, 0)
+                    cv_full, _merge_kv(new_ckv[1]).astype(cv_full.dtype), li_int, 0)
             return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full), None
         return h, None
 

@@ -31,6 +31,10 @@ B = int(os.environ.get("AB_BATCH", 128))
 PROMPT = int(os.environ.get("AB_PROMPT", 128))
 NEW = int(os.environ.get("AB_NEW", 128))
 REPS = int(os.environ.get("AB_REPS", 2))
+# chain n invocations per timed fetch: the axon tunnel has a large fixed
+# per-fetch overhead (~300 ms), so single-invocation wall times massively
+# overstate device time; chained runs amortize it
+CHAIN = int(os.environ.get("AB_CHAIN", 1))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "results", "decode_ablation.jsonl")
 
@@ -152,10 +156,13 @@ def run_variant(name: str) -> dict:
         times = []
         for r in range(REPS):
             t0 = time.time()
-            np.asarray(fn(params, ids, jax.random.PRNGKey(r + 1))[1])
-            times.append(time.time() - t0)
+            outs = [fn(params, ids, jax.random.PRNGKey(r * CHAIN + c + 1))
+                    for c in range(CHAIN)]
+            for o in outs:  # device executions serialize; fetch all at the end
+                np.asarray(o[1])
+            times.append((time.time() - t0) / CHAIN)
         best = min(times)
-        return {"variant": name, "best_s": round(best, 4),
+        return {"variant": name, "chain": CHAIN, "best_s": round(best, 4),
                 "tok_per_s": round(B * NEW / best, 1),
                 "step_ms": round(best / NEW * 1e3, 4),
                 "compile_s": round(compile_s, 1),
