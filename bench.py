@@ -60,7 +60,7 @@ def main():
         MODEL_TYPE, vocab_size=50271, dtype="bfloat16", modality_dim=768,
         kv_cache_dtype=KV_DTYPE)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
+    params = jax.device_put(gpt2.params_for_inference(params, cfg))
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 50000, (BATCH, PROMPT_LEN)), jnp.int32)

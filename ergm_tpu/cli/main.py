@@ -139,7 +139,7 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         print(f"Cannot find checkpoint {cfg.ckpt_name!r} under {cfg.ckpt_dir}")
         sys.exit(1)
     template = gpt2.init_params(jax.random.PRNGKey(0), mcfg)
-    params = ckpt_lib.restore_params(path, template)
+    params = gpt2.params_for_inference(ckpt_lib.restore_params(path, template), mcfg)
 
     tokenizer = None
     if cfg.tokenizer_dir:
@@ -214,6 +214,7 @@ def run_interact(cfg: TrainConfig):
         params = ckpt_lib.restore_params(path, params)
     else:
         print("WARNING: no checkpoint found; replies come from random init")
+    params = gpt2.params_for_inference(params, mcfg)
     tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
     run_repl(params, mcfg, st, tokenizer, max_len=cfg.max_len,
              max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed)

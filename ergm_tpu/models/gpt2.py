@@ -182,6 +182,19 @@ def prune_heads(params: Params, config: ModelConfig,
     return out, new_cfg
 
 
+def params_for_inference(params: Params, config: ModelConfig) -> Params:
+    """Cast floating-point weights to the compute dtype for serving.
+
+    Training keeps fp32 masters (the optimizer needs them), but serving
+    fp32 weights doubles their HBM residency and leaves the per-use
+    bf16 converts to XLA's discretion — measured 1.9x decode throughput
+    on gpt2-medium where the 350M-param weight reads dominate."""
+    dt = config.compute_dtype
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params)
+
+
 def resize_token_embeddings(params: Params, rng: jax.Array, new_vocab: int,
                             config: ModelConfig) -> Params:
     """Extend ``wte`` rows for added special tokens, like HF
