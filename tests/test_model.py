@@ -208,6 +208,19 @@ def test_remat_matches(params):
     np.testing.assert_allclose(a.logits, b.logits, rtol=1e-5, atol=1e-6)
 
 
+def test_params_for_inference_casts_floats(params):
+    cfg = CFG.replace(dtype="bfloat16")
+    cast = gpt2.params_for_inference(params, cfg)
+    assert cast["wte"]["embedding"].dtype == jnp.bfloat16
+    assert cast["blocks"]["mlp"]["c_fc"]["kernel"].dtype == jnp.bfloat16
+    # logits still close to the fp32-served model
+    ids = jnp.arange(6)[None, :]
+    a = gpt2.forward(params, cfg, ids)
+    b = gpt2.forward(cast, cfg, ids)
+    np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                               rtol=0.1, atol=0.5)
+
+
 def test_resize_token_embeddings(params):
     new = gpt2.resize_token_embeddings(params, jax.random.PRNGKey(9), CFG.vocab_size + 5, CFG)
     assert new["wte"]["embedding"].shape[0] == CFG.vocab_size + 5
