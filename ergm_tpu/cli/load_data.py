@@ -49,8 +49,20 @@ def build_from_json(args) -> None:
         emo = labels[label_split]["emotion"]
         imgs = feature_store.get(label_split, {}).get("img")
         auds = feature_store.get(label_split, {}).get("aud")
+        # caption texts (e.g. BLIP captions of the clip keyframes):
+        # {prefix}_captions.json = [[str per utterance] per dialogue],
+        # tokenized here and wrapped in <cap_bos>/<cap_eos> by assembly
+        captions = None
+        cap_path = os.path.join(args.data_dir, f"{prefix}_captions.json")
+        if args.captions and os.path.exists(cap_path):
+            with open(cap_path) as f:
+                cap_texts = json.load(f)
+            captions = [[tok.encode(t) for t in dia] for dia in cap_texts]
+        elif args.captions:
+            print(f"warning: --captions set but {cap_path} not found")
         payloads = assemble_split(dialogues, emo, st, img_features=imgs,
-                                  aud_features=auds, max_turns=args.max_turns,
+                                  aud_features=auds, captions=captions,
+                                  max_turns=args.max_turns,
                                   max_len=args.max_len)
         write_split(payloads, args.out_dir, prefix)
         n = sum(len(d) for d in dialogues)
@@ -64,7 +76,7 @@ def build_synthetic(args) -> None:
     st = write_synthetic_dataset(
         args.out_dir, prefixes=(args.train_prefix, args.valid_prefix),
         num_dialogues=args.num_dialogues, turns_per_dialogue=args.turns,
-        seed=args.seed)
+        seed=args.seed, captions="target" if args.captions else None)
     print(f"synthetic dataset written to {args.out_dir} "
           f"(vocab {st.vocab_size}, eos {st.eos_id})")
 
@@ -88,6 +100,11 @@ def main(argv=None):
     p.add_argument("--labels_file", type=str, default="emotion_sentiment_labels.pkl")
     p.add_argument("--features_file", type=str, default=None,
                    help="Optional pickle {split: {'img': [...], 'aud': [...]}}.")
+    p.add_argument("--captions", action="store_true",
+                   help="Emit caption ids for cross-attention conditioning: "
+                        "json source reads {prefix}_captions.json (caption "
+                        "text per utterance); synthetic source uses the "
+                        "caption-predictable task.")
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--max_turns", type=int, default=None)
     p.add_argument("--max_len", type=int, default=1024)

@@ -75,6 +75,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         "masked-history prefix only.")
     p.add_argument("--bert_model_dir", type=str, default=None,
                    help="Local HF encoder dir for BERTScore (no downloads).")
+    p.add_argument("--bert_layer", type=int, default=None,
+                   help="Hidden layer for BERTScore embeddings (default: "
+                        "last; official tool uses e.g. 17 for roberta-large).")
+    p.add_argument("--bert_idf", action="store_true",
+                   help="idf-weight BERTScore tokens (computed over the "
+                        "reference corpus, like the official scorer).")
+    p.add_argument("--bert_baselines", type=str, default=None,
+                   help="Comma-separated P,R,F1 baselines for BERTScore "
+                        "rescaling, e.g. '0.83,0.83,0.83'.")
+    p.add_argument("--require_bertscore", action="store_true",
+                   help="Fail the run if BERTScore cannot be computed "
+                        "instead of skipping the metric.")
     p.add_argument("--num_beams", type=int, default=1,
                    help=">1 decodes with beam search instead of nucleus "
                         "sampling during inference.")
@@ -115,6 +127,24 @@ def args_to_config(args) -> TrainConfig:
     )
 
 
+def _load_tokenizer(tokenizer_dir: str, st):
+    """Load the decode tokenizer WITH the special-token registry attached
+    (a raw GPT-2 vocab/merges dir lacks <bos>/<sp1>/... — generated
+    special ids would silently vanish from decode otherwise), and check
+    the resulting vocab against the ids recorded at data-build time."""
+    import warnings
+
+    from ergm_tpu.tokenizer.bpe import load_or_train_default
+
+    tok = load_or_train_default(tokenizer_dir)
+    if len(tok) != st.vocab_size:
+        warnings.warn(
+            f"tokenizer vocab ({len(tok)}) != tokenizer_meta.json vocab "
+            f"({st.vocab_size}); decoded text may be wrong — rebuild the "
+            f"data or pass the tokenizer dir used at load_data time")
+    return tok
+
+
 def run_infer(cfg: TrainConfig, args) -> dict:
     import jax
 
@@ -143,9 +173,7 @@ def run_infer(cfg: TrainConfig, args) -> dict:
 
     tokenizer = None
     if cfg.tokenizer_dir:
-        from ergm_tpu.tokenizer.bpe import BPETokenizer
-
-        tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
+        tokenizer = _load_tokenizer(cfg.tokenizer_dir, st)
 
     hyps, refs, true_labels, losses, preds, contexts = run_test(
         params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
@@ -159,7 +187,15 @@ def run_infer(cfg: TrainConfig, args) -> dict:
     write_generations(gen_path, contexts, refs, hyps)
     print(f"Sample generations written to {gen_path}")
 
-    evaluator = Evaluator(bert_model_dir=args.bert_model_dir)
+    baselines = None
+    if getattr(args, "bert_baselines", None):
+        p_, r_, f_ = (float(x) for x in args.bert_baselines.split(","))
+        baselines = {"precision": p_, "recall": r_, "f1": f_}
+    evaluator = Evaluator(bert_model_dir=args.bert_model_dir,
+                          bert_layer=getattr(args, "bert_layer", None),
+                          bert_idf=getattr(args, "bert_idf", False),
+                          bert_baselines=baselines,
+                          require_bertscore=getattr(args, "require_bertscore", False))
     metrics = evaluator.evaluate_all(hyps, refs, true_label_ids=true_labels,
                                      losses=losses, pred_label_ids=preds)
 
@@ -171,6 +207,13 @@ def run_infer(cfg: TrainConfig, args) -> dict:
     with open(out_path, "w", encoding="utf-8") as f:
         for k, v in metrics.items():
             f.write(f"{k}: {v}\n")
+        # record the decode configuration so published numbers are
+        # reproducible (the approx sampler deviates from the reference's
+        # exact full-vocab top-p whenever the nucleus exceeds top-64)
+        f.write(f"sampler: {getattr(args, 'sampler', 'approx')}\n")
+        f.write(f"num_beams: {args.num_beams}\n")
+        f.write(f"top_p: {cfg.top_p}\n")
+        f.write(f"kv_cache: {getattr(args, 'kv_cache', 'auto')}\n")
     print(f"Results written to {out_path}")
     return metrics
 
@@ -200,7 +243,6 @@ def run_interact(cfg: TrainConfig):
     from ergm_tpu.data.assembly import read_meta
     from ergm_tpu.infer.interact import run_repl
     from ergm_tpu.models import gpt2
-    from ergm_tpu.tokenizer.bpe import BPETokenizer
     from ergm_tpu.train import checkpoint as ckpt_lib
 
     assert cfg.tokenizer_dir, "interact mode needs --tokenizer_dir"
@@ -215,7 +257,7 @@ def run_interact(cfg: TrainConfig):
     else:
         print("WARNING: no checkpoint found; replies come from random init")
     params = gpt2.params_for_inference(params, mcfg)
-    tokenizer = BPETokenizer.load(cfg.tokenizer_dir)
+    tokenizer = _load_tokenizer(cfg.tokenizer_dir, st)
     run_repl(params, mcfg, st, tokenizer, max_len=cfg.max_len,
              max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed)
 

@@ -84,6 +84,13 @@ class ModelConfig:
     # the parity mode used by the golden tests (SURVEY.md §7.4).
     dtype: str = "float32"
     remat: bool = False  # jax.checkpoint per block (ref: model.py:377-379)
+    # Rematerialization policy when remat=True:
+    #   "full"  — recompute the whole block in backward (smallest memory,
+    #             most recompute; round-1 default, ~26% MFU),
+    #   "dots"  — jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims:
+    #             saves matmul outputs, recomputes elementwise/softmax only
+    #             (keeps the MXU busy on new math instead of replays).
+    remat_policy: str = "dots"
     # Attention backend: "auto" picks the Pallas flash kernel on TPU and
     # the XLA reference path elsewhere; "xla" / "pallas" force a path.
     attention_impl: str = "auto"

@@ -36,6 +36,16 @@ next-token prediction under the reference's exact slicing:
   aligns token-for-token with the window tail. Under the shifted CE
   (logits[:-1] vs labels[1:]) this supervises exactly "predict each
   response token and the closing eos".
+
+Caption conditioning (src/model.py:460-463, 311-329): the reference's
+per-block cross-attention consumes ``caption_ids`` — token ids of the
+clip's image caption wrapped in ``<cap_bos> … <cap_eos>``
+(src/scripts/text2ids.py:23-28) — but its data path never produces
+them (SURVEY.md §2.4.2). Here ``assemble_split`` optionally emits
+``multi["cap"][i][j]``: the marker-wrapped caption ids for utterance j
+of dialogue i. The extra key is invisible to the reference consumer
+(custom_dataset.py reads only txt/img/aud/label), so the pickle stays
+schema-compatible.
 """
 
 from __future__ import annotations
@@ -91,6 +101,14 @@ def build_target(utter_ids: Sequence[int], st: SpecialTokens, speaker_id: Option
     return [st.bos_id, sp] + list(utter_ids) + [st.eos_id, st.eos_id]
 
 
+def build_caption(caption_ids: Sequence[int], st: SpecialTokens) -> List[int]:
+    """Wrap raw caption token ids in the caption markers
+    (src/scripts/text2ids.py:23-28 registers <cap_bos>/<cap_eos>)."""
+    if st.cap_bos_id < 0 or st.cap_eos_id < 0:
+        raise ValueError("caption markers not registered; use SpecialTokens.register")
+    return [st.cap_bos_id] + list(caption_ids) + [st.cap_eos_id]
+
+
 def assemble_split(
     dialogues_ids: Sequence[Sequence[Sequence[int]]],
     emotion_labels: Sequence[Sequence[int]],
@@ -98,6 +116,7 @@ def assemble_split(
     img_features: Optional[Sequence] = None,
     aud_features: Optional[Sequence] = None,
     contexts: Optional[Sequence[Sequence[str]]] = None,
+    captions: Optional[Sequence[Sequence[Sequence[int]]]] = None,
     max_turns: Optional[int] = None,
     max_len: Optional[int] = None,
     feature_dim: int = 768,
@@ -108,12 +127,16 @@ def assemble_split(
     ``img_features[i]`` / ``aud_features[i]`` = per-clip feature vectors
     for dialogue i (list or array); zeros are substituted when absent so
     the schema stays complete (text-only corpora).
+    ``captions[i][t]`` = raw caption token ids for the clip of utterance
+    t (e.g. from BLIP captioning of the keyframe); when given, the multi
+    payload gains a ``cap`` key with marker-wrapped ids.
     """
     import numpy as np
 
     txt, tgt = [], []
     ctx_out, emo_out = [], []
     imgs_out, auds_out = [], []
+    caps_out = [] if captions is not None else None
     for i, dia in enumerate(dialogues_ids):
         emos = emotion_labels[i]
         if len(dia) != len(emos):
@@ -131,6 +154,11 @@ def assemble_split(
         tgt.append(targets)
         ctx_out.append(ctxs)
         emo_out.append(list(emos))
+        if caps_out is not None:
+            if len(captions[i]) != len(dia):
+                raise ValueError(
+                    f"dialogue {i}: {len(dia)} utterances vs {len(captions[i])} captions")
+            caps_out.append([build_caption(c, st) for c in captions[i]])
         if img_features is not None and i < len(img_features) and len(img_features[i]):
             imgs_out.append([np.asarray(f, np.float32).reshape(-1) for f in img_features[i]])
         else:
@@ -140,8 +168,11 @@ def assemble_split(
         else:
             auds_out.append([np.zeros((feature_dim,), np.float32)])
 
+    multi = {"txt": txt, "img": imgs_out, "aud": auds_out, "label": tgt}
+    if caps_out is not None:
+        multi["cap"] = caps_out
     return {
-        "multi": {"txt": txt, "img": imgs_out, "aud": auds_out, "label": tgt},
+        "multi": multi,
         "context_label": {"context": ctx_out, "label": emo_out},
     }
 

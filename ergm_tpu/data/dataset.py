@@ -40,6 +40,9 @@ class Example:
     aud: np.ndarray  # [D]
     context: str
     emotion_label: int
+    # marker-wrapped caption token ids for the clip (multi["cap"][i][j],
+    # assembly.build_caption); None on caption-less corpora
+    caption_ids: Optional[List[int]] = None
 
 
 @dataclass
@@ -56,6 +59,8 @@ class Batch:
     attention_mask: np.ndarray  # [B, L] float32, 1 on real tokens
     valid: np.ndarray  # [B] bool
     contexts: List[str]
+    caption_ids: Optional[np.ndarray] = None  # [B, Lc] int32, eos-padded
+    caption_mask: Optional[np.ndarray] = None  # [B, Lc] float32, 1 on real
 
 
 def _feat(x) -> np.ndarray:
@@ -85,6 +90,9 @@ class DialogueDataset:
         videos = data["img"][:limit] if limit else data["img"]
         audios = data["aud"][:limit] if limit else data["aud"]
         targets = data["label"][:limit] if limit else data["label"]
+        caps = data.get("cap")  # optional caption ids (assembly docstring)
+        if caps is not None and limit:
+            caps = caps[:limit]
         contexts_data = context_label["context"][:limit] if limit else context_label["context"]
         emotions_data = context_label["label"][:limit] if limit else context_label["label"]
 
@@ -113,9 +121,11 @@ class DialogueDataset:
                     input_ids = input_ids + [eos_id] * (-gap)
                     token_types = token_types + [token_types[-1]] * (-gap)
                 assert len(input_ids) == len(labels) == len(token_types)
+                cap = [int(t) for t in caps[i][j]] if caps is not None else None
                 self.examples.append(Example(
                     input_ids=input_ids, token_type_ids=token_types, labels=labels,
                     img=img_f, aud=aud_f, context=dia_ctx[j], emotion_label=int(dia_emo[j]),
+                    caption_ids=cap,
                 ))
 
     def __len__(self) -> int:
@@ -159,6 +169,16 @@ def collate(
     valid = np.zeros((batch_size,), bool)
     contexts: List[str] = []
 
+    # captions: static [B, Lc] bucket when any example carries them
+    # (eos-pad like ids, mask 0 on pads; cross-attn masks pads out)
+    has_caps = any(e.caption_ids is not None for e in examples)
+    cap_ids = cap_mask = None
+    if has_caps:
+        longest_cap = max(len(e.caption_ids or []) for e in examples)
+        Lc = _bucket_len(max(longest_cap, 1), min(pad_multiple, 32), max_len)
+        cap_ids = np.full((batch_size, Lc), eos_id, np.int32)
+        cap_mask = np.zeros((batch_size, Lc), np.float32)
+
     for b in range(batch_size):
         e = examples[min(b, n - 1)]
         k = min(len(e.input_ids), L)
@@ -171,9 +191,14 @@ def collate(
         emo[b] = e.emotion_label
         valid[b] = b < n
         contexts.append(e.context)
+        if has_caps and e.caption_ids:
+            kc = min(len(e.caption_ids), cap_ids.shape[1])
+            cap_ids[b, :kc] = e.caption_ids[:kc]
+            cap_mask[b, :kc] = 1.0
     return Batch(input_ids=ids, token_type_ids=tts, labels=lbl, imgs=imgs,
                  auds=auds, emotion_labels=emo, attention_mask=mask,
-                 valid=valid, contexts=contexts)
+                 valid=valid, contexts=contexts,
+                 caption_ids=cap_ids, caption_mask=cap_mask)
 
 
 def batches(

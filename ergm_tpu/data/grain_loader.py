@@ -38,7 +38,11 @@ def make_grain_loader(
 
     ds = grain.MapDataset.source(dataset)
     if host_count > 1:
-        ds = ds[host_index::host_count]  # per-host shard (DCN data split)
+        # per-host shard (DCN data split), truncated to the MINIMUM
+        # shard length: every host must iterate the same number of
+        # batches or the collective train/eval steps deadlock
+        per_host = len(dataset) // host_count
+        ds = ds[host_index::host_count][:per_host]
     if shuffle:
         ds = ds.shuffle(seed=seed)
     ds = ds.batch(

@@ -36,9 +36,18 @@ def make_synthetic_split(
     st: Optional[SpecialTokens] = None,
     max_turns: Optional[int] = None,
     max_len: Optional[int] = 1024,
+    captions: Optional[str] = None,
 ):
     """Returns (payloads, SpecialTokens). ``payloads`` has the two pickle
-    dicts (see assembly.assemble_split)."""
+    dicts (see assembly.assemble_split).
+
+    ``captions``: None (no cap key), "random" (independent random ids —
+    uninformative conditioning), or "target" (caption = the utterance's
+    own token ids, a caption-PREDICTABLE task: a model whose
+    cross-attention works can copy the answer out of the caption, so
+    training with captions must beat training without — the end-to-end
+    proof that conditioning is wired, src/model.py:460-463).
+    """
     rng = np.random.default_rng(seed)
     if st is None:
         vocab = synthetic_vocab(base_vocab_size)
@@ -47,6 +56,7 @@ def make_synthetic_split(
 
     dialogues, emotions, contexts = [], [], []
     imgs, auds = [], []
+    caps = [] if captions else None
     for _ in range(num_dialogues):
         n_turns = turns_per_dialogue
         dia = [list(rng.choice(word_ids, size=rng.integers(utter_len.start, utter_len.stop)))
@@ -57,10 +67,18 @@ def make_synthetic_split(
         n_clips = 2
         imgs.append([rng.standard_normal(feature_dim).astype(np.float32) for _ in range(n_clips)])
         auds.append([rng.standard_normal(feature_dim).astype(np.float32) for _ in range(n_clips)])
+        if captions == "target":
+            caps.append([[int(t) for t in u] for u in dia])
+        elif captions == "random":
+            caps.append([
+                [int(t) for t in rng.choice(word_ids, size=len(u))] for u in dia])
+        elif captions is not None:
+            raise ValueError(f"unknown captions mode {captions!r}")
 
     payloads = assemble_split(
         dialogues, emotions, st,
         img_features=imgs, aud_features=auds, contexts=contexts,
+        captions=caps,
         max_turns=max_turns, max_len=max_len, feature_dim=feature_dim,
     )
     return payloads, st

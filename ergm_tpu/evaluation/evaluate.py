@@ -147,13 +147,31 @@ def bertscore_from_embeddings(
 
 
 class Evaluator:
-    """4-metric evaluator (the reference's intended surface)."""
+    """4-metric evaluator (the reference's intended surface).
+
+    BERTScore: with ``bert_model_dir``, uses the faithful implementation
+    (evaluation/bertscore.py — layer selection, idf weighting, baseline
+    rescaling, matching the published algorithm the reference consumes
+    via HF evaluate, /root/reference/eval/evaluate.py:50-69). The
+    ``embed_fn`` path remains for injectable test embeddings.
+    ``require_bertscore=True`` makes a missing model a hard error
+    instead of a skipped metric."""
 
     def __init__(self, bert_model_dir: Optional[str] = None,
-                 embed_fn: Optional[Callable[[List[str]], List[np.ndarray]]] = None):
+                 embed_fn: Optional[Callable[[List[str]], List[np.ndarray]]] = None,
+                 bert_layer: Optional[int] = None,
+                 bert_idf: bool = False,
+                 bert_baselines: Optional[Dict[str, float]] = None,
+                 require_bertscore: bool = False):
         self.embed_fn = embed_fn
-        if bert_model_dir is not None and embed_fn is None:
-            self.embed_fn = self._make_hf_embed_fn(bert_model_dir)
+        self.scorer = None
+        self.require_bertscore = require_bertscore
+        if bert_model_dir is not None:
+            from ergm_tpu.evaluation.bertscore import BERTScorer
+
+            # raises loudly on a broken/missing checkpoint dir
+            self.scorer = BERTScorer(bert_model_dir, layer=bert_layer,
+                                     idf=bert_idf, baselines=bert_baselines)
 
     @staticmethod
     def _make_hf_embed_fn(model_dir: str):
@@ -181,10 +199,17 @@ class Evaluator:
         return calculate_distinct(sentences)
 
     def calculate_bertscore(self, hypotheses, references) -> Optional[Dict[str, float]]:
+        if self.scorer is not None:
+            return self.scorer.score(list(hypotheses), list(references))
         if self.embed_fn is None:
+            if self.require_bertscore:
+                raise RuntimeError(
+                    "BERTScore required but no model available: pass "
+                    "bert_model_dir (local HF encoder checkpoint) or embed_fn")
             warnings.warn(
-                "BERTScore skipped: no embedding model available "
-                "(pass bert_model_dir or embed_fn to Evaluator)")
+                "BERTScore SKIPPED: no embedding model available "
+                "(pass bert_model_dir or embed_fn to Evaluator); the "
+                "bs_precision/bs_recall/bs_f1 fields will be absent")
             return None
         if not hypotheses or not references:
             return {"bs_precision": 0.0, "bs_recall": 0.0, "bs_f1": 0.0}
@@ -224,4 +249,19 @@ class Evaluator:
             t = np.asarray(true_label_ids)
             p = np.asarray(pred_label_ids)
             results["emotion_acc"] = float((t == p).mean() * 100.0)
+            # per-class F1 + macro-F1 (beyond the reference's accuracy,
+            # SURVEY.md §4 "exceed the reference"): accuracy alone hides
+            # collapse onto the majority class on imbalanced MELD labels
+            f1s = []
+            for cls in range(int(max(t.max(), p.max())) + 1):
+                tp = float(((p == cls) & (t == cls)).sum())
+                fp = float(((p == cls) & (t != cls)).sum())
+                fn = float(((p != cls) & (t == cls)).sum())
+                denom = 2 * tp + fp + fn
+                f1 = (2 * tp / denom) if denom > 0 else 0.0
+                if (t == cls).any() or (p == cls).any():
+                    results[f"emotion_f1_class{cls}"] = f1
+                    f1s.append(f1)
+            if f1s:
+                results["emotion_macro_f1"] = float(np.mean(f1s))
         return results

@@ -126,6 +126,7 @@ def generate(
     imgs: Optional[jnp.ndarray] = None,
     auds: Optional[jnp.ndarray] = None,
     caption_ids: Optional[jnp.ndarray] = None,
+    caption_mask: Optional[jnp.ndarray] = None,  # [B, Lc] 1=real caption token
     greedy: bool = False,
     logical_cap: Optional[int] = None,
     sample_top_k: int = 64,  # 0 => exact full-sort nucleus (parity mode)
@@ -168,6 +169,7 @@ def generate(
                        position_ids=prompt_pos,
                        attention_mask=mask,
                        imgs=imgs, auds=auds, caption_ids=caption_ids,
+                       encoder_attention_mask=caption_mask,
                        cache=cache)
     emotion_logits = out.emotion_logits
 
@@ -206,6 +208,7 @@ def generate(
         step_pos = jnp.minimum(step_pos, config.n_positions - 1)
         o = gpt2.forward(params, config, s.last, token_type_ids=step_tt,
                          position_ids=step_pos, attention_mask=s.mask,
+                         encoder_attention_mask=caption_mask,
                          cache=s.cache)
         rng, key = jax.random.split(s.rng)
         nxt = sample(o.logits[:, -1, :], key)
@@ -248,8 +251,10 @@ def generate_batch(
     token_types: Optional[Sequence[Sequence[int]]] = None,
     imgs: Optional[np.ndarray] = None,
     auds: Optional[np.ndarray] = None,
+    captions: Optional[Sequence[Optional[Sequence[int]]]] = None,
     greedy: bool = False,
     prompt_bucket: int = 64,
+    caption_bucket: int = 32,
     max_new_tokens: Optional[int] = None,
     sample_top_k: int = 64,
     sample_approx: bool = True,
@@ -259,7 +264,9 @@ def generate_batch(
     Left-pads prompts to a bucketed width, runs one jitted generate for
     the whole batch, and returns per-sample continuation token lists
     (eos included when emitted, like src/main.py:272-274) plus emotion
-    logits from the prompt's final token.
+    logits from the prompt's final token. ``captions``: per-sample
+    marker-wrapped caption ids for cross-attention conditioning
+    (src/model.py:460-463); right-padded to a bucketed width and masked.
     """
     B = len(prompts)
     lens = [len(p) for p in prompts]
@@ -272,6 +279,15 @@ def generate_batch(
         mask[b, Lp - len(p):] = 1.0
         if token_types is not None:
             tts[b, Lp - len(p):] = token_types[b]
+    cap_ids = cap_mask = None
+    if captions is not None and any(c is not None and len(c) for c in captions):
+        Lc = _bucket(max(len(c) if c else 1 for c in captions), caption_bucket)
+        cap_ids = np.full((B, Lc), eos_id, np.int32)
+        cap_mask = np.zeros((B, Lc), np.float32)
+        for b, c in enumerate(captions):
+            if c is not None and len(c):
+                cap_ids[b, :len(c)] = c
+                cap_mask[b, :len(c)] = 1.0
     cap = min(max_len, config.n_positions)
     new_cap = max_new_tokens if max_new_tokens is not None else max(cap - min(lens), 0)
     buffer_len = Lp + max(new_cap, 1)
@@ -283,6 +299,8 @@ def generate_batch(
         max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
         rng=rng, imgs=None if imgs is None else jnp.asarray(imgs),
         auds=None if auds is None else jnp.asarray(auds), greedy=greedy,
+        caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
+        caption_mask=None if cap_mask is None else jnp.asarray(cap_mask),
         sample_top_k=sample_top_k, sample_approx=sample_approx,
     )
     tokens = np.asarray(out.tokens)

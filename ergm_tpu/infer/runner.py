@@ -39,31 +39,16 @@ def _decode(tokenizer, ids: List[int]) -> str:
 
 
 def _beam_decode(params, config, prompts, tts, imgs, auds, *, num_beams,
-                 max_len, eos_id, sp2_id, max_new_tokens):
-    """Per-sample beam decode (beam_search uses uniform prompt lengths;
-    one compile per distinct prompt length — fine at the reference's
-    batch_size=1 inference setting, infer.sh:19)."""
-    import jax.numpy as jnp
+                 max_len, eos_id, sp2_id, max_new_tokens, captions=None):
+    """Batched beam decode over left-padded ragged prompts — one compiled
+    program per prompt bucket (ergm_tpu/infer/beam.py beam_search_batch),
+    replacing round 1's one-compile-per-prompt-length per-sample loop."""
+    from ergm_tpu.infer.beam import beam_search_batch
 
-    from ergm_tpu.infer.beam import beam_search
-    from ergm_tpu.models import gpt2
-
-    cap = min(max_len, config.n_positions)
-    outs, emos = [], []
-    for i, p in enumerate(prompts):
-        ids = jnp.asarray([p])
-        tt = jnp.asarray([tts[i]])
-        im = None if imgs is None else jnp.asarray(imgs[i:i + 1])
-        au = None if auds is None else jnp.asarray(auds[i:i + 1])
-        horizon = max(min(max_new_tokens or cap - len(p), cap - len(p)), 1)
-        toks, lens = beam_search(params, config, ids, len(p),
-                                 num_beams=num_beams, max_len=len(p) + horizon,
-                                 eos_id=eos_id, sp2_id=sp2_id,
-                                 token_type_ids=tt, imgs=im, auds=au)
-        outs.append(np.asarray(toks)[0, len(p):int(lens[0])].tolist())
-        fwd = gpt2.forward(params, config, ids, token_type_ids=tt, imgs=im, auds=au)
-        emos.append(np.asarray(fwd.emotion_logits)[0])
-    return outs, np.stack(emos)
+    return beam_search_batch(
+        params, config, prompts, num_beams=num_beams, max_len=max_len,
+        eos_id=eos_id, sp2_id=sp2_id, token_types=tts, imgs=imgs, auds=auds,
+        captions=captions, max_new_tokens=max_new_tokens)
 
 
 def run_test(
@@ -109,7 +94,7 @@ def run_test(
         metrics = jax.device_get(eval_step(params, dev_batch))
         losses.append(float(metrics["lm_loss"]))
 
-        prompts, tts, imgs, auds = [], [], [], []
+        prompts, tts, imgs, auds, caps = [], [], [], [], []
         for i in range(batch.input_ids.shape[0]):
             if not batch.valid[i]:
                 continue
@@ -124,6 +109,11 @@ def run_test(
             tts.append(batch.token_type_ids[i][:n].tolist())
             imgs.append(batch.imgs[i])
             auds.append(batch.auds[i])
+            if batch.caption_ids is not None:
+                nc = int(batch.caption_mask[i].sum())
+                caps.append(batch.caption_ids[i][:nc].tolist())
+            else:
+                caps.append(None)
 
             ref_ids = batch.labels[i][batch.labels[i] != IGNORE_INDEX]
             refs.append(_decode(tokenizer, ref_ids.tolist()))
@@ -131,18 +121,21 @@ def run_test(
             contexts.append(batch.contexts[i])
 
         rng, gen_rng = jax.random.split(rng)
+        cap_arg = caps if any(c is not None for c in caps) else None
         if num_beams > 1:
             outs, emo_logits = _beam_decode(
                 params, config, prompts, tts,
                 np.stack(imgs) if use_modalities else None,
                 np.stack(auds) if use_modalities else None,
                 num_beams=num_beams, max_len=max_len, eos_id=eos_id,
-                sp2_id=sp2_id, max_new_tokens=max_new_tokens)
+                sp2_id=sp2_id, max_new_tokens=max_new_tokens,
+                captions=cap_arg)
         else:
             outs, emo_logits = generate_batch(
                 params, config, prompts, token_types=tts,
                 imgs=np.stack(imgs) if use_modalities else None,
                 auds=np.stack(auds) if use_modalities else None,
+                captions=cap_arg,
                 max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
                 rng=gen_rng, max_new_tokens=max_new_tokens, **sample_kw,
             )

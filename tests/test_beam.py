@@ -37,10 +37,10 @@ def test_beam1_equals_greedy(params):
     ids = jnp.asarray([[1, 4, 2, 7]])
     g = generate(params, CFG, ids, 4, max_len=9, eos_id=EOS, sp2_id=SP2, greedy=True,
                  token_type_ids=_tt(ids), rng=jax.random.PRNGKey(0))
-    b_tokens, b_len = beam_search(params, CFG, ids, 4, num_beams=1, max_len=9,
-                                  eos_id=EOS, sp2_id=SP2, token_type_ids=_tt(ids))
-    np.testing.assert_array_equal(np.asarray(b_tokens), np.asarray(g.tokens))
-    assert int(b_len[0]) == int(g.lengths[0])
+    out = beam_search(params, CFG, ids, 4, num_beams=1, max_len=9,
+                      eos_id=EOS, sp2_id=SP2, token_type_ids=_tt(ids))
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(g.tokens))
+    assert int(out.lengths[0]) == int(g.lengths[0])
 
 
 def test_beam1_int8_cache_scales_carried(params):
@@ -51,10 +51,10 @@ def test_beam1_int8_cache_scales_carried(params):
     ids = jnp.asarray([[1, 4, 2, 7]])
     g = generate(params, cfg_q, ids, 4, max_len=9, eos_id=EOS, sp2_id=SP2,
                  greedy=True, token_type_ids=_tt(ids), rng=jax.random.PRNGKey(0))
-    b_tokens, b_len = beam_search(params, cfg_q, ids, 4, num_beams=1, max_len=9,
-                                  eos_id=EOS, sp2_id=SP2, token_type_ids=_tt(ids))
-    np.testing.assert_array_equal(np.asarray(b_tokens), np.asarray(g.tokens))
-    assert int(b_len[0]) == int(g.lengths[0])
+    out = beam_search(params, cfg_q, ids, 4, num_beams=1, max_len=9,
+                      eos_id=EOS, sp2_id=SP2, token_type_ids=_tt(ids))
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(g.tokens))
+    assert int(out.lengths[0]) == int(g.lengths[0])
 
 
 def _enumerate_scores(params, prompt, horizon=2):
@@ -80,9 +80,10 @@ def test_beam_finds_brute_force_optimum(params):
     prompt = [2, 9, 5]
     Lp, horizon = 3, 2
     ids = jnp.asarray([prompt])
-    b_tokens, b_len = beam_search(params, CFG, ids, Lp, num_beams=CFG.vocab_size,
-                                  max_len=Lp + horizon, eos_id=EOS, sp2_id=SP2,
-                                  token_type_ids=_tt(ids), length_penalty=0.0)
+    bo = beam_search(params, CFG, ids, Lp, num_beams=CFG.vocab_size,
+                     max_len=Lp + horizon, eos_id=EOS, sp2_id=SP2,
+                     token_type_ids=_tt(ids), length_penalty=0.0)
+    b_tokens, b_len = bo.tokens, bo.lengths
     seqs, scores = _enumerate_scores(params, prompt, horizon)
     best = seqs[np.argmax(scores)].tolist()
     got = np.asarray(b_tokens)[0, Lp:Lp + horizon].tolist()
@@ -102,10 +103,10 @@ def test_beam_with_modalities_and_captions(params_cross=None):
     imgs = jnp.asarray(rng.standard_normal((1, CFG.n_embd)) * 5, jnp.float32)
     auds = jnp.asarray(rng.standard_normal((1, CFG.n_embd)) * 5, jnp.float32)
     caps = jnp.asarray([[4, 5, 6, 7]])
-    with_m, lens = beam_search(p, cfg, ids, 3, num_beams=3, max_len=8, eos_id=EOS,
-                               sp2_id=SP2, imgs=imgs, auds=auds, caption_ids=caps)
-    assert np.asarray(with_m).shape == (1, 8)
-    assert int(lens[0]) >= 4
+    bo = beam_search(p, cfg, ids, 3, num_beams=3, max_len=8, eos_id=EOS,
+                     sp2_id=SP2, imgs=imgs, auds=auds, caption_ids=caps)
+    assert np.asarray(bo.tokens).shape == (1, 8)
+    assert int(bo.lengths[0]) >= 4
     # conditioning reaches the logits (beam tokens may coincide on a
     # 16-vocab random model whose argmax is dominated by one token)
     o1 = gpt2.forward(p, cfg, ids, imgs=imgs, auds=auds, caption_ids=caps)
@@ -144,9 +145,10 @@ def test_beam_scores_improve_over_greedy(params):
     horizon = 2
     g = generate(params, CFG, ids, 4, max_len=4 + horizon, eos_id=EOS, sp2_id=SP2,
                  greedy=True, token_type_ids=_tt(ids), rng=jax.random.PRNGKey(0))
-    b_tokens, b_len = beam_search(params, CFG, ids, 4, num_beams=4,
-                                  max_len=4 + horizon, eos_id=EOS, sp2_id=SP2,
-                                  token_type_ids=_tt(ids), length_penalty=0.0)
+    bo = beam_search(params, CFG, ids, 4, num_beams=4,
+                     max_len=4 + horizon, eos_id=EOS, sp2_id=SP2,
+                     token_type_ids=_tt(ids), length_penalty=0.0)
+    b_tokens, b_len = bo.tokens, bo.lengths
     seqs, scores = _enumerate_scores(params, prompt, horizon)
     lookup = {tuple(s): float(v) for s, v in zip(seqs.tolist(), scores)}
 
@@ -158,3 +160,28 @@ def test_beam_scores_improve_over_greedy(params):
         return lookup[full]
 
     assert seq_score(b_tokens, b_len[0]) >= seq_score(g.tokens, g.lengths[0]) - 1e-5
+
+
+def test_batched_ragged_beam_matches_per_sample(params):
+    """The batched left-padded beam path must reproduce the per-sample
+    uniform-length results exactly (VERDICT r1 item 9)."""
+    from ergm_tpu.infer.beam import beam_search_batch
+
+    prompts = [[1, 4, 2, 7], [2, 9, 5], [1, 8, 3, 3, 6, 1], [5]]
+    horizon = 4
+    # per-sample references (uniform mode, one call per prompt)
+    want = []
+    for p in prompts:
+        ids = jnp.asarray([p])
+        bo = beam_search(params, CFG, ids, len(p), num_beams=3,
+                         max_len=len(p) + horizon, eos_id=EOS, sp2_id=SP2,
+                         token_type_ids=_tt(ids))
+        want.append(np.asarray(bo.tokens)[0, len(p):int(bo.lengths[0])].tolist())
+    # one batched call over the ragged batch
+    got, emo = beam_search_batch(
+        params, CFG, prompts, num_beams=3, max_len=CFG.n_positions,
+        eos_id=EOS, sp2_id=SP2,
+        token_types=[[PROMPT_TT] * len(p) for p in prompts],
+        max_new_tokens=horizon)
+    assert got == want, (got, want)
+    assert emo.shape == (4, CFG.num_emotions)

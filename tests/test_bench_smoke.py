@@ -15,6 +15,8 @@ def test_bench_prints_one_json_line(tmp_path):
                JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
                BENCH_BATCH="2", BENCH_PROMPT="16", BENCH_NEW_TOKENS="4",
                BENCH_MODEL="gpt2", BENCH_REPS="1")
+    # the subprocess runs from tmp_path; make the repo importable there
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # tiny geometry so the CPU run stays fast
     code = (
         "import ergm_tpu.core.config as c;"

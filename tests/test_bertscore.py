@@ -1,0 +1,142 @@
+"""BERTScore golden tests: the faithful scorer
+(ergm_tpu/evaluation/bertscore.py) vs an INDEPENDENT straight-line
+implementation of the published algorithm (Zhang et al., ICLR 2020 —
+what the reference consumes through HF evaluate,
+/root/reference/eval/evaluate.py:50-69), on a tiny local random-weight
+BERT checkpoint written to disk (no downloads)."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from ergm_tpu.evaluation.bertscore import BERTScorer, compute_idf  # noqa: E402
+
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+         "the", "cat", "sat", "on", "mat", "a", "dog", "ran", "fast",
+         "hello", "world", "it", "was", "sunny", "day"]
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bert")
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write("\n".join(VOCAB))
+    tok = transformers.BertTokenizer(os.path.join(d, "vocab.txt"))
+    tok.save_pretrained(d)
+    cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB), hidden_size=32, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=64, max_position_embeddings=64)
+    torch.manual_seed(0)
+    transformers.BertModel(cfg).save_pretrained(d)
+    return str(d)
+
+
+def oracle_bertscore(model_dir, cands, refs, layer, idf=False, baselines=None):
+    """Independent published-algorithm implementation (per-pair loops,
+    no shared code with the scorer beyond torch/transformers)."""
+    tok = transformers.AutoTokenizer.from_pretrained(model_dir, local_files_only=True)
+    model = transformers.AutoModel.from_pretrained(
+        model_dir, local_files_only=True, output_hidden_states=True)
+    model.eval()
+
+    def embed(text):
+        enc = tok(text, return_tensors="pt")
+        with torch.no_grad():
+            h = model(**enc).hidden_states[layer][0]  # [L, D] incl. CLS/SEP
+        h = h / h.norm(dim=-1, keepdim=True)
+        return h.numpy(), enc["input_ids"][0].tolist()
+
+    ref_ids = [tok(r)["input_ids"] for r in refs]
+    n = len(refs)
+    df = {}
+    for ids in ref_ids:
+        for t in set(ids):
+            df[t] = df.get(t, 0) + 1
+    idf_map = {t: math.log((n + 1) / (c + 1)) for t, c in df.items()}
+    for sid in tok.all_special_ids:
+        idf_map[sid] = 0.0
+    default_idf = math.log(n + 1)
+
+    def w(ids):
+        if not idf:
+            return np.ones(len(ids))
+        return np.array([idf_map.get(t, default_idf) for t in ids])
+
+    Ps, Rs, Fs = [], [], []
+    for c, r in zip(cands, refs):
+        ce, ci = embed(c)
+        re_, ri = embed(r)
+        sim = ce @ re_.T
+        wc, wr = w(ci), w(ri)
+        P = float((sim.max(1) * wc).sum() / wc.sum())
+        R = float((sim.max(0) * wr).sum() / wr.sum())
+        F = 2 * P * R / (P + R) if P + R else 0.0
+        Ps.append(P); Rs.append(R); Fs.append(F)
+    out = [float(np.mean(Ps)), float(np.mean(Rs)), float(np.mean(Fs))]
+    if baselines:
+        out = [(x - b) / (1 - b) for x, b in zip(out, baselines)]
+    return out
+
+
+CANDS = ["the cat sat on the mat", "a dog ran fast", "hello world"]
+REFS = ["a cat was on a mat", "the dog ran", "hello sunny world it was a day"]
+
+
+@pytest.mark.parametrize("layer", [1, 3])
+@pytest.mark.parametrize("use_idf", [False, True])
+def test_matches_published_algorithm(model_dir, layer, use_idf):
+    scorer = BERTScorer(model_dir, layer=layer, idf=use_idf)
+    got = scorer.score(CANDS, REFS)
+    want = oracle_bertscore(model_dir, CANDS, REFS, layer, idf=use_idf)
+    np.testing.assert_allclose(
+        [got["bs_precision"], got["bs_recall"], got["bs_f1"]], want, atol=1e-5)
+
+
+def test_identical_sentences_score_one(model_dir):
+    scorer = BERTScorer(model_dir)
+    got = scorer.score(CANDS, CANDS)
+    assert got["bs_precision"] == pytest.approx(1.0, abs=1e-5)
+    assert got["bs_f1"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_baseline_rescaling(model_dir):
+    raw = BERTScorer(model_dir).score(CANDS, REFS)
+    b = {"precision": 0.5, "recall": 0.5, "f1": 0.5}
+    scaled = BERTScorer(model_dir, baselines=b).score(CANDS, REFS)
+    for k in raw:
+        assert scaled[k] == pytest.approx((raw[k] - 0.5) / 0.5, abs=1e-6)
+
+
+def test_idf_zeroes_special_tokens():
+    refs = [[2, 5, 6, 3], [2, 5, 7, 3]]  # 2/3 = CLS/SEP-style ids
+    idf = compute_idf(refs, special_ids=[2, 3])
+    assert idf[2] == 0.0 and idf[3] == 0.0
+    assert idf[5] == pytest.approx(math.log(3 / 3))  # in both refs
+    assert idf[6] == pytest.approx(math.log(3 / 2))  # in one ref
+
+
+def test_missing_model_raises():
+    with pytest.raises(RuntimeError, match="could not be loaded"):
+        BERTScorer("/nonexistent/model/dir")
+
+
+def test_evaluator_require_bertscore_raises():
+    from ergm_tpu.evaluation.evaluate import Evaluator
+
+    ev = Evaluator(require_bertscore=True)
+    with pytest.raises(RuntimeError, match="BERTScore required"):
+        ev.evaluate_all(["a"], ["b"])
+
+
+def test_evaluator_uses_real_scorer(model_dir):
+    from ergm_tpu.evaluation.evaluate import Evaluator
+
+    ev = Evaluator(bert_model_dir=model_dir, bert_layer=2)
+    res = ev.evaluate_all(CANDS, REFS)
+    want = oracle_bertscore(model_dir, CANDS, REFS, layer=2)
+    assert res["bs_f1"] == pytest.approx(want[2], abs=1e-5)
