@@ -89,8 +89,21 @@ class ModelConfig:
     #             most recompute; round-1 default, ~26% MFU),
     #   "dots"  — jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims:
     #             saves matmul outputs, recomputes elementwise/softmax only
-    #             (keeps the MXU busy on new math instead of replays).
-    remat_policy: str = "dots"
+    #             (measured slower than "full" at B=64: the saves spill),
+    #   "mlp"   — checkpoint only the MLP/cross-attn sublayers; attention
+    #             keeps its VJP residuals so backward never re-runs the
+    #             flash forward (measured best; the new default).
+    remat_policy: str = "mlp"
+    # sequence-chunk size for the rematerialized LM loss (models/gpt2.py
+    # chunked_lm_loss): bounds live logits memory at O(B * chunk * V)
+    loss_chunk: int = 128
+    # training LM-loss backend when logits aren't needed:
+    #   "auto"    — fused Pallas softmax-xent kernel on TPU (never
+    #               materializes [tokens, V] logits; ops/fused_ce.py),
+    #               chunked elsewhere,
+    #   "chunked" — always the jax.checkpoint'd chunked path,
+    #   "fused"   — always the Pallas kernel (interpret mode off-TPU).
+    lm_loss_impl: str = "auto"
     # Attention backend: "auto" picks the Pallas flash kernel on TPU and
     # the XLA reference path elsewhere; "xla" / "pallas" force a path.
     attention_impl: str = "auto"

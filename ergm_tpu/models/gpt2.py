@@ -591,6 +591,27 @@ def transformer(
     enc = encoder_hidden_states
     decode = cache is not None
 
+    # remat_policy="mlp": checkpoint ONLY the MLP / cross-attention
+    # sublayers. Self-attention keeps its VJP residuals (incl. the flash
+    # kernel's saved softmax stats), so backward never re-runs the flash
+    # forward — measured the single largest recompute cost of full-block
+    # remat — while the big [B, L, 4D] MLP intermediates are still freed.
+    mlp_remat = c.remat and c.remat_policy == "mlp" and not decode
+
+    def _mlp_sub(mlp_in, pm, layer_rng):
+        return _mlp(mlp_in, pm, config=c, deterministic=deterministic,
+                    rng=layer_rng)
+
+    def _cross_sub(ca_in, enc_, pc, li, layer_rng):
+        return _cross_attention(ca_in, enc_, pc, li, config=c,
+                                enc_mask=enc_mask, cached_kv=None,
+                                deterministic=deterministic,
+                                rng=layer_rng)[0]
+
+    if mlp_remat:
+        _mlp_sub = jax.checkpoint(_mlp_sub, prevent_cse=False)
+        _cross_sub = jax.checkpoint(_cross_sub, prevent_cse=False)
+
     def block(carry, xs):
         # decode carries the FULL stacked cache: new-token K/V are written
         # into it with a tiny [B, H, L, D] store and the layer slice is
@@ -630,15 +651,18 @@ def transformer(
         new_ckv = None
         if use_cross:
             ca_in = layer_norm(h, p["ln_cross"], c.layer_norm_epsilon)
-            ca_out, new_ckv = _cross_attention(
-                ca_in, enc, p["cross_attn"], li, config=c, enc_mask=enc_mask,
-                cached_kv=ckv, deterministic=deterministic, rng=layer_rng,
-            )
+            if mlp_remat:
+                ca_out = _cross_sub(ca_in, enc, p["cross_attn"], li, layer_rng)
+            else:
+                ca_out, new_ckv = _cross_attention(
+                    ca_in, enc, p["cross_attn"], li, config=c, enc_mask=enc_mask,
+                    cached_kv=ckv, deterministic=deterministic, rng=layer_rng,
+                )
             h = h + ca_out
 
         # MLP (src/model.py:331-334)
         mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
-        h = h + _mlp(mlp_in, p["mlp"], config=c, deterministic=deterministic, rng=layer_rng)
+        h = h + _mlp_sub(mlp_in, p["mlp"], layer_rng)
         if decode:
             # store freshly computed cross K/V at prefill (skipped when the
             # values came from the cache, or no cross cache was allocated)
@@ -655,12 +679,12 @@ def transformer(
         return h, None
 
     block_fn = block
-    if c.remat:
+    if c.remat and not mlp_remat:
         # trade FLOPs for HBM like torch.utils.checkpoint (src/model.py:535-551).
-        # "dots" saves matmul outputs and replays only cheap elementwise /
-        # softmax work in backward — measured much closer to the no-remat
-        # step time while still bounding activation memory; "full"
-        # recomputes the entire block (round-1 behavior).
+        # "full" recomputes the entire block (round-1 behavior); "dots"
+        # saves matmul outputs and replays only elementwise/softmax work
+        # (measured SLOWER than full at B=64: the saves spill); "mlp"
+        # (handled above) is the measured-best policy.
         if c.remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
             block_fn = jax.checkpoint(block_fn, prevent_cse=False, policy=policy)
@@ -817,8 +841,19 @@ def forward(
     if labels is not None:
         if logits is not None:
             lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
+        elif c.lm_loss_impl == "fused" or (
+                c.lm_loss_impl == "auto" and jax.default_backend() == "tpu"
+                and jax.device_count() == 1):
+            # "auto" picks the kernel only single-chip: an opaque
+            # pallas_call under pjit makes the SPMD partitioner replicate
+            # its operands, so sharded meshes keep the chunked path
+            # (which XLA shards correctly) until the kernel is shard_map'd
+            from ergm_tpu.ops.fused_ce import fused_lm_loss
+
+            lm_loss = fused_lm_loss(hidden, wte.astype(hidden.dtype), labels,
+                                    interpret=jax.default_backend() != "tpu")
         else:
-            lm_loss = chunked_lm_loss(hidden, wte, labels)
+            lm_loss = chunked_lm_loss(hidden, wte, labels, chunk=c.loss_chunk)
     if emotion_labels is not None:
         emo_loss = cross_entropy(emotion_logits, emotion_labels)
     if lm_loss is not None and emo_loss is not None:

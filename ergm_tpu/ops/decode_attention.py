@@ -8,7 +8,13 @@ wasted. This kernel:
 
 - tiles the cache into key blocks and SKIPS blocks at/after the live
   length entirely (scalar-prefetched ``cur``, the paged-attention
-  pattern from jax.experimental.pallas.ops.tpu.paged_attention),
+  pattern from jax.experimental.pallas.ops.tpu.paged_attention):
+  dead blocks CLAMP their BlockSpec index map to the previous live
+  block, so the pipeline issues no new DMA for them (Pallas skips
+  re-fetching a block whose index equals the last one) — guarding only
+  the compute with ``pl.when`` would still stream the whole dead cache
+  through VMEM, which is exactly the traffic this kernel exists to
+  avoid (round-1 version's defect: it lost 2-5x to XLA because of it),
 - runs the online-softmax reduction across blocks in fp32 VMEM scratch,
 - folds the [B, T] validity mask (left-pads + unwritten tail) into the
   score mask — single-token decode needs no separate causal term,
@@ -103,6 +109,17 @@ def decode_attention(
                               ).reshape(q.shape[0], 1, -1)
 
     kernel = functools.partial(_kernel, block_k=block_k, scale=float(scale))
+
+    def kv_map(b, i, cur_ref):
+        # dead blocks (start >= cur) re-point at the LAST LIVE block: the
+        # pipeline sees an unchanged index and skips their DMA entirely
+        last_live = jnp.maximum(jax.lax.div(cur_ref[0] - 1, block_k), 0)
+        return (b, 0, jnp.minimum(i, last_live), 0)
+
+    def mask_map(b, i, cur_ref):
+        last_live = jnp.maximum(jax.lax.div(cur_ref[0] - 1, block_k), 0)
+        return (b, 0, jnp.minimum(i, last_live))
+
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -110,9 +127,9 @@ def decode_attention(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, H, D), lambda b, i, cur_ref: (b, 0, 0)),
-                pl.BlockSpec((1, H, block_k, D), lambda b, i, cur_ref: (b, 0, i, 0)),
-                pl.BlockSpec((1, H, block_k, D), lambda b, i, cur_ref: (b, 0, i, 0)),
-                pl.BlockSpec((1, 1, block_k), lambda b, i, cur_ref: (b, 0, i)),
+                pl.BlockSpec((1, H, block_k, D), kv_map),
+                pl.BlockSpec((1, H, block_k, D), kv_map),
+                pl.BlockSpec((1, 1, block_k), mask_map),
             ],
             out_specs=pl.BlockSpec((1, H, D), lambda b, i, cur_ref: (b, 0, 0)),
             scratch_shapes=[

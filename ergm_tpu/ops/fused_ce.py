@@ -1,0 +1,269 @@
+"""Fused softmax cross-entropy over the tied vocab projection (Pallas TPU).
+
+The training loss needs exactly two numbers per token — logsumexp over
+the vocab and the gold logit — yet computing them through a plain
+matmul materializes [tokens, V] logits in HBM (fp32 at V=50k: gigabytes
+per step), and the backward pass materializes the same-shaped dlogits.
+Round 1's chunked_lm_loss (models/gpt2.py) bounded the LIVE memory but
+still paid the HBM traffic; the train-step ablation
+(results/train_ablation.jsonl) measured it at ~130 ms of a 479 ms
+B=64xL=512 step — 2.5x its ~51 ms FLOP cost.
+
+This kernel never materializes logits:
+
+- forward: grid (token blocks x vocab blocks), s = h @ W^T on the MXU in
+  fp32, online logsumexp in VMEM scratch, gold logit picked by label
+  match; outputs per-token nll and logz,
+- backward (custom VJP): two kernels recompute s block-by-block and
+  accumulate each gradient in VMEM scratch over their INNER grid dim
+  (dh over vocab blocks, dW over token blocks) — no [tokens, V]
+  intermediate ever exists, and no cross-visit output accumulation is
+  needed.
+
+Numerics: fp32 accumulation throughout; equals the dense/chunked path
+to fp32 tolerance (tests/test_fused_ce.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _fwd_kernel(h_ref, w_ref, lbl_ref, nll_ref, logz_ref,
+                m_ref, l_ref, g_ref, *, v_total: int, block_v: int):
+    v = pl.program_id(1)
+    num_v = pl.num_programs(1)
+
+    @pl.when(v == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        g_ref[...] = jnp.zeros_like(g_ref)
+
+    h = h_ref[...]                       # [BN, D]
+    w = w_ref[...]                       # [BV, D]
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [BN, BV]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + v * block_v
+    s = jnp.where(col < v_total, s, _NEG)
+
+    lbl = lbl_ref[0][:, None]            # [BN, 1]
+    g_ref[:, :1] += jnp.sum(jnp.where(col == lbl, s, 0.0), axis=1, keepdims=True)
+
+    m_prev = m_ref[:, :1]
+    m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    l_ref[:, :1] = (l_ref[:, :1] * jnp.exp(m_prev - m_next)
+                    + jnp.sum(jnp.exp(s - m_next), axis=1, keepdims=True))
+    m_ref[:, :1] = m_next
+
+    @pl.when(v == num_v - 1)
+    def _finish():
+        logz = m_ref[:, :1] + jnp.log(jnp.maximum(l_ref[:, :1], 1e-30))
+        logz_ref[0] = logz[:, 0]
+        nll_ref[0] = (logz - g_ref[:, :1])[:, 0]
+
+
+def _padj(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, v, *, v_total, block_v):
+    """Recompute the weighted softmax-grad block (p - onehot) * gw."""
+    h = h_ref[...]                       # [BN, D]
+    w = w_ref[...]                       # [BV, D]
+    s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [BN, BV]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + v * block_v
+    gw = gw_ref[0][:, None]              # [BN, 1] per-token cotangent
+    p = jnp.where(col < v_total,
+                  jnp.exp(s - logz_ref[0][:, None]), 0.0) * gw
+    return p - jnp.where(col == lbl_ref[0][:, None], gw, 0.0)  # [BN, BV]
+
+
+def _bwd_dh_kernel(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, dh_ref,
+                   acc, *, v_total: int, block_v: int):
+    v = pl.program_id(1)
+    padj = _padj(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, v,
+                 v_total=v_total, block_v=block_v)
+    # grad matmuls run at the activation dtype (bf16 on TPU: native MXU
+    # rate; fp32 inputs in the parity tests stay fp32), fp32 accumulate
+    delta = jax.lax.dot_general(padj.astype(h_ref.dtype), w_ref[...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(v == 0)
+    def _init():
+        acc[...] = delta
+
+    @pl.when(v > 0)
+    def _acc():
+        acc[...] += delta
+
+    @pl.when(v == pl.num_programs(1) - 1)
+    def _write():
+        dh_ref[...] = acc[...]
+
+
+def _bwd_dw_kernel(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, dw_ref,
+                   acc, *, v_total: int, block_v: int):
+    v = pl.program_id(0)
+    n = pl.program_id(1)
+    padj = _padj(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, v,
+                 v_total=v_total, block_v=block_v)
+    delta = jax.lax.dot_general(padj.astype(h_ref.dtype), h_ref[...],
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+    @pl.when(n == 0)
+    def _init():
+        acc[...] = delta
+
+    @pl.when(n > 0)
+    def _acc():
+        acc[...] += delta
+
+    @pl.when(n == pl.num_programs(1) - 1)
+    def _write():
+        dw_ref[...] = acc[...]
+
+
+def _pad_to(x, n, axis, value):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_softmax_xent(hidden, wte, labels,
+                       block_n: int = 256, block_v: int = 1024,
+                       interpret: bool = False):
+    """Per-token NLL of ``labels`` under softmax(hidden @ wte^T).
+
+    hidden [N, D] (any float dtype), wte [V, D], labels [N] int32
+    (negative = ignored -> garbage nll, zero gradient; callers mask).
+    Returns nll [N] fp32. Differentiable in hidden and wte.
+    """
+    nll, _ = _fwd_impl(hidden, wte, labels, block_n, block_v, interpret)
+    return nll
+
+
+def _fwd_impl(hidden, wte, labels, block_n, block_v, interpret):
+    N, D = hidden.shape
+    V = wte.shape[0]
+    bn = min(block_n, max(N, 8))
+    Np = -(-N // bn) * bn
+    Vp = -(-V // block_v) * block_v
+    h = _pad_to(hidden, Np, 0, 0)
+    w = _pad_to(wte, Vp, 0, 0)
+    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100).reshape(Np // bn, bn)
+
+    kernel = functools.partial(_fwd_kernel, v_total=V, block_v=block_v)
+    nll, logz = pl.pallas_call(
+        kernel,
+        grid=(Np // bn, Vp // block_v),
+        in_specs=[
+            pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
+            pl.BlockSpec((block_v, D), lambda n, v: (v, 0)),
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np // bn, bn), jnp.float32),
+            jax.ShapeDtypeStruct((Np // bn, bn), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, 128), jnp.float32),
+            pltpu.VMEM((bn, 128), jnp.float32),
+            pltpu.VMEM((bn, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(h, w, lbl)
+    return nll.reshape(Np)[:N], logz.reshape(Np)[:N]
+
+
+def _vjp_fwd(hidden, wte, labels, block_n, block_v, interpret):
+    nll, logz = _fwd_impl(hidden, wte, labels, block_n, block_v, interpret)
+    return nll, (hidden, wte, labels, logz)
+
+
+def _vjp_bwd(block_n, block_v, interpret, res, g):
+    hidden, wte, labels, logz = res
+    N, D = hidden.shape
+    V = wte.shape[0]
+    bn = min(block_n, max(N, 8))
+    Np = -(-N // bn) * bn
+    Vp = -(-V // block_v) * block_v
+    h = _pad_to(hidden, Np, 0, 0)
+    w = _pad_to(wte, Vp, 0, 0)
+    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100).reshape(Np // bn, bn)
+    # padded rows: gw = 0 -> zero contribution
+    gw = _pad_to(g.astype(jnp.float32), Np, 0, 0).reshape(Np // bn, bn)
+    lz = _pad_to(logz, Np, 0, 0).reshape(Np // bn, bn)
+
+    dh = pl.pallas_call(
+        functools.partial(_bwd_dh_kernel, v_total=V, block_v=block_v),
+        grid=(Np // bn, Vp // block_v),
+        in_specs=[
+            pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
+            pl.BlockSpec((block_v, D), lambda n, v: (v, 0)),
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
+        out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(h, w, lbl, lz, gw)
+    dw = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, v_total=V, block_v=block_v),
+        grid=(Vp // block_v, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bn, D), lambda v, n: (n, 0)),
+            pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
+            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
+            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
+            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
+        out_shape=jax.ShapeDtypeStruct((Vp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_v, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(h, w, lbl, lz, gw)
+    return (dh[:N].astype(hidden.dtype), dw[:V].astype(wte.dtype), None)
+
+
+fused_softmax_xent.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: int = -100,
+                  block_n: int = 256, block_v: int = 1024,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Shifted LM cross-entropy via the fused kernel — drop-in for
+    models.gpt2.chunked_lm_loss (same semantics: position t scored
+    against labels[t+1], mean over non-ignored targets)."""
+    B, L, D = hidden.shape
+    shifted = jnp.concatenate(
+        [labels[:, 1:], jnp.full((B, 1), ignore_index, labels.dtype)], axis=1)
+    flat_h = hidden.reshape(B * L, D)
+    flat_l = shifted.reshape(B * L)
+    nll = fused_softmax_xent(flat_h, wte, flat_l, block_n, block_v, interpret)
+    mask = (flat_l != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -30,7 +30,8 @@ SEQ = int(os.environ.get("TRAIN_BENCH_SEQ", 512))
 MODEL = os.environ.get("TRAIN_BENCH_MODEL", "gpt2")
 REPS = int(os.environ.get("TRAIN_BENCH_REPS", 4))
 REMAT = os.environ.get("TRAIN_BENCH_REMAT", "1") not in ("0", "false")
-REMAT_POLICY = os.environ.get("TRAIN_BENCH_REMAT_POLICY", "dots")
+REMAT_POLICY = os.environ.get("TRAIN_BENCH_REMAT_POLICY", "mlp")
+LM_LOSS = os.environ.get("TRAIN_BENCH_LM_LOSS", "auto")
 
 # bf16 peak TFLOP/s by device kind substring (public specs)
 PEAK_TFLOPS = {
@@ -75,7 +76,9 @@ def main():
     print(f"device: {kind}", file=sys.stderr)
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        attn_pdrop=0.0, remat=REMAT, remat_policy=REMAT_POLICY)
+        attn_pdrop=0.0, remat=REMAT, remat_policy=REMAT_POLICY,
+        lm_loss_impl=LM_LOSS,
+        loss_chunk=int(os.environ.get("TRAIN_BENCH_LOSS_CHUNK", 128)))
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     tx = optax.adamw(1e-4)
     state = create_train_state(params, tx)
@@ -113,7 +116,7 @@ def main():
         "metric": "trimodal_train_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 1),
         "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, bf16+flash"
-                f"{'+remat:' + REMAT_POLICY if REMAT else ''})",
+                f"{'+remat:' + REMAT_POLICY if REMAT else ''}+ce:{LM_LOSS})",
         "step_ms": round(best * 1000, 1),
     }
     peak = device_peak_tflops(kind)

@@ -14,7 +14,11 @@ def test_bench_prints_one_json_line(tmp_path):
     env = dict(os.environ,
                JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
                BENCH_BATCH="2", BENCH_PROMPT="16", BENCH_NEW_TOKENS="4",
-               BENCH_MODEL="gpt2", BENCH_REPS="1")
+               BENCH_MODEL="gpt2", BENCH_REPS="1",
+               TRAIN_BENCH_BATCH="2", TRAIN_BENCH_SEQ="32",
+               TRAIN_BENCH_MODEL="gpt2", TRAIN_BENCH_REPS="1",
+               TRAIN_BENCH_CHAIN="1")
+    env["TRAIN_BENCH_OUT"] = str(tmp_path / "TRAIN_BENCH.json")
     # the subprocess runs from tmp_path; make the repo importable there
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # tiny geometry so the CPU run stays fast
@@ -34,6 +38,13 @@ def test_bench_prints_one_json_line(tmp_path):
     payload = json.loads(lines[0])
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
+    # the side artifact carries the training number + MFU for the driver
+    train_path = str(tmp_path / "TRAIN_BENCH.json")
+    assert os.path.exists(train_path), proc.stderr[-2000:]
+    with open(train_path) as f:
+        train = json.load(f)
+    assert train["metric"] == "trimodal_train_tokens_per_sec_per_chip"
+    assert train["value"] > 0 and "model_tflops" in train
 
 
 def test_graft_entry_contract():
