@@ -421,37 +421,25 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     T = k_all.shape[-2]
     scale = _attn_scale(c, li)
 
-    # Experimental opt-in: the block-skipping Pallas decode kernel
-    # (ops/decode_attention.py). Measured on v5e it does NOT beat XLA's
-    # fused decode attention at these head counts (XLA: 26.5k tok/s at
-    # T=256 / 13.2k at T=1024 vs kernel 9.5k / 2.7k), so the default
-    # "auto"/"pallas" paths keep XLA for single-token steps.
-    use_kernel = (
-        L == 1 and T % 128 == 0
-        and c.attention_impl == "pallas_decode"
-        and ks_full is None  # kernel reads the raw (unquantized) cache
-        and not c.scale_attn_by_inverse_layer_idx  # kernel scale is static
-        and jax.default_backend() == "tpu"
+    # Single-token decode attention runs on XLA's fused path. A bespoke
+    # block-skipping Pallas decode kernel (clamped BlockSpec index maps so
+    # dead cache blocks issue no DMA) was built and measured on v5e at
+    # B=128/H=12/T=1024: 1336-1986 us/op vs XLA's flat ~1190 us at every
+    # live length — at GPT-2 head counts the [H, block_k] per-block matmul
+    # fills 12 of 128 MXU rows and per-grid-step overhead dominates, so
+    # the kernel lost everywhere and was removed (VERDICT r1 item 8;
+    # measurements in results/decode_kernel_bench.jsonl, git history has
+    # the kernel).
+    # Mask the unwritten cache tail; combined with any caller key mask.
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    tail = (kpos < (cache_index + L)).astype(jnp.float32)
+    kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
+    out = multihead_attention(
+        q, k_all, v_all, causal=True, kv_mask=kv_mask,
+        q_mask=None if attn_mask is None else attn_mask[:, :L],
+        scale=scale, causal_offset=cache_index,
+        impl=c.attention_impl,
     )
-    if use_kernel:
-        from ergm_tpu.ops.decode_attention import decode_attention
-
-        B = q.shape[0]
-        mask = (attn_mask[:, :T] if attn_mask is not None
-                else jnp.ones((B, T), jnp.float32))
-        out = decode_attention(q[:, :, 0, :], k_all, v_all,
-                               cache_index + L, mask, scale=scale)[:, :, None, :]
-    else:
-        # Mask the unwritten cache tail; combined with any caller key mask.
-        kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-        tail = (kpos < (cache_index + L)).astype(jnp.float32)
-        kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
-        out = multihead_attention(
-            q, k_all, v_all, causal=True, kv_mask=kv_mask,
-            q_mask=None if attn_mask is None else attn_mask[:, :L],
-            scale=scale, causal_offset=cache_index,
-            impl=c.attention_impl,
-        )
     return (_attn_project(out, p, c, deterministic, rng),
             k_full, v_full, ks_full, vs_full)
 

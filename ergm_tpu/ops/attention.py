@@ -110,7 +110,7 @@ def multihead_attention(
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     dropout_active = (not deterministic) and dropout_rate > 0.0 and rng is not None
-    if impl in ("pallas", "pallas_decode") and extra_bias is None:
+    if impl == "pallas" and extra_bias is None:
         from ergm_tpu.ops.flash_attention import flash_attention_supported, flash_mha
 
         if flash_attention_supported(q, k, v, causal=causal,

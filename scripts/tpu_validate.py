@@ -95,21 +95,6 @@ def main():
     for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
         check(f"grad {name}", a, b, 5e-2)
 
-    # custom decode-attention kernel vs oracle (compiled path)
-    from ergm_tpu.ops.decode_attention import (decode_attention,
-                                               decode_attention_reference)
-
-    dq = jnp.asarray(rng.standard_normal((4, 12, 64)), jnp.bfloat16)
-    dk = jnp.asarray(rng.standard_normal((4, 12, 512, 64)), jnp.bfloat16)
-    dv = jnp.asarray(rng.standard_normal((4, 12, 512, 64)), jnp.bfloat16)
-    dmask = jnp.asarray((rng.random((4, 512)) > 0.1), jnp.float32)
-    for cur in (1, 200, 512):
-        got = jax.jit(lambda q, k, v, m: decode_attention(
-            q, k, v, jnp.int32(cur), m, scale=0.125, block_k=128))(dq, dk, dv, dmask)
-        want = jax.jit(lambda q, k, v, m: decode_attention_reference(
-            q, k, v, jnp.int32(cur), m, scale=0.125))(dq, dk, dv, dmask)
-        check(f"decode kernel cur={cur}", got, want, 2e-2)
-
     # full model forward, flash vs xla
     from ergm_tpu.core.config import ModelConfig
     from ergm_tpu.models import gpt2
