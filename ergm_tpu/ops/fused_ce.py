@@ -55,7 +55,7 @@ def _fwd_kernel(h_ref, w_ref, lbl_ref, nll_ref, logz_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + v * block_v
     s = jnp.where(col < v_total, s, _NEG)
 
-    lbl = lbl_ref[0][:, None]            # [BN, 1]
+    lbl = lbl_ref[...]                   # [BN, 1]
     g_ref[:, :1] += jnp.sum(jnp.where(col == lbl, s, 0.0), axis=1, keepdims=True)
 
     m_prev = m_ref[:, :1]
@@ -67,8 +67,8 @@ def _fwd_kernel(h_ref, w_ref, lbl_ref, nll_ref, logz_ref,
     @pl.when(v == num_v - 1)
     def _finish():
         logz = m_ref[:, :1] + jnp.log(jnp.maximum(l_ref[:, :1], 1e-30))
-        logz_ref[0] = logz[:, 0]
-        nll_ref[0] = (logz - g_ref[:, :1])[:, 0]
+        logz_ref[...] = logz
+        nll_ref[...] = logz - g_ref[:, :1]
 
 
 def _padj(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, v, *, v_total, block_v):
@@ -78,10 +78,10 @@ def _padj(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, v, *, v_total, block_v):
     s = jax.lax.dot_general(h, w, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [BN, BV]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + v * block_v
-    gw = gw_ref[0][:, None]              # [BN, 1] per-token cotangent
+    gw = gw_ref[...]                     # [BN, 1] per-token cotangent
     p = jnp.where(col < v_total,
-                  jnp.exp(s - logz_ref[0][:, None]), 0.0) * gw
-    return p - jnp.where(col == lbl_ref[0][:, None], gw, 0.0)  # [BN, BV]
+                  jnp.exp(s - logz_ref[...]), 0.0) * gw
+    return p - jnp.where(col == lbl_ref[...], gw, 0.0)  # [BN, BV]
 
 
 def _bwd_dh_kernel(h_ref, w_ref, lbl_ref, logz_ref, gw_ref, dh_ref,
@@ -162,7 +162,10 @@ def _fwd_impl(hidden, wte, labels, block_n, block_v, interpret):
     Vp = -(-V // block_v) * block_v
     h = _pad_to(hidden, Np, 0, 0)
     w = _pad_to(wte, Vp, 0, 0)
-    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100).reshape(Np // bn, bn)
+    # per-token vectors ride as [Np, 1]: a (bn, 1) block keeps the last
+    # dim equal to the array dim (TPU block rule) and sidesteps 1-D
+    # XLA/Mosaic layout disagreements (T(512) vs T(256) tiling)
+    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100)[:, None]
 
     kernel = functools.partial(_fwd_kernel, v_total=V, block_v=block_v)
     nll, logz = pl.pallas_call(
@@ -171,15 +174,15 @@ def _fwd_impl(hidden, wte, labels, block_n, block_v, interpret):
         in_specs=[
             pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
             pl.BlockSpec((block_v, D), lambda n, v: (v, 0)),
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Np // bn, bn), jnp.float32),
-            jax.ShapeDtypeStruct((Np // bn, bn), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bn, 128), jnp.float32),
@@ -190,7 +193,7 @@ def _fwd_impl(hidden, wte, labels, block_n, block_v, interpret):
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(h, w, lbl)
-    return nll.reshape(Np)[:N], logz.reshape(Np)[:N]
+    return nll[:N, 0], logz[:N, 0]
 
 
 def _vjp_fwd(hidden, wte, labels, block_n, block_v, interpret):
@@ -207,10 +210,10 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
     Vp = -(-V // block_v) * block_v
     h = _pad_to(hidden, Np, 0, 0)
     w = _pad_to(wte, Vp, 0, 0)
-    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100).reshape(Np // bn, bn)
+    lbl = _pad_to(labels.astype(jnp.int32), Np, 0, -100)[:, None]
     # padded rows: gw = 0 -> zero contribution
-    gw = _pad_to(g.astype(jnp.float32), Np, 0, 0).reshape(Np // bn, bn)
-    lz = _pad_to(logz, Np, 0, 0).reshape(Np // bn, bn)
+    gw = _pad_to(g.astype(jnp.float32), Np, 0, 0)[:, None]
+    lz = _pad_to(logz, Np, 0, 0)[:, None]
 
     dh = pl.pallas_call(
         functools.partial(_bwd_dh_kernel, v_total=V, block_v=block_v),
@@ -218,9 +221,9 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
         in_specs=[
             pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
             pl.BlockSpec((block_v, D), lambda n, v: (v, 0)),
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
-            pl.BlockSpec((1, bn), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda n, v: (n, 0)),
         ],
         out_specs=pl.BlockSpec((bn, D), lambda n, v: (n, 0)),
         out_shape=jax.ShapeDtypeStruct((Np, D), jnp.float32),
@@ -235,9 +238,9 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
         in_specs=[
             pl.BlockSpec((bn, D), lambda v, n: (n, 0)),
             pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
-            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
-            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
-            pl.BlockSpec((1, bn), lambda v, n: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
+            pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
         ],
         out_specs=pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
         out_shape=jax.ShapeDtypeStruct((Vp, D), jnp.float32),
