@@ -232,23 +232,30 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(h, w, lbl, lz, gw)
+    # the dW kernel carries a [block, D] fp32 accumulator + fp32 output
+    # block on top of the double-buffered inputs; at block_v=1024/D=768 it
+    # lands 88 KB over the 16 MB scoped-VMEM limit, so it runs at half
+    # the vocab block of the forward/dh kernels
+    bvw = max(128, block_v // 2)
+    Vpw = -(-V // bvw) * bvw
+    w_w = _pad_to(wte, Vpw, 0, 0)
     dw = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, v_total=V, block_v=block_v),
-        grid=(Vp // block_v, Np // bn),
+        functools.partial(_bwd_dw_kernel, v_total=V, block_v=bvw),
+        grid=(Vpw // bvw, Np // bn),
         in_specs=[
             pl.BlockSpec((bn, D), lambda v, n: (n, 0)),
-            pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
+            pl.BlockSpec((bvw, D), lambda v, n: (v, 0)),
             pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
             pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
             pl.BlockSpec((bn, 1), lambda v, n: (n, 0)),
         ],
-        out_specs=pl.BlockSpec((block_v, D), lambda v, n: (v, 0)),
-        out_shape=jax.ShapeDtypeStruct((Vp, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_v, D), jnp.float32)],
+        out_specs=pl.BlockSpec((bvw, D), lambda v, n: (v, 0)),
+        out_shape=jax.ShapeDtypeStruct((Vpw, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bvw, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(h, w, lbl, lz, gw)
+    )(h, w_w, lbl, lz, gw)
     return (dh[:N].astype(hidden.dtype), dw[:V].astype(wte.dtype), None)
 
 
