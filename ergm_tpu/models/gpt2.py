@@ -786,6 +786,7 @@ def forward(
     cache: Optional[KVCache] = None,
     seq_lengths: Optional[jnp.ndarray] = None,
     compute_logits: bool = True,
+    mesh=None,  # jax.sharding.Mesh: enables the sharded fused LM loss
 ) -> ModelOutput:
     """GPT2LMHeadModel.forward equivalent (reference: src/model.py:654-737).
 
@@ -829,19 +830,30 @@ def forward(
     if labels is not None:
         if logits is not None:
             lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
-        elif c.lm_loss_impl == "fused" or (
-                c.lm_loss_impl == "auto" and jax.default_backend() == "tpu"
-                and jax.device_count() == 1):
-            # "auto" picks the kernel only single-chip: an opaque
-            # pallas_call under pjit makes the SPMD partitioner replicate
-            # its operands, so sharded meshes keep the chunked path
-            # (which XLA shards correctly) until the kernel is shard_map'd
-            from ergm_tpu.ops.fused_ce import fused_lm_loss
-
-            lm_loss = fused_lm_loss(hidden, wte.astype(hidden.dtype), labels,
-                                    interpret=jax.default_backend() != "tpu")
         else:
-            lm_loss = chunked_lm_loss(hidden, wte, labels, chunk=c.loss_chunk)
+            # pure-DP meshes run the kernel per shard via shard_map (an
+            # opaque pallas_call under plain pjit would make the
+            # partitioner replicate its operands); TP meshes keep the
+            # chunked path, which XLA shards correctly
+            pure_dp = mesh is not None and not any(
+                a != "data" and mesh.shape[a] > 1 for a in mesh.axis_names)
+            use_fused = c.lm_loss_impl == "fused" or (
+                c.lm_loss_impl == "auto" and jax.default_backend() == "tpu"
+                and (jax.device_count() == 1 or pure_dp))
+            if use_fused and mesh is not None and pure_dp \
+                    and "data" in mesh.axis_names:
+                from ergm_tpu.ops.fused_ce import fused_lm_loss_sharded
+
+                lm_loss = fused_lm_loss_sharded(
+                    hidden, wte.astype(hidden.dtype), labels, mesh,
+                    interpret=jax.default_backend() != "tpu")
+            elif use_fused:
+                from ergm_tpu.ops.fused_ce import fused_lm_loss
+
+                lm_loss = fused_lm_loss(hidden, wte.astype(hidden.dtype), labels,
+                                        interpret=jax.default_backend() != "tpu")
+            else:
+                lm_loss = chunked_lm_loss(hidden, wte, labels, chunk=c.loss_chunk)
     if emotion_labels is not None:
         emo_loss = cross_entropy(emotion_logits, emotion_labels)
     if lm_loss is not None and emo_loss is not None:

@@ -262,13 +262,9 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
 fused_softmax_xent.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
-                  ignore_index: int = -100,
-                  block_n: int = 256, block_v: int = 1024,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Shifted LM cross-entropy via the fused kernel — drop-in for
-    models.gpt2.chunked_lm_loss (same semantics: position t scored
-    against labels[t+1], mean over non-ignored targets)."""
+def _masked_nll_sums(hidden, wte, labels, ignore_index, block_n, block_v,
+                     interpret):
+    """(sum of shifted per-token NLL over real targets, target count)."""
     B, L, D = hidden.shape
     shifted = jnp.concatenate(
         [labels[:, 1:], jnp.full((B, 1), ignore_index, labels.dtype)], axis=1)
@@ -276,4 +272,54 @@ def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
     flat_l = shifted.reshape(B * L)
     nll = fused_softmax_xent(flat_h, wte, flat_l, block_n, block_v, interpret)
     mask = (flat_l != ignore_index).astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
+                  ignore_index: int = -100,
+                  block_n: int = 256, block_v: int = 1024,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Shifted LM cross-entropy via the fused kernel — drop-in for
+    models.gpt2.chunked_lm_loss (same semantics: position t scored
+    against labels[t+1], mean over non-ignored targets)."""
+    s, n = _masked_nll_sums(hidden, wte, labels, ignore_index,
+                            block_n, block_v, interpret)
+    return s / jnp.maximum(n, 1.0)
+
+
+def fused_lm_loss_sharded(hidden: jnp.ndarray, wte: jnp.ndarray,
+                          labels: jnp.ndarray, mesh,
+                          ignore_index: int = -100,
+                          block_n: int = 256, block_v: int = 1024,
+                          interpret: bool = False,
+                          data_axis: str = "data") -> jnp.ndarray:
+    """fused_lm_loss under SPMD: shard_map over the mesh data axis.
+
+    An opaque pallas_call under pjit makes the partitioner replicate its
+    operands; shard_map instead runs the kernel per data shard and psums
+    the masked NLL/count sums, so the loss (and, through shard_map's
+    transpose, the replicated-wte gradient) matches the unsharded value.
+    Restricted to pure data-parallel meshes: with check-replication off,
+    a non-trivial model axis would double-psum the wte cotangent.
+    """
+    nontrivial = [a for a in mesh.axis_names
+                  if a != data_axis and mesh.shape[a] > 1]
+    if data_axis not in mesh.axis_names or nontrivial:
+        raise ValueError(
+            f"fused_lm_loss_sharded needs a pure '{data_axis}' mesh; "
+            f"got axes {dict(mesh.shape)} (use the chunked loss under TP)")
+
+    def local(h, w, l):
+        s, n = _masked_nll_sums(h, w, l, ignore_index, block_n, block_v,
+                                interpret)
+        s = jax.lax.psum(s, data_axis)
+        n = jax.lax.psum(n, data_axis)
+        return s / jnp.maximum(n, 1.0)
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis), P(), P(data_axis)),
+        out_specs=P(), check_vma=False,
+    )(hidden, wte, labels)

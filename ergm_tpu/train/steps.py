@@ -39,7 +39,7 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 
 def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarray],
-                        deterministic: bool, rng):
+                        deterministic: bool, rng, mesh=None):
     valid = batch["valid"]
     labels = jnp.where(valid[:, None], batch["labels"], -100)
     out = gpt2.forward(
@@ -52,9 +52,10 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
         deterministic=deterministic, rng=rng,
         # bucket-padded batches: emotion head reads the last real token
         seq_lengths=batch.get("seq_lengths"),
-        # the loss path never needs dense [B, L, V] logits; the chunked
-        # rematerialized CE keeps HBM bounded at large batch
+        # the loss path never needs dense [B, L, V] logits; the fused/
+        # chunked CE keeps HBM bounded at large batch
         compute_logits=False,
+        mesh=mesh,
     )
     lm_loss = out.lm_loss
     # emotion CE with fill rows masked (reference loss: src/model.py:710-711)
@@ -82,15 +83,21 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
     return loss, metrics
 
 
-def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
-    """Returns jitted step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(config: ModelConfig, tx: optax.GradientTransformation,
+                    mesh=None):
+    """Returns jitted step(state, batch, rng) -> (state, metrics).
+
+    ``mesh`` (optional) lets the LM loss run its Pallas kernel per data
+    shard via shard_map on multi-device meshes (see gpt2.forward).
+    """
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, dict]:
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
-            return _losses_and_metrics(p, config, batch, deterministic=False, rng=step_rng)
+            return _losses_and_metrics(p, config, batch, deterministic=False,
+                                       rng=step_rng, mesh=mesh)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -101,10 +108,11 @@ def make_train_step(config: ModelConfig, tx: optax.GradientTransformation):
     return train_step
 
 
-def make_eval_step(config: ModelConfig):
+def make_eval_step(config: ModelConfig, mesh=None):
     @jax.jit
     def eval_step(params, batch: Dict[str, jnp.ndarray]) -> dict:
-        _, metrics = _losses_and_metrics(params, config, batch, deterministic=True, rng=None)
+        _, metrics = _losses_and_metrics(params, config, batch,
+                                         deterministic=True, rng=None, mesh=mesh)
         return metrics
 
     return eval_step

@@ -85,8 +85,8 @@ class Trainer:
             else jax.device_put(params, replicated(self.mesh))
         self.state = create_train_state(params, self.tx)
 
-        self.train_step = make_train_step(self.mcfg, self.tx)
-        self.eval_step = make_eval_step(self.mcfg)
+        self.train_step = make_train_step(self.mcfg, self.tx, mesh=self.mesh)
+        self.eval_step = make_eval_step(self.mcfg, mesh=self.mesh)
         self.rng = jax.random.PRNGKey(cfg.seed)
 
         self.best_ppl = float(sys.float_info.max)

@@ -76,3 +76,73 @@ def test_lm_loss_matches_chunked():
     g2 = jax.grad(lambda h: chunked_lm_loss(h, wte, labels, chunk=8))(hidden)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_matches_unsharded():
+    """fused_lm_loss_sharded on an 8-device data mesh == fused_lm_loss:
+    loss AND grads (dh per shard, psum'd replicated-wte cotangent)."""
+    from ergm_tpu.core.mesh import make_mesh
+    from ergm_tpu.ops.fused_ce import fused_lm_loss_sharded
+
+    mesh = make_mesh((-1,), ("data",))
+    assert mesh.shape["data"] == 8
+    rng = np.random.default_rng(3)
+    B, L, D, V = 8, 12, 32, 150
+    hidden = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wte = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    labels = np.asarray(rng.integers(0, V, (B, L)), np.int32)
+    labels[:, :5] = -100
+    labels[3, :] = -100  # one shard with zero supervised tokens
+    labels = jnp.asarray(labels)
+
+    def sharded(h, w):
+        return fused_lm_loss_sharded(h, w, labels, mesh, block_n=8,
+                                     block_v=128, interpret=True)
+
+    def local(h, w):
+        return fused_lm_loss(h, w, labels, block_n=8, block_v=128,
+                             interpret=True)
+
+    np.testing.assert_allclose(float(sharded(hidden, wte)),
+                               float(local(hidden, wte)), rtol=1e-6)
+    gs = jax.grad(sharded, argnums=(0, 1))(hidden, wte)
+    gl = jax.grad(local, argnums=(0, 1))(hidden, wte)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gl[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gl[1]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rejects_tp_mesh():
+    from ergm_tpu.core.mesh import make_mesh
+    from ergm_tpu.ops.fused_ce import fused_lm_loss_sharded
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    h = jnp.zeros((8, 4, 32))
+    w = jnp.zeros((64, 32))
+    lbl = jnp.zeros((8, 4), jnp.int32)
+    with pytest.raises(ValueError, match="pure"):
+        fused_lm_loss_sharded(h, w, lbl, mesh, interpret=True)
+
+
+def test_forward_gate_uses_sharded_fused_on_dp_mesh():
+    """gpt2.forward(lm_loss_impl='fused', mesh=DP mesh) equals the
+    chunked loss, end to end through the model."""
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.core.mesh import make_mesh
+    from ergm_tpu.models import gpt2
+
+    mesh = make_mesh((-1,), ("data",))
+    cfg = ModelConfig.from_model_type("gpt2", n_layer=2, n_embd=32, n_head=4,
+                                      vocab_size=128, n_positions=32,
+                                      dtype="float32", lm_loss_impl="fused")
+    cfg_ref = cfg.replace(lm_loss_impl="chunked")
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, 120, (8, 16)), jnp.int32)
+
+    loss = jax.jit(lambda p: gpt2.forward(
+        p, cfg, ids, labels=ids, compute_logits=False, mesh=mesh).loss)(params)
+    want = jax.jit(lambda p: gpt2.forward(
+        p, cfg_ref, ids, labels=ids, compute_logits=False).loss)(params)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
