@@ -92,7 +92,10 @@ class ModelConfig:
     #             (measured slower than "full" at B=64: the saves spill),
     #   "mlp"   — checkpoint only the MLP/cross-attn sublayers; attention
     #             keeps its VJP residuals so backward never re-runs the
-    #             flash forward (measured best; the new default).
+    #             flash forward (measured best: 79.7k tok/s / 38.0% MFU
+    #             at B=48 L=512 on v5e vs 76.2k for "full" at B=64; the
+    #             default). Costs memory — gpt2 B=64 x L=512 OOMs v5e
+    #             HBM by ~200 MB; use "full" for larger batches.
     remat_policy: str = "mlp"
     # sequence-chunk size for the rematerialized LM loss (models/gpt2.py
     # chunked_lm_loss): bounds live logits memory at O(B * chunk * V)

@@ -34,6 +34,7 @@ REPS = int(os.environ.get("AB_REPS", 2))
 CHAIN = int(os.environ.get("AB_CHAIN", 4))
 REMAT = os.environ.get("AB_REMAT", "1") not in ("0", "false")
 REMAT_POLICY = os.environ.get("AB_REMAT_POLICY", "full")
+LM_LOSS = os.environ.get("AB_LM_LOSS", "auto")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "results", "train_ablation.jsonl")
 
@@ -49,17 +50,23 @@ def run_variant(name: str) -> dict:
     from ergm_tpu.models import gpt2
     from ergm_tpu.train import steps as steps_mod
 
+    from ergm_tpu.ops import fused_ce as fused_mod
+
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
         attn_pdrop=0.0, remat=REMAT, remat_policy=REMAT_POLICY,
+        lm_loss_impl=LM_LOSS,
         attention_impl="xla" if name == "xla_attn" else "auto")
 
     real_mha = gpt2.multihead_attention
     real_chunk = gpt2.chunked_lm_loss
+    real_fused = fused_mod.fused_lm_loss
     if name == "noattn":
         gpt2.multihead_attention = lambda q, k, v, **kw: q
     if name == "noce":
         gpt2.chunked_lm_loss = lambda hidden, wte, labels, **kw: \
+            jnp.mean(hidden.astype(jnp.float32))
+        fused_mod.fused_lm_loss = lambda hidden, wte, labels, **kw: \
             jnp.mean(hidden.astype(jnp.float32))
     try:
         params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
@@ -108,7 +115,7 @@ def run_variant(name: str) -> dict:
             times.append((time.time() - t0) / CHAIN)
         best = min(times)
         return {"variant": name, "B": B, "L": SEQ, "remat": REMAT,
-                "policy": REMAT_POLICY,
+                "policy": REMAT_POLICY, "lm_loss": LM_LOSS,
                 "step_ms": round(best * 1000, 1),
                 "tok_per_s": round(B * SEQ / best, 1),
                 "compile_s": round(compile_s, 1),
@@ -116,6 +123,7 @@ def run_variant(name: str) -> dict:
     finally:
         gpt2.multihead_attention = real_mha
         gpt2.chunked_lm_loss = real_chunk
+        fused_mod.fused_lm_loss = real_fused
         if name == "noemo":
             steps_mod._losses_and_metrics = orig
 

@@ -25,7 +25,7 @@ import numpy as np
 # runnable as `python scripts/train_bench.py` from anywhere
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 64))
+BATCH = int(os.environ.get("TRAIN_BENCH_BATCH", 48))
 SEQ = int(os.environ.get("TRAIN_BENCH_SEQ", 512))
 MODEL = os.environ.get("TRAIN_BENCH_MODEL", "gpt2")
 REPS = int(os.environ.get("TRAIN_BENCH_REPS", 4))
