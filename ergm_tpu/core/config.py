@@ -188,6 +188,12 @@ class TrainConfig:
     init_params: Optional[str] = None  # orbax params dir (e.g. converted HF/torch)
     keep_best: Optional[int] = None  # retain only the N lowest-PPL checkpoints
     log_every: int = 50
+    # PRNG impl for the training-step keys (dropout): "rbg" uses the TPU
+    # hardware generator — measured +2.8% train throughput over threefry
+    # (81.9k vs 79.7k tok/s at gpt2 B=48 L=512 on v5e). Param init stays
+    # threefry (seed-portable); set "threefry2x32" for a fully portable
+    # dropout stream too.
+    prng_impl: str = "rbg"
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -87,7 +87,8 @@ class Trainer:
 
         self.train_step = make_train_step(self.mcfg, self.tx, mesh=self.mesh)
         self.eval_step = make_eval_step(self.mcfg, mesh=self.mesh)
-        self.rng = jax.random.PRNGKey(cfg.seed)
+        # typed key so the impl tag survives fold_in inside the jitted step
+        self.rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)
 
         self.best_ppl = float(sys.float_info.max)
         self.last_epoch = 0

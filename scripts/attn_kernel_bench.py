@@ -47,9 +47,11 @@ def make_fn(variant):
     if variant.startswith("flash-"):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-        bq, bk = (int(x) for x in variant.split("-")[1].split("x"))
+        parts = variant.split("-")
+        bq, bk = (int(x) for x in parts[1].split("x"))
+        bb = int(parts[2][1:]) if len(parts) > 2 else 1  # flash-QxK-bN
         bs = fa.BlockSizes(
-            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
             block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
             block_q_dkv=bq,
             block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,

@@ -27,6 +27,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 B = int(os.environ.get("AB_BATCH", 128))
 PROMPT = int(os.environ.get("AB_PROMPT", 128))
 NEW = int(os.environ.get("AB_NEW", 128))

@@ -74,9 +74,11 @@ def main():
 
     kind = jax.devices()[0].device_kind
     print(f"device: {kind}", file=sys.stderr)
+    drop = float(os.environ.get("TRAIN_BENCH_DROPOUT", 0.1))
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        attn_pdrop=0.0, remat=REMAT, remat_policy=REMAT_POLICY,
+        attn_pdrop=0.0, resid_pdrop=drop, embd_pdrop=drop,
+        remat=REMAT, remat_policy=REMAT_POLICY,
         lm_loss_impl=LM_LOSS,
         loss_chunk=int(os.environ.get("TRAIN_BENCH_LOSS_CHUNK", 128)))
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
@@ -95,7 +97,8 @@ def main():
         "auds": jnp.asarray(rng.standard_normal((BATCH, 768)), jnp.float32),
         "valid": jnp.ones((BATCH,), bool),
     }
-    key = jax.random.PRNGKey(0)
+    # typed rbg key = the trainer's production default (TrainConfig.prng_impl)
+    key = jax.random.key(0, impl=os.environ.get("TRAIN_BENCH_PRNG", "rbg"))
     t0 = time.time()
     state, m = step(state, batch, key)
     _ = float(m["loss"])  # fetch barrier (block_until_ready unreliable on tunnels)
