@@ -99,6 +99,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["auto", "int8"],
                    help="Decode KV-cache storage; int8 trades ~1e-2-level "
                         "sampling drift for ~1.24x decode throughput.")
+    p.add_argument("--weight_dtype", type=str, default="auto",
+                   choices=["auto", "int8"],
+                   help="Serving weight storage; int8 (weight-only, "
+                        "per-out-channel scales) halves weight-read HBM "
+                        "traffic — the small-batch decode bottleneck.")
     p.add_argument("--keep_best", type=int, default=None,
                    help="Retain only the N lowest-PPL checkpoints "
                         "(default: keep all, like the reference).")
@@ -158,7 +163,8 @@ def run_infer(cfg: TrainConfig, args) -> dict:
     st = read_meta(cfg.data_dir)
     mcfg = ModelConfig.from_model_type(cfg.model_type, vocab_size=st.vocab_size,
                                        dtype=cfg.dtype,
-                                       kv_cache_dtype=getattr(args, "kv_cache", "auto"))
+                                       kv_cache_dtype=getattr(args, "kv_cache", "auto"),
+                                       weight_dtype=getattr(args, "weight_dtype", "auto"))
     max_len = min(cfg.max_len, mcfg.n_positions)
     dataset = DialogueDataset(cfg.valid_prefix, cfg.data_dir, sp1_id=st.sp1_id,
                               sp2_id=st.sp2_id, eos_id=st.eos_id,
@@ -214,6 +220,7 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         f.write(f"num_beams: {args.num_beams}\n")
         f.write(f"top_p: {cfg.top_p}\n")
         f.write(f"kv_cache: {getattr(args, 'kv_cache', 'auto')}\n")
+        f.write(f"weight_dtype: {getattr(args, 'weight_dtype', 'auto')}\n")
     print(f"Results written to {out_path}")
     return metrics
 
@@ -248,7 +255,8 @@ def run_interact(cfg: TrainConfig):
     assert cfg.tokenizer_dir, "interact mode needs --tokenizer_dir"
     st = read_meta(cfg.data_dir)
     mcfg = ModelConfig.from_model_type(cfg.model_type, vocab_size=st.vocab_size,
-                                       dtype=cfg.dtype)
+                                       dtype=cfg.dtype,
+                                       weight_dtype=getattr(args, "weight_dtype", "auto"))
     params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), mcfg)
     path = ckpt_lib.find_checkpoint(cfg.ckpt_dir, cfg.ckpt_name)
     if path:

@@ -110,10 +110,21 @@ class ModelConfig:
     # Attention backend: "auto" picks the Pallas flash kernel on TPU and
     # the XLA reference path elsewhere; "xla" / "pallas" force a path.
     attention_impl: str = "auto"
+    # Unroll factor for the decode-step layer scan (1 = no unroll). The
+    # single-token step is latency-bound on many tiny matmuls; unrolling
+    # lets XLA overlap weight prefetch across layers. Prefill/training
+    # keep the rolled scan (compile size).
+    decode_scan_unroll: int = 1
     # "auto" stores decode K/V in the compute dtype; "int8" quantizes the
     # self-attention cache with per-(token, head) scales, halving the
     # cache-read bandwidth that dominates long decode.
     kv_cache_dtype: str = "auto"
+    # Serving weight storage: "auto" keeps the compute dtype; "int8"
+    # stores dense kernels as int8 + per-out-channel scales
+    # (models/gpt2.py quantize_params_int8) — weight-only quantization
+    # for the weight-read-bound small-batch decode path. Training always
+    # uses full-precision weights.
+    weight_dtype: str = "auto"
 
     # set by models.gpt2.prune_heads: after pruning, attention width is
     # n_head * head_dim != n_embd, so the derived value no longer applies

@@ -189,10 +189,77 @@ def params_for_inference(params: Params, config: ModelConfig) -> Params:
     fp32 weights doubles their HBM residency and leaves the per-use
     bf16 converts to XLA's discretion — measured 1.9x decode throughput
     on gpt2-medium where the 350M-param weight reads dominate."""
+    if config.weight_dtype == "int8":
+        params = quantize_params_int8(params, config)
     dt = config.compute_dtype
     return jax.tree_util.tree_map(
         lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
         params)
+
+
+def _quantize_kernel(kernel: jnp.ndarray):
+    """Per-output-channel symmetric int8 over the input (contraction) dim.
+
+    Stacked-layer kernels [L, in, out] get per-(layer, out) scales."""
+    kf = kernel.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(kf), axis=-2, keepdims=True) / 127.0,
+                        1e-8)
+    q = jnp.clip(jnp.round(kf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_params_int8(params: Params, config: ModelConfig) -> Params:
+    """Weight-only int8 for serving (``ModelConfig.weight_dtype='int8'``).
+
+    Replaces every ``dense`` kernel (attention qkv/proj, cross-attention,
+    MLP, modality projections) with ``kernel_q`` int8 + per-out-channel
+    ``kernel_scale`` (``dense`` dequantizes inside the matmul fusion),
+    and ``wte`` with ``embedding_q`` int8 + per-row ``embedding_scale``
+    (``embed_rows`` gathers + rescales; the tied lm_head applies the
+    per-vocab-row scale on the logits). ``wpe``, LayerNorms, biases and
+    the emotion head stay in the compute dtype. Quantize from the
+    highest-precision checkpoint available (call before any bf16 cast —
+    params_for_inference orders this correctly). Single-chip serving
+    path: mesh.shard_params specs don't map kernel_q under TP."""
+    skip = {"wpe", "emotion_head"}
+
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if name in skip:
+                return node
+            if name == "wte":
+                emb = node["embedding"].astype(jnp.float32)
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(emb), axis=-1, keepdims=True) / 127.0, 1e-8)
+                q = jnp.clip(jnp.round(emb / s), -127, 127).astype(jnp.int8)
+                return {"embedding_q": q,
+                        "embedding_scale": s.astype(config.compute_dtype)}
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2:
+                q, s = _quantize_kernel(node["kernel"])
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out["kernel_q"] = q
+                out["kernel_scale"] = s.astype(config.compute_dtype)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
+def embed_rows(wte_p, ids, dtype):
+    """Row gather from the (possibly int8-quantized) tied vocab table."""
+    if "embedding_q" in wte_p:
+        rows = jnp.take(wte_p["embedding_q"], ids, axis=0).astype(dtype)
+        return rows * jnp.take(wte_p["embedding_scale"], ids, axis=0).astype(dtype)
+    return jnp.take(wte_p["embedding"], ids, axis=0).astype(dtype)
+
+
+def wte_dense(wte_p, dtype):
+    """The dense [V, D] vocab table (dequantized if int8) — loss paths."""
+    if "embedding_q" in wte_p:
+        return (wte_p["embedding_q"].astype(dtype)
+                * wte_p["embedding_scale"].astype(dtype))
+    return wte_p["embedding"].astype(dtype)
 
 
 def resize_token_embeddings(params: Params, rng: jax.Array, new_vocab: int,
@@ -230,9 +297,18 @@ def dense(x, p):
     fp32 MXU accumulation, result cast back to the activation dtype.
     precision='highest' pins fp32-input matmuls to true fp32 (XLA CPU's
     DEFAULT runs them in lower precision); bf16 inputs are unaffected, so
-    the TPU fast path still uses bf16 MXU passes."""
-    y = jnp.dot(x, p["kernel"].astype(x.dtype),
-                preferred_element_type=jnp.float32, precision="highest")
+    the TPU fast path still uses bf16 MXU passes.
+
+    int8 weight-only serving (quantize_params_int8) stores the kernel as
+    ``kernel_q`` [in, out] int8 + ``kernel_scale`` [1, out]; the dequant
+    (convert + per-channel mul) fuses into the matmul's weight read, so
+    HBM weight traffic halves — the dominant cost of small-batch decode.
+    """
+    if "kernel_q" in p:
+        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+    else:
+        w = p["kernel"].astype(x.dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32, precision="highest")
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
 
@@ -532,12 +608,11 @@ def transformer(
     if position_ids is None:
         position_ids = past_len + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
-    wte = params["wte"]["embedding"]
-    h = jnp.take(wte, input_ids, axis=0).astype(dtype)
+    h = embed_rows(params["wte"], input_ids, dtype)
 
     # Caption conditioning through the shared wte (src/model.py:460-463).
     if caption_ids is not None and encoder_hidden_states is None and c.use_cross_attention:
-        encoder_hidden_states = jnp.take(wte, caption_ids, axis=0).astype(dtype)
+        encoder_hidden_states = embed_rows(params["wte"], caption_ids, dtype)
     use_cross = c.use_cross_attention and (
         encoder_hidden_states is not None or (cache is not None and cache.ck is not None)
     )
@@ -571,7 +646,7 @@ def transformer(
     h = h + jnp.take(params["wpe"]["embedding"], position_ids, axis=0).astype(dtype)
     if token_type_ids is not None:
         # Token types embed through wte (src/model.py:502-504).
-        h = h + jnp.take(wte, token_type_ids, axis=0).astype(dtype)
+        h = h + embed_rows(params["wte"], token_type_ids, dtype)
     h = _dropout(h, c.embd_pdrop, deterministic,
                  None if rng is None else jax.random.fold_in(rng, 0))
 
@@ -692,8 +767,14 @@ def transformer(
     if decode:
         carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
                  cache.ck, cache.cv)
+        # single-token decode steps may unroll the layer scan: the
+        # per-token cost at small batch is latency-bound on ~70 tiny
+        # matmuls, and unrolling lets XLA prefetch the next layer's
+        # weights while the current one computes (scan carries serialize
+        # that). Prefill (L>1) keeps the rolled scan: compute-bound.
+        unroll = c.decode_scan_unroll if L == 1 else 1
         (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv), _ = \
-            lax.scan(block_fn, carry, xs)
+            lax.scan(block_fn, carry, xs, unroll=max(unroll, 1))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
                             ck=new_ck, cv=new_cv,
                             k_scale=new_ks, v_scale=new_vs)
@@ -811,11 +892,18 @@ def forward(
     # lm_head tied to wte (src/model.py:600); fp32 logits for the loss path.
     # compute_logits=False (training) skips the dense [B, L, V] logits and
     # computes the LM loss chunked instead (see chunked_lm_loss).
-    wte = params["wte"]["embedding"]
+    wte_p = params["wte"]
     logits = None
     if compute_logits:
-        logits = jnp.einsum("bld,vd->blv", hidden, wte.astype(hidden.dtype),
-                            preferred_element_type=jnp.float32, precision="highest")
+        if "embedding_q" in wte_p:  # int8 serving: scale on the logit axis
+            logits = jnp.einsum(
+                "bld,vd->blv", hidden, wte_p["embedding_q"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32, precision="highest",
+            ) * wte_p["embedding_scale"][:, 0].astype(jnp.float32)
+        else:
+            logits = jnp.einsum(
+                "bld,vd->blv", hidden, wte_p["embedding"].astype(hidden.dtype),
+                preferred_element_type=jnp.float32, precision="highest")
     # emotion head on the final hidden state (src/model.py:700-701)
     if seq_lengths is not None:
         idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, hidden.shape[1] - 1)
@@ -845,15 +933,17 @@ def forward(
                 from ergm_tpu.ops.fused_ce import fused_lm_loss_sharded
 
                 lm_loss = fused_lm_loss_sharded(
-                    hidden, wte.astype(hidden.dtype), labels, mesh,
+                    hidden, wte_dense(wte_p, hidden.dtype), labels, mesh,
                     interpret=jax.default_backend() != "tpu")
             elif use_fused:
                 from ergm_tpu.ops.fused_ce import fused_lm_loss
 
-                lm_loss = fused_lm_loss(hidden, wte.astype(hidden.dtype), labels,
+                lm_loss = fused_lm_loss(hidden, wte_dense(wte_p, hidden.dtype),
+                                        labels,
                                         interpret=jax.default_backend() != "tpu")
             else:
-                lm_loss = chunked_lm_loss(hidden, wte, labels, chunk=c.loss_chunk)
+                lm_loss = chunked_lm_loss(hidden, wte_dense(wte_p, hidden.dtype),
+                                          labels, chunk=c.loss_chunk)
     if emotion_labels is not None:
         emo_loss = cross_entropy(emotion_logits, emotion_labels)
     if lm_loss is not None and emo_loss is not None:

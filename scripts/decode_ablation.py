@@ -92,7 +92,10 @@ def run_variant(name: str) -> dict:
     kv, mode = name.split("-")
     cfg = ModelConfig.from_model_type(
         "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        kv_cache_dtype="int8" if kv == "int8" else "auto")
+        kv_cache_dtype="int8" if kv == "int8" else "auto",
+        # AB_WEIGHT=int8: weight-only quantized serving (kernel_q path)
+        weight_dtype=os.environ.get("AB_WEIGHT", "auto"),
+        decode_scan_unroll=int(os.environ.get("AB_UNROLL", 1)))
     alt_sampler = (_sampler(mode.replace("sample", ""))
                    if mode in ("samplelse", "approx", "bf16k") else None)
 
@@ -100,7 +103,10 @@ def run_variant(name: str) -> dict:
     if mode == "noattn":
         gpt2.multihead_attention = lambda q, k, v, **kw: q
     try:
-        params = jax.device_put(gpt2.init_params(jax.random.PRNGKey(0), cfg))
+        params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+        if cfg.weight_dtype == "int8":
+            params = gpt2.params_for_inference(params, cfg)
+        params = jax.device_put(params)
         rng = np.random.default_rng(0)
         ids = jnp.asarray(rng.integers(0, 50000, (B, PROMPT)), jnp.int32)
         caps = (None if mode == "nocross"
@@ -164,7 +170,9 @@ def run_variant(name: str) -> dict:
                 np.asarray(o[1])
             times.append((time.time() - t0) / CHAIN)
         best = min(times)
-        return {"variant": name, "chain": CHAIN, "best_s": round(best, 4),
+        return {"variant": name, "chain": CHAIN,
+                "weight": cfg.weight_dtype, "B": B,
+                "best_s": round(best, 4),
                 "tok_per_s": round(B * NEW / best, 1),
                 "step_ms": round(best / NEW * 1e3, 4),
                 "compile_s": round(compile_s, 1),

@@ -1,0 +1,80 @@
+"""Weight-only int8 serving (models/gpt2.py quantize_params_int8 +
+dense's kernel_q path): quantization error bounds, forward fidelity,
+and the KV-cached decode path end-to-end."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.infer.generate import generate
+from ergm_tpu.models import gpt2
+
+
+def small_cfg(**kw):
+    return ModelConfig.from_model_type(
+        "gpt2", n_layer=2, n_embd=64, n_head=4, vocab_size=160,
+        n_positions=64, dtype="float32", modality_dim=16,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0, **kw)
+
+
+def test_quantize_kernel_roundtrip():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.standard_normal((3, 32, 48)), jnp.float32)
+    q, s = gpt2._quantize_kernel(k)
+    assert q.dtype == jnp.int8 and s.shape == (3, 1, 48)
+    err = np.abs(np.asarray(q.astype(jnp.float32) * s - k))
+    # symmetric per-channel int8: error bounded by scale/2 per element
+    assert np.all(err <= np.asarray(s) / 2 + 1e-6)
+
+
+def test_quantized_tree_shape_and_skips():
+    cfg = small_cfg()
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    qp = gpt2.quantize_params_int8(params, cfg)
+    # dense kernels replaced
+    assert "kernel_q" in qp["blocks"]["attn"]["c_attn"]
+    assert "kernel" not in qp["blocks"]["attn"]["c_attn"]
+    assert qp["blocks"]["mlp"]["c_fc"]["kernel_q"].dtype == jnp.int8
+    # wte quantized per row; wpe / emotion head untouched
+    assert qp["wte"]["embedding_q"].dtype == jnp.int8
+    assert qp["wte"]["embedding_scale"].shape == (160, 1)
+    assert "embedding" in qp["wpe"]
+    assert "kernel" in qp["emotion_head"]
+
+
+def test_forward_close_and_decode_runs():
+    cfg = small_cfg(weight_dtype="int8")
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 150, (2, 16)), jnp.int32)
+
+    full = jax.jit(lambda p: gpt2.forward(p, cfg, ids).logits)(params)
+    qparams = gpt2.params_for_inference(params, cfg)
+    quant = jax.jit(lambda p: gpt2.forward(p, cfg, ids).logits)(qparams)
+    # random-init logits are O(1); int8 per-channel keeps them close
+    # (wte rows are also quantized now, so both embed and lm_head drift)
+    err = float(jnp.max(jnp.abs(full - quant)))
+    ref = float(jnp.max(jnp.abs(full)))
+    assert err < 0.08 * max(ref, 1.0), (err, ref)
+    # greedy next-token agreement on random init
+    agree = float(jnp.mean(jnp.argmax(full[:, -1], -1) == jnp.argmax(quant[:, -1], -1)))
+    assert agree == 1.0
+
+    out = generate(qparams, cfg, ids, input_len=16, max_len=24, eos_id=158,
+                   sp2_id=159, rng=jax.random.PRNGKey(0), greedy=True)
+    assert np.asarray(out.tokens).shape == (2, 24)
+
+
+def test_params_for_inference_order():
+    """Quantization happens before the compute-dtype cast (from the
+    full-precision masters), and non-kernel floats still get cast."""
+    cfg = dataclasses.replace(small_cfg(weight_dtype="int8"), dtype="bfloat16")
+    params = gpt2.init_params(jax.random.PRNGKey(0), small_cfg())  # fp32
+    sp = gpt2.params_for_inference(params, cfg)
+    assert sp["blocks"]["mlp"]["c_fc"]["kernel_q"].dtype == jnp.int8
+    assert sp["blocks"]["mlp"]["c_fc"]["kernel_scale"].dtype == jnp.bfloat16
+    assert sp["wte"]["embedding_q"].dtype == jnp.int8
+    assert sp["wpe"]["embedding"].dtype == jnp.bfloat16
