@@ -78,3 +78,72 @@ def test_params_for_inference_order():
     assert sp["blocks"]["mlp"]["c_fc"]["kernel_scale"].dtype == jnp.bfloat16
     assert sp["wte"]["embedding_q"].dtype == jnp.int8
     assert sp["wpe"]["embedding"].dtype == jnp.bfloat16
+
+
+def test_int8_weight_quality_on_trained_model():
+    """int8 weights vs full precision on a TRAINED (overfit-synthetic)
+    model: per-step next-token TV distance, teacher-forced continuation
+    PPL delta, greedy agreement — the int8-KV methodology applied to the
+    weight-only quantized serving path (README documents the numbers)."""
+    import optax
+
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.data.dataset import DialogueDataset, batches
+    from ergm_tpu.data.synthetic import write_synthetic_dataset
+    from ergm_tpu.train.steps import (batch_to_device, create_train_state,
+                                      make_train_step)
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="w8data")
+    write_synthetic_dataset(d, prefixes=("train",), num_dialogues=6,
+                            turns_per_dialogue=4, base_vocab_size=128)
+    st = read_meta(d)
+    mcfg = ModelConfig(vocab_size=st.vocab_size, n_positions=64, n_embd=64,
+                       n_layer=2, n_head=4, use_cross_attention=False,
+                       dtype="float32", embd_pdrop=0.0, attn_pdrop=0.0,
+                       resid_pdrop=0.0)
+    ds = DialogueDataset("train", d, sp1_id=st.sp1_id, sp2_id=st.sp2_id,
+                         eos_id=st.eos_id, max_len=64)
+    tx = optax.adamw(3e-3)
+    state = create_train_state(gpt2.init_params(jax.random.PRNGKey(0), mcfg), tx)
+    step = make_train_step(mcfg, tx)
+    batch = batch_to_device(next(batches(ds, 8, st.eos_id, max_len=64)))
+    rng = jax.random.PRNGKey(0)
+    for _ in range(120):
+        state, m = step(state, batch, rng)
+    assert float(m["lm_loss"]) < 1.0, "did not overfit"
+    params = state.params
+
+    qcfg = mcfg.replace(weight_dtype="int8")
+    qparams = gpt2.params_for_inference(params, qcfg)
+
+    ex = ds.examples[0]
+    n_hist = max(next(i for i, l in enumerate(ex.labels) if l != -100), 2)
+    prompt = jnp.asarray([ex.input_ids[:n_hist]])
+    cont = ex.input_ids[n_hist:n_hist + 12]
+
+    def stepwise(p, cfg):
+        cache = gpt2.init_kv_cache(cfg, 1, n_hist + len(cont))
+        out = gpt2.forward(p, cfg, prompt, cache=cache)
+        probs = [jax.nn.softmax(out.logits[0, -1].astype(jnp.float32))]
+        cache = out.cache
+        for t in range(len(cont) - 1):
+            out = gpt2.forward(p, cfg, jnp.asarray([[cont[t]]]), cache=cache)
+            probs.append(jax.nn.softmax(out.logits[0, -1].astype(jnp.float32)))
+            cache = out.cache
+        return np.stack([np.asarray(x) for x in probs])
+
+    p_ref = stepwise(params, mcfg)
+    p_q = stepwise(qparams, qcfg)
+    tv = 0.5 * np.abs(p_ref - p_q).sum(axis=-1)
+    idx = np.arange(len(cont))
+    ppl_ref = float(np.exp(-np.log(np.maximum(p_ref[idx, cont], 1e-20)).mean()))
+    ppl_q = float(np.exp(-np.log(np.maximum(p_q[idx, cont], 1e-20)).mean()))
+    agree = float((p_ref.argmax(-1) == p_q.argmax(-1)).mean())
+    print(f"w8-vs-ref: TV mean={tv.mean():.4f} max={tv.max():.4f} "
+          f"ppl_ref={ppl_ref:.4f} ppl_w8={ppl_q:.4f} greedy_agree={agree:.2f}")
+    assert tv.mean() < 0.05, f"mean TV {tv.mean():.4f} too high"
+    assert tv.max() < 0.15, f"max TV {tv.max():.4f} too high"
+    assert abs(np.log(ppl_q / ppl_ref)) < 0.05, (ppl_ref, ppl_q)
+    assert agree == 1.0
