@@ -13,8 +13,9 @@ bench_baseline.json (created on first run, value 1.0 then).
 
 Additionally runs the TRAINING-throughput benchmark (scripts/
 train_bench.py in-process) and writes its tok/s + MFU JSON to
-TRAIN_BENCH.json at the repo root (stderr log only — stdout stays the
-single decode line). Disable with BENCH_TRAIN=0.
+TRAIN_BENCH.json at the repo root, and a single-request (B=1) latency
+measurement to B1_LATENCY.json (stderr log only — stdout stays the
+single decode line). Disable with BENCH_TRAIN=0 / BENCH_B1=0.
 """
 
 from __future__ import annotations
@@ -130,6 +131,12 @@ def main():
                        "device": dev.device_kind,
                        "config": config}, f, indent=1)
 
+    if os.environ.get("BENCH_B1", "1") not in ("0", "false"):
+        try:
+            run_b1_latency(cfg)
+        except Exception as e:  # the headline must still print
+            print(f"B=1 bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     if os.environ.get("BENCH_TRAIN", "1") not in ("0", "false"):
         try:
             run_train_bench()
@@ -143,6 +150,62 @@ def main():
                 f"{MODEL_TYPE}, kv={KV_DTYPE})",
         "vs_baseline": round(vs_baseline, 3),
     }))
+
+
+def run_b1_latency(base_cfg):
+    """Single-request latency (north-star p50): B=1, tri-modal, 128-token
+    prompt + 32 new tokens, in the B=1 serving configuration (int8
+    weight-only quantization by default — the path is weight-read-bound).
+    Writes B1_LATENCY.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from ergm_tpu.infer.generate import generate
+    from ergm_tpu.models import gpt2
+
+    prompt = int(os.environ.get("BENCH_B1_PROMPT", 128))
+    new = int(os.environ.get("BENCH_B1_NEW", 32))
+    wdtype = os.environ.get("BENCH_B1_WEIGHT", "int8")
+    chain = int(os.environ.get("BENCH_B1_CHAIN", 8))
+    reps = int(os.environ.get("BENCH_B1_REPS", 3))
+
+    cfg = base_cfg.replace(weight_dtype=wdtype)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(gpt2.params_for_inference(params, cfg))
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
+    tts = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
+    imgs = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    auds = jnp.asarray(rng.standard_normal((1, 768)), jnp.bfloat16)
+    caps = jnp.asarray(rng.integers(0, 50000, (1, 32)), jnp.int32)
+
+    @jax.jit
+    def run(params, key):
+        return generate(params, cfg, ids, prompt, max_len=prompt + new,
+                        eos_id=50256, sp2_id=50258, top_p=0.8, rng=key,
+                        token_type_ids=tts, imgs=imgs, auds=auds,
+                        caption_ids=caps)
+
+    out = run(params, jax.random.PRNGKey(0))
+    np.asarray(out.lengths)
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        outs = [run(params, jax.random.PRNGKey(i * chain + c + 1))
+                for c in range(chain)]
+        for o in outs:
+            np.asarray(o.lengths)
+        times.append((time.time() - t0) / chain)
+    best = min(times)
+    payload = {"metric": "trimodal_b1_request_latency_ms",
+               "value": round(best * 1e3, 2),
+               "unit": f"ms/request (B=1, prompt={prompt}, new={new}, "
+                       f"{MODEL_TYPE}, kv={KV_DTYPE}, w={wdtype})",
+               "ms_per_token": round(best / new * 1e3, 3)}
+    out_path = os.environ.get("B1_LATENCY_OUT", os.path.join(REPO, "B1_LATENCY.json"))
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"b1: {json.dumps(payload)}", file=sys.stderr)
 
 
 def run_train_bench():

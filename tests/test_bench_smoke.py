@@ -17,8 +17,11 @@ def test_bench_prints_one_json_line(tmp_path):
                BENCH_MODEL="gpt2", BENCH_REPS="1",
                TRAIN_BENCH_BATCH="2", TRAIN_BENCH_SEQ="32",
                TRAIN_BENCH_MODEL="gpt2", TRAIN_BENCH_REPS="1",
-               TRAIN_BENCH_CHAIN="1")
+               TRAIN_BENCH_CHAIN="1",
+               BENCH_B1_PROMPT="16", BENCH_B1_NEW="4",
+               BENCH_B1_CHAIN="1", BENCH_B1_REPS="1")
     env["TRAIN_BENCH_OUT"] = str(tmp_path / "TRAIN_BENCH.json")
+    env["B1_LATENCY_OUT"] = str(tmp_path / "B1_LATENCY.json")
     # the subprocess runs from tmp_path; make the repo importable there
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # tiny geometry so the CPU run stays fast
@@ -45,6 +48,11 @@ def test_bench_prints_one_json_line(tmp_path):
         train = json.load(f)
     assert train["metric"] == "trimodal_train_tokens_per_sec_per_chip"
     assert train["value"] > 0 and "model_tflops" in train
+    # B=1 latency artifact (int8 weight-only serving config)
+    with open(str(tmp_path / "B1_LATENCY.json")) as f:
+        b1 = json.load(f)
+    assert b1["metric"] == "trimodal_b1_request_latency_ms"
+    assert b1["value"] > 0 and "w=int8" in b1["unit"]
 
 
 def test_graft_entry_contract():
