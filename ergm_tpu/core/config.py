@@ -121,9 +121,10 @@ class ModelConfig:
     kv_cache_dtype: str = "auto"
     # Serving weight storage: "auto" keeps the compute dtype; "int8"
     # stores dense kernels as int8 + per-out-channel scales
-    # (models/gpt2.py quantize_params_int8) — weight-only quantization
-    # for the weight-read-bound small-batch decode path. Training always
-    # uses full-precision weights.
+    # (models/gpt2.py quantize_params_int8). Measured +7% at B=1 decode
+    # (the step is per-op-latency bound, so halved weight bytes don't
+    # pay 2x); quality on a trained model: PPL +0.09%, greedy
+    # agreement 1.0. Training always uses full-precision weights.
     weight_dtype: str = "auto"
 
     # set by models.gpt2.prune_heads: after pruning, attention width is
