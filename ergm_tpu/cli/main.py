@@ -237,14 +237,14 @@ def main(argv: Optional[list] = None):
 
         Trainer(cfg, limit=args.limit).train()
     elif args.mode == "interact":
-        run_interact(cfg)
+        run_interact(cfg, args)
     else:
         assert cfg.ckpt_name is not None, \
             "Please specify the trained checkpoint using --ckpt_name."
         run_infer(cfg, args)
 
 
-def run_interact(cfg: TrainConfig):
+def run_interact(cfg: TrainConfig, args=None):
     import jax
 
     from ergm_tpu.data.assembly import read_meta

@@ -146,17 +146,28 @@ def collate(
     batch_size: int,
     pad_multiple: int = 128,
     max_len: int = 1024,
+    static: bool = False,
+    static_caps: Optional[bool] = None,
+    static_cap_len: int = 256,
 ) -> Batch:
     """Pad a list of examples to a static [batch_size, bucketed_len] batch.
 
     Fill semantics match the reference collator (eos for ids/token types,
     -100 for labels; custom_dataset.py:120-122). Short batches are
     completed by repeating the final example with ``valid=False``.
+
+    ``static=True`` (multi-host): pad to ``max_len`` (and captions to
+    ``static_cap_len``) instead of the local batch's longest example —
+    every process must build the SAME global array shape for
+    ``jax.make_array_from_process_local_data``, and per-host dynamic
+    buckets would diverge. ``static_caps`` likewise pins whether the
+    caption arrays exist (a host whose local batch happens to lack
+    captions must not produce a different batch pytree structure).
     """
     n = len(examples)
     assert 0 < n <= batch_size
     longest = max(len(e.input_ids) for e in examples)
-    L = _bucket_len(longest, pad_multiple, max_len)
+    L = max_len if static else _bucket_len(longest, pad_multiple, max_len)
     D = examples[0].img.shape[0]
 
     ids = np.full((batch_size, L), eos_id, np.int32)
@@ -171,11 +182,15 @@ def collate(
 
     # captions: static [B, Lc] bucket when any example carries them
     # (eos-pad like ids, mask 0 on pads; cross-attn masks pads out)
-    has_caps = any(e.caption_ids is not None for e in examples)
+    has_caps = (any(e.caption_ids is not None for e in examples)
+                if static_caps is None else static_caps)
     cap_ids = cap_mask = None
     if has_caps:
-        longest_cap = max(len(e.caption_ids or []) for e in examples)
-        Lc = _bucket_len(max(longest_cap, 1), min(pad_multiple, 32), max_len)
+        if static:
+            Lc = min(static_cap_len, max_len)
+        else:
+            longest_cap = max(len(e.caption_ids or []) for e in examples)
+            Lc = _bucket_len(max(longest_cap, 1), min(pad_multiple, 32), max_len)
         cap_ids = np.full((batch_size, Lc), eos_id, np.int32)
         cap_mask = np.zeros((batch_size, Lc), np.float32)
 
@@ -210,10 +225,13 @@ def batches(
     pad_multiple: int = 128,
     max_len: int = 1024,
     drop_remainder: bool = False,
+    static: bool = False,
+    static_caps: Optional[bool] = None,
 ) -> Iterator[Batch]:
     """Host-side batch iterator (the reference's DataLoader role,
     src/main.py:78-85). Sorting-free; bucketing keeps the number of
-    distinct compiled shapes <= max_len/pad_multiple."""
+    distinct compiled shapes <= max_len/pad_multiple.
+    ``static``/``static_caps``: see collate (multi-host shape pinning)."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
@@ -221,4 +239,5 @@ def batches(
         chunk = [dataset[i] for i in order[s:s + batch_size]]
         if drop_remainder and len(chunk) < batch_size:
             return
-        yield collate(chunk, eos_id, batch_size, pad_multiple, max_len)
+        yield collate(chunk, eos_id, batch_size, pad_multiple, max_len,
+                      static=static, static_caps=static_caps)

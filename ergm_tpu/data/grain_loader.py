@@ -33,6 +33,8 @@ def make_grain_loader(
     num_workers: int = 0,
     host_index: int = 0,
     host_count: int = 1,
+    static: bool = False,
+    static_caps: Optional[bool] = None,
 ) -> "GrainBatches":
     import grain
 
@@ -50,7 +52,10 @@ def make_grain_loader(
         drop_remainder=drop_remainder,
         batch_fn=lambda examples: collate(
             list(examples), eos_id, batch_size,
-            pad_multiple=pad_multiple, max_len=max_len),
+            pad_multiple=pad_multiple, max_len=max_len,
+            # multi-host: per-host dynamic buckets would give each
+            # process a different global array shape (see collate)
+            static=static, static_caps=static_caps),
     )
     it = ds.to_iter_dataset()
     if num_workers > 0:

@@ -166,7 +166,9 @@ class Evaluator:
         self.embed_fn = embed_fn
         self.scorer = None
         self.require_bertscore = require_bertscore
-        if bert_model_dir is not None:
+        # an explicitly injected embed_fn wins over bert_model_dir (test
+        # doubles must not be shadowed by — or fail on — a model dir)
+        if bert_model_dir is not None and embed_fn is None:
             from ergm_tpu.evaluation.bertscore import BERTScorer
 
             # raises loudly on a broken/missing checkpoint dir

@@ -207,10 +207,6 @@ def beam_search(
                       emotion_logits=emotion_logits)
 
 
-def _bucket(n: int, multiple: int) -> int:
-    return ((n + multiple - 1) // multiple) * multiple
-
-
 def beam_search_batch(
     params,
     config: ModelConfig,
@@ -233,29 +229,15 @@ def beam_search_batch(
     counterpart of generate_batch): left-pads to a bucketed width, runs
     ONE jitted beam_search for the whole batch, returns per-sample
     continuation ids (eos included when emitted) + emotion logits."""
-    B = len(prompts)
-    lens = [len(p) for p in prompts]
-    Lp = _bucket(max(lens), prompt_bucket)
-    ids = np.full((B, Lp), eos_id, np.int32)
-    mask = np.zeros((B, Lp), np.float32)
-    tts = np.full((B, Lp), sp2_id, np.int32)
-    for b, p in enumerate(prompts):
-        ids[b, Lp - len(p):] = p
-        mask[b, Lp - len(p):] = 1.0
-        if token_types is not None:
-            tts[b, Lp - len(p):] = token_types[b]
-    cap_ids = cap_mask = None
-    if captions is not None and any(c is not None and len(c) for c in captions):
-        Lc = _bucket(max(len(c) if c else 1 for c in captions), caption_bucket)
-        cap_ids = np.full((B, Lc), eos_id, np.int32)
-        cap_mask = np.zeros((B, Lc), np.float32)
-        for b, c in enumerate(captions):
-            if c is not None and len(c):
-                cap_ids[b, :len(c)] = c
-                cap_mask[b, :len(c)] = 1.0
+    from ergm_tpu.infer.generate import pack_ragged_batch
+
+    ids, mask, tts, cap_ids, cap_mask, buffer_len = pack_ragged_batch(
+        prompts, eos_id=eos_id, sp2_id=sp2_id, n_positions=config.n_positions,
+        max_len=max_len, token_types=token_types, captions=captions,
+        prompt_bucket=prompt_bucket, caption_bucket=caption_bucket,
+        max_new_tokens=max_new_tokens)
+    B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
-    new_cap = max_new_tokens if max_new_tokens is not None else max(cap - min(lens), 0)
-    buffer_len = Lp + max(new_cap, 1)
 
     out = beam_search(
         params, config, jnp.asarray(ids), prompt_mask=jnp.asarray(mask),

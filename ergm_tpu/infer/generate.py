@@ -238,6 +238,53 @@ def _bucket(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def pack_ragged_batch(
+    prompts: Sequence[Sequence[int]],
+    *,
+    eos_id: int,
+    sp2_id: int,
+    n_positions: int,
+    max_len: int,
+    token_types: Optional[Sequence[Sequence[int]]] = None,
+    captions: Optional[Sequence[Optional[Sequence[int]]]] = None,
+    prompt_bucket: int = 64,
+    caption_bucket: int = 32,
+    max_new_tokens: Optional[int] = None,
+):
+    """Shared ragged-batch packing for generate_batch / beam_search_batch:
+    left-pad prompts (every row's last real token at physical slot Lp-1),
+    right-pad captions, and size the decode buffer.
+
+    Returns (ids, mask, tts, cap_ids, cap_mask, buffer_len) as numpy
+    arrays (cap_* are None when no sample carries a caption)."""
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    Lp = _bucket(max(lens), prompt_bucket)
+    ids = np.full((B, Lp), eos_id, np.int32)
+    mask = np.zeros((B, Lp), np.float32)
+    tts = np.full((B, Lp), sp2_id, np.int32)
+    for b, p in enumerate(prompts):
+        ids[b, Lp - len(p):] = p
+        mask[b, Lp - len(p):] = 1.0
+        if token_types is not None:
+            tts[b, Lp - len(p):] = token_types[b]
+    cap_ids = cap_mask = None
+    if captions is not None and any(c is not None and len(c) for c in captions):
+        Lc = _bucket(max(len(c) if c else 1 for c in captions), caption_bucket)
+        cap_ids = np.full((B, Lc), eos_id, np.int32)
+        # caption-less rows keep an all-zero mask: the model zeroes their
+        # cross-attn residual entirely (gpt2._capless_row_gate)
+        cap_mask = np.zeros((B, Lc), np.float32)
+        for b, c in enumerate(captions):
+            if c is not None and len(c):
+                cap_ids[b, :len(c)] = c
+                cap_mask[b, :len(c)] = 1.0
+    cap = min(max_len, n_positions)
+    new_cap = max_new_tokens if max_new_tokens is not None else max(cap - min(lens), 0)
+    buffer_len = Lp + max(new_cap, 1)
+    return ids, mask, tts, cap_ids, cap_mask, buffer_len
+
+
 def generate_batch(
     params,
     config: ModelConfig,
@@ -268,29 +315,13 @@ def generate_batch(
     marker-wrapped caption ids for cross-attention conditioning
     (src/model.py:460-463); right-padded to a bucketed width and masked.
     """
-    B = len(prompts)
-    lens = [len(p) for p in prompts]
-    Lp = _bucket(max(lens), prompt_bucket)
-    ids = np.full((B, Lp), eos_id, np.int32)
-    mask = np.zeros((B, Lp), np.float32)
-    tts = np.full((B, Lp), sp2_id, np.int32)
-    for b, p in enumerate(prompts):
-        ids[b, Lp - len(p):] = p
-        mask[b, Lp - len(p):] = 1.0
-        if token_types is not None:
-            tts[b, Lp - len(p):] = token_types[b]
-    cap_ids = cap_mask = None
-    if captions is not None and any(c is not None and len(c) for c in captions):
-        Lc = _bucket(max(len(c) if c else 1 for c in captions), caption_bucket)
-        cap_ids = np.full((B, Lc), eos_id, np.int32)
-        cap_mask = np.zeros((B, Lc), np.float32)
-        for b, c in enumerate(captions):
-            if c is not None and len(c):
-                cap_ids[b, :len(c)] = c
-                cap_mask[b, :len(c)] = 1.0
+    ids, mask, tts, cap_ids, cap_mask, buffer_len = pack_ragged_batch(
+        prompts, eos_id=eos_id, sp2_id=sp2_id, n_positions=config.n_positions,
+        max_len=max_len, token_types=token_types, captions=captions,
+        prompt_bucket=prompt_bucket, caption_bucket=caption_bucket,
+        max_new_tokens=max_new_tokens)
+    B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
-    new_cap = max_new_tokens if max_new_tokens is not None else max(cap - min(lens), 0)
-    buffer_len = Lp + max(new_cap, 1)
 
     out = generate(
         params, config, jnp.asarray(ids),

@@ -520,11 +520,24 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             k_full, v_full, ks_full, vs_full)
 
 
+def _capless_row_gate(out, enc_mask):
+    """Zero the cross-attn residual for rows whose caption mask is all
+    zero (ragged batches mix captioned and caption-less samples): with
+    every key masked to -1e9 the softmax would go UNIFORM over pad
+    embeddings and inject junk into the caption-less row instead of
+    being a no-op."""
+    if enc_mask is None:
+        return out
+    has = (jnp.sum(enc_mask.astype(jnp.float32), axis=-1) > 0)
+    return out * has[:, None, None].astype(out.dtype)
+
+
 def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
                      deterministic, rng):
     """Cross-attention: Q from hidden states, K/V from encoder states via a
     shared c_attn (reference: src/model.py:211-226). Non-causal;
-    ``enc_mask`` is the raw [B, Lc] caption mask.
+    ``enc_mask`` is the raw [B, Lc] caption mask. Rows with an all-zero
+    mask contribute a ZERO residual (see _capless_row_gate).
 
     ``cached_kv`` (decode) arrives in the cache's merged-head layout
     [B, Lc, H*Dh] and is consumed in [B, Lc, H, Dh] form directly by the
@@ -549,6 +562,7 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
                          precision="highest")
         out = _merge_heads(out)
         out = dense(out, p["c_proj"])
+        out = _capless_row_gate(out, enc_mask)
         return _dropout(out, c.resid_pdrop, deterministic,
                         None if rng is None else jax.random.fold_in(rng, 4)), cached_kv
     kv = dense(enc, p["c_attn"])
@@ -565,6 +579,7 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
     )
     out = _merge_heads(out)
     out = dense(out, p["c_proj"])
+    out = _capless_row_gate(out, enc_mask)
     out = _dropout(out, c.resid_pdrop, deterministic,
                    None if rng is None else jax.random.fold_in(rng, 4))
     return out, (k, v)

@@ -163,6 +163,14 @@ class Trainer:
         per-host sharding) when num_workers > 0 — giving the reference's
         num_workers flag (src/main.py:353) real semantics."""
         cfg = self.cfg
+        # multi-host: every process must produce identical batch shapes
+        # and pytree structure (jax.make_array_from_process_local_data
+        # assembles one global array per field), so pad to max_len and
+        # pin caption presence to the dataset-wide truth rather than the
+        # local batch's contents
+        static = jax.process_count() > 1
+        static_caps = (any(e.caption_ids is not None for e in dataset.examples)
+                       if static else None)
         if cfg.num_workers > 0:
             from ergm_tpu.data.grain_loader import make_grain_loader
 
@@ -170,9 +178,12 @@ class Trainer:
                 dataset, batch_size=cfg.batch_size, eos_id=self.st.eos_id,
                 shuffle=shuffle, seed=seed, max_len=self.max_len,
                 drop_remainder=drop_remainder, num_workers=cfg.num_workers,
-                host_index=jax.process_index(), host_count=jax.process_count())
+                host_index=jax.process_index(), host_count=jax.process_count(),
+                static=static, static_caps=static_caps)
         return batches(dataset, cfg.batch_size, self.st.eos_id, shuffle=shuffle,
-                       seed=seed, max_len=self.max_len, drop_remainder=drop_remainder)
+                       seed=seed, max_len=self.max_len,
+                       drop_remainder=drop_remainder,
+                       static=static, static_caps=static_caps)
 
     # -- loops -----------------------------------------------------------
 

@@ -88,8 +88,9 @@ def run_variant(name: str) -> dict:
 
             orig = steps_mod._losses_and_metrics
 
-            def no_emo(params_, config_, batch_, deterministic, rng):
-                loss, metrics = orig(params_, config_, batch_, deterministic, rng)
+            def no_emo(params_, config_, batch_, deterministic, rng, **kw):
+                loss, metrics = orig(params_, config_, batch_, deterministic,
+                                     rng, **kw)
                 return metrics["lm_loss"], metrics
 
             steps_mod._losses_and_metrics = no_emo

@@ -173,3 +173,31 @@ def test_run_test_feeds_captions(cap_data_dir):
             max_len=MAX_LEN, top_p=0.9, max_new_tokens=4, num_beams=beams)
         assert len(hyps) == len(refs) == len(labels) == len(preds) > 0
         assert all(np.isfinite(l) for l in losses)
+
+
+def test_capless_row_in_mixed_batch_is_a_noop():
+    """A row whose caption mask is all zero must get ZERO cross-attn
+    residual — identical logits to running it with no captions at all
+    (an all-masked softmax would otherwise go uniform over pad
+    embeddings and inject junk)."""
+    import jax.numpy as jnp
+
+    cfg = ModelConfig.from_model_type(
+        "gpt2", n_layer=2, n_embd=32, n_head=4, vocab_size=120,
+        n_positions=64, dtype="float32", use_cross_attention=True,
+        embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 110, (2, 10)), jnp.int32)
+    caps = jnp.asarray(rng.integers(0, 110, (2, 6)), jnp.int32)
+    cap_mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [0, 0, 0, 0, 0, 0]], jnp.float32)
+
+    mixed = jax.jit(lambda p: gpt2.forward(
+        p, cfg, ids, caption_ids=caps,
+        encoder_attention_mask=cap_mask).logits)(params)
+    capless = jax.jit(lambda p: gpt2.forward(p, cfg, ids[1:2]).logits)(params)
+    np.testing.assert_allclose(np.asarray(mixed[1]), np.asarray(capless[0]),
+                               rtol=1e-5, atol=1e-5)
+    # the captioned row must still differ from its caption-free version
+    capless0 = jax.jit(lambda p: gpt2.forward(p, cfg, ids[0:1]).logits)(params)
+    assert float(np.abs(np.asarray(mixed[0]) - np.asarray(capless0[0])).max()) > 1e-4

@@ -135,3 +135,25 @@ def test_limit_matches_reference_debug_slice(tmp_path, st):
     ds_lim = DialogueDataset("train", str(tmp_path.as_posix()), sp1_id=st.sp1_id,
                              sp2_id=st.sp2_id, eos_id=st.eos_id, limit=1)
     assert len(ds_lim) == 4 and len(ds_full) == 12
+
+
+def test_collate_static_mode_pins_shapes(tmp_path, st):
+    """Multi-host collation: static=True pads every batch to max_len and
+    static_caps pins caption-array presence, so processes with different
+    local examples still build IDENTICAL global batch shapes/structure
+    for jax.make_array_from_process_local_data."""
+    ds = _dataset(tmp_path, st, num_dialogues=3, turns_per_dialogue=4)
+    short = [ds[0]]
+    long_ = [max(ds.examples, key=lambda e: len(e.input_ids))]
+
+    a = collate(short, st.eos_id, 2, max_len=256, static=True, static_caps=True)
+    b = collate(long_, st.eos_id, 2, max_len=256, static=True, static_caps=True)
+    assert a.input_ids.shape == b.input_ids.shape == (2, 256)
+    # caption arrays exist with identical shape even if a local batch
+    # happens to lack captions
+    assert (a.caption_ids is None) == (b.caption_ids is None)
+    if a.caption_ids is not None:
+        assert a.caption_ids.shape == b.caption_ids.shape
+    # dynamic mode still buckets tightly
+    c = collate(short, st.eos_id, 2, max_len=256)
+    assert c.input_ids.shape[1] <= 128
