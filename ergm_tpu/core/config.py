@@ -95,7 +95,9 @@ class ModelConfig:
     #             flash forward (measured best: 79.7k tok/s / 38.0% MFU
     #             at B=48 L=512 on v5e vs 76.2k for "full" at B=64; the
     #             default). Costs memory — gpt2 B=64 x L=512 OOMs v5e
-    #             HBM by ~200 MB; use "full" for larger batches.
+    #             HBM by ~200 MB; use "full" for larger batches,
+    #   "mlp_only" — like "mlp" but cross-attention also keeps its
+    #             residuals (no recompute at all; the most memory).
     remat_policy: str = "mlp"
     # sequence-chunk size for the rematerialized LM loss (models/gpt2.py
     # chunked_lm_loss): bounds live logits memory at O(B * chunk * V)

@@ -674,7 +674,10 @@ def transformer(
     # kernel's saved softmax stats), so backward never re-runs the flash
     # forward — measured the single largest recompute cost of full-block
     # remat — while the big [B, L, 4D] MLP intermediates are still freed.
-    mlp_remat = c.remat and c.remat_policy == "mlp" and not decode
+    # "mlp_only" additionally keeps cross-attention residuals (more
+    # memory, less recompute).
+    mlp_remat = (c.remat and c.remat_policy in ("mlp", "mlp_only")
+                 and not decode)
 
     def _mlp_sub(mlp_in, pm, layer_rng):
         return _mlp(mlp_in, pm, config=c, deterministic=deterministic,
@@ -688,7 +691,8 @@ def transformer(
 
     if mlp_remat:
         _mlp_sub = jax.checkpoint(_mlp_sub, prevent_cse=False)
-        _cross_sub = jax.checkpoint(_cross_sub, prevent_cse=False)
+        if c.remat_policy == "mlp":
+            _cross_sub = jax.checkpoint(_cross_sub, prevent_cse=False)
 
     def block(carry, xs):
         # decode carries the FULL stacked cache: new-token K/V are written

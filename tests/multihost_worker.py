@@ -64,8 +64,13 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     with mesh:
+        # static=True (the trainer's multi-host mode): each host's local
+        # batch has different example lengths, so dynamic buckets would
+        # give the processes different global shapes — pad to max_len
         for i, batch in enumerate(batches(ds, 4, st.eos_id, max_len=64,
-                                          drop_remainder=True)):
+                                          drop_remainder=True, static=True,
+                                          pad_multiple=32)):
+            assert batch.input_ids.shape[1] == 64, batch.input_ids.shape
             # local batch of 4 -> global batch of 8 over the data axis
             dev = batch_to_device(batch, mesh)
             assert dev["input_ids"].shape[0] == 8, dev["input_ids"].shape
