@@ -108,7 +108,10 @@ def _pick_block(n: int) -> int:
 def _block_sizes(lq: int, lk: int):
     """512-sized blocks where the sequence allows: the backward kernels
     measure ~1.8x faster than the 128 defaults at GPT-2 training shapes
-    (v5e, B=64 L=512); forward is unchanged."""
+    (v5e, B=64 L=512); forward is unchanged. An asymmetric-backward
+    sweep (results/attn_kernel_bench.jsonl) found dKV-q=256 2% faster
+    in isolation (8.45 vs 8.64 ms/layer) but a wash-to-negative in the
+    full train step (81.3k vs 82.4k tok/s), so blocks stay symmetric."""
     fa = _kernel()
     bq = _pick_block(lq)
     bk = _pick_block(lk)

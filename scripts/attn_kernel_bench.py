@@ -47,14 +47,24 @@ def make_fn(variant):
     if variant.startswith("flash-"):
         from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+        # flash-QxK[-bN][-dkvQxK][-dqQxK]: fwd blocks, optional batch
+        # block, optional separate backward dKV / dQ blocks
         parts = variant.split("-")
         bq, bk = (int(x) for x in parts[1].split("x"))
-        bb = int(parts[2][1:]) if len(parts) > 2 else 1  # flash-QxK-bN
+        bb = 1
+        dkv_q, dkv_k, dq_q, dq_k = bq, bk, bq, bk
+        for p_ in parts[2:]:
+            if p_.startswith("dkv"):
+                dkv_q, dkv_k = (int(x) for x in p_[3:].split("x"))
+            elif p_.startswith("dq"):
+                dq_q, dq_k = (int(x) for x in p_[2:].split("x"))
+            elif p_.startswith("b"):
+                bb = int(p_[1:])
         bs = fa.BlockSizes(
             block_q=bq, block_k_major=bk, block_k=bk, block_b=bb,
-            block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
-            block_q_dkv=bq,
-            block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+            block_q_major_dkv=dkv_q, block_k_major_dkv=dkv_k,
+            block_k_dkv=dkv_k, block_q_dkv=dkv_q,
+            block_k_major_dq=dq_k, block_k_dq=dq_k, block_q_dq=dq_q,
         )
 
         def attn(q, k, v):
