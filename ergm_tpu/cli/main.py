@@ -232,6 +232,13 @@ def main(argv: Optional[list] = None):
     args.ckpt_dir = os.path.join(args.ckpt_dir, args.model_type)
     cfg = args_to_config(args)
 
+    # warm starts replay jitted programs from disk (14.8 -> 3.3 s
+    # measured for the gpt2 train step on v5e); ERGM_NO_COMPILE_CACHE=1
+    # opts out
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.mode == "train":
         from ergm_tpu.train.trainer import Trainer
 

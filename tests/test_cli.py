@@ -74,3 +74,26 @@ def test_argparser_has_reference_flags():
     ])
     assert args.model_type == "gpt2"
     assert args.max_turns == 35
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a persistent dir, honors
+    JAX_COMPILATION_CACHE_DIR, and ERGM_NO_COMPILE_CACHE opts out."""
+    import jax
+
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "cc"))
+        monkeypatch.delenv("ERGM_NO_COMPILE_CACHE", raising=False)
+        path = enable_compilation_cache()
+        assert path == str(tmp_path / "cc")
+        assert jax.config.jax_compilation_cache_dir == path
+        import os as _os
+        assert _os.path.isdir(path)
+
+        monkeypatch.setenv("ERGM_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
