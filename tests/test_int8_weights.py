@@ -147,3 +147,21 @@ def test_int8_weight_quality_on_trained_model():
     assert tv.max() < 0.15, f"max TV {tv.max():.4f} too high"
     assert abs(np.log(ppl_q / ppl_ref)) < 0.05, (ppl_ref, ppl_q)
     assert agree == 1.0
+
+
+def test_beam_search_with_int8_weights():
+    """Beam decode runs on the quantized serving params (the int8 lm_head
+    logits path feeds beam scoring)."""
+    from ergm_tpu.infer.beam import beam_search_batch
+
+    cfg = small_cfg(weight_dtype="int8")
+    params = gpt2.params_for_inference(
+        gpt2.init_params(jax.random.PRNGKey(0), cfg), cfg)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, 150, (9,)).tolist(),
+               rng.integers(0, 150, (14,)).tolist()]
+    results, emo = beam_search_batch(
+        params, cfg, prompts, num_beams=2, max_len=32, eos_id=158,
+        sp2_id=159, max_new_tokens=6)
+    assert len(results) == 2 and all(len(r) <= 7 for r in results)
+    assert emo.shape[0] == 2 and np.isfinite(emo).all()
