@@ -477,6 +477,14 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     q, k, v = _qkv_heads(h, p, c)
     zero = jnp.zeros((), jnp.int32)
     idx5 = (li_int, zero, zero, cache_index, zero)
+    dt = c.compute_dtype
+    T = k_full.shape[-2]
+    scale = _attn_scale(c, li)
+    # Mask the unwritten cache tail; combined with any caller key mask.
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    tail = (kpos < (cache_index + L)).astype(jnp.float32)
+    kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
+
     if ks_full is not None:
         kq, ksc = _quantize_kv(k)
         vq, vsc = _quantize_kv(v)
@@ -484,7 +492,32 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         v_full = lax.dynamic_update_slice(v_full, vq[None], idx5)
         ks_full = lax.dynamic_update_slice(ks_full, ksc[None], idx5)
         vs_full = lax.dynamic_update_slice(vs_full, vsc[None], idx5)
-        dt = c.compute_dtype
+        if L == 1 and T >= 512:
+            # Scale-factored int8 attention: the per-(token, head) scales
+            # factor OUT of both dots, so the einsums read the RAW int8
+            # cache (a plain convert fuses into the dot's operand read;
+            # dequantize-then-attend materializes a bf16 copy of the
+            # whole cache per layer-step). Measured on v5e B=64 decode at
+            # T=1024: 6178 tok/s factored vs 4243 dequantized vs 5777
+            # bf16-cache. At SHORT caches the dequantized copy is cheap
+            # and XLA's fused attention wins (T=256 B=256: 58.8k vs
+            # 54.8k tok/s factored), hence the T >= 512 gate.
+            kq_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
+            ks_all = lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False)
+            vq_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+            vs_all = lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False)
+            s = jnp.einsum("bhqd,bhtd->bhqt", q.astype(dt), kq_all.astype(dt),
+                           preferred_element_type=jnp.float32,
+                           precision="highest") * scale
+            s = s * ks_all[..., 0].astype(jnp.float32)[:, :, None, :]
+            s = s + (1.0 - kv_mask).astype(jnp.float32)[:, None, None, :] * -1e9
+            probs = jax.nn.softmax(s, axis=-1)
+            pv = (probs * vs_all[..., 0].astype(jnp.float32)[:, :, None, :]).astype(dt)
+            out = jnp.einsum("bhqt,bhtd->bhqd", pv, vq_all.astype(dt),
+                             precision="highest")
+            return (_attn_project(out, p, c, deterministic, rng),
+                    k_full, v_full, ks_full, vs_full)
+        # multi-token (prefill) with an int8 cache: dequantize the slice
         k_all = (lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False).astype(dt)
                  * lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False).astype(dt))
         v_all = (lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False).astype(dt)
@@ -494,8 +527,6 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
         k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
         v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
-    T = k_all.shape[-2]
-    scale = _attn_scale(c, li)
 
     # Single-token decode attention runs on XLA's fused path. A bespoke
     # block-skipping Pallas decode kernel (clamped BlockSpec index maps so
@@ -506,10 +537,6 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     # the kernel lost everywhere and was removed (VERDICT r1 item 8;
     # measurements in results/decode_kernel_bench.jsonl, git history has
     # the kernel).
-    # Mask the unwritten cache tail; combined with any caller key mask.
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    tail = (kpos < (cache_index + L)).astype(jnp.float32)
-    kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
     out = multihead_attention(
         q, k_all, v_all, causal=True, kv_mask=kv_mask,
         q_mask=None if attn_mask is None else attn_mask[:, :L],

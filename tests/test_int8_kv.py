@@ -111,3 +111,22 @@ def test_int8_kv_greedy_decode_agreement(trained):
                      sp2_id=st.sp2_id, greedy=True, rng=jax.random.PRNGKey(0))
         outs[kv] = np.asarray(g.tokens)[0, 8:int(g.lengths[0])].tolist()
     assert outs["auto"] == outs["int8"], outs
+
+
+def test_factored_int8_attention_long_cache(trained):
+    """Caches >= 512 slots take the scale-factored int8 attention path
+    (scores on the raw int8 cache, per-key scales folded into the
+    logits/probs) — greedy decode must still agree with the bf16 cache."""
+    from ergm_tpu.infer.generate import generate
+
+    params, mcfg, st, ds = trained
+    ex = ds.examples[2]
+    prompt = jnp.asarray([ex.input_ids[:8]])
+    outs = {}
+    for kv in ("auto", "int8"):
+        c = mcfg.replace(kv_cache_dtype=kv, n_positions=1024)
+        g = generate(params, c, prompt, 8, max_len=512, eos_id=st.eos_id,
+                     sp2_id=st.sp2_id, greedy=True, logical_cap=24,
+                     rng=jax.random.PRNGKey(0))
+        outs[kv] = np.asarray(g.tokens)[0, 8:int(g.lengths[0])].tolist()
+    assert outs["auto"] == outs["int8"], outs
