@@ -497,11 +497,12 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             # factor OUT of both dots, so the einsums read the RAW int8
             # cache (a plain convert fuses into the dot's operand read;
             # dequantize-then-attend materializes a bf16 copy of the
-            # whole cache per layer-step). Measured on v5e B=64 decode at
-            # T=1024: 6178 tok/s factored vs 4243 dequantized vs 5777
-            # bf16-cache. At SHORT caches the dequantized copy is cheap
-            # and XLA's fused attention wins (T=256 B=256: 58.8k vs
-            # 54.8k tok/s factored), hence the T >= 512 gate.
+            # whole cache per layer-step). Measured on v5e decode:
+            # T=1024 B=64: 6178 tok/s factored vs 4243 dequantized vs
+            # 5777 bf16-cache; T=512 B=128: 26.9k factored vs 23.9k
+            # bf16. At SHORT caches the dequantized copy is cheap and
+            # XLA's fused attention wins (T=256 B=256: 58.8k vs 54.8k
+            # factored), hence the T >= 512 gate.
             kq_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
             ks_all = lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False)
             vq_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
