@@ -135,6 +135,43 @@ class DialogueDataset:
         return self.examples[idx]
 
 
+class Subset:
+    """Index-selected view over a dataset (no example copies). Used for
+    per-host sharding of the plain (num_workers=0) loader path — every
+    process must iterate a DISJOINT equal-length slice, mirroring
+    grain_loader's shard rule, or multi-host training silently trains on
+    each example process_count times."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> Example:
+        return self.dataset[self.indices[idx]]
+
+
+def host_shard_order(
+    n: int, host_index: int, host_count: int,
+    shuffle: bool = False, seed: int = 0,
+) -> np.ndarray:
+    """Global-shuffle-then-shard index assignment for one host.
+
+    The global index space is shuffled FIRST (epoch-seeded) and sharded
+    after, so examples re-mix across hosts every epoch like a global
+    DataLoader shuffle would; shard-then-shuffle would pin each example
+    to one host forever. Shards are strided and truncated to the minimum
+    per-host length so every host iterates the same batch count (the
+    collective steps deadlock otherwise)."""
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    per_host = n // max(host_count, 1)
+    return order[host_index::host_count][:per_host]
+
+
 def _bucket_len(n: int, pad_multiple: int, max_len: int) -> int:
     b = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
     return min(b, max_len)
@@ -208,6 +245,18 @@ def collate(
         contexts.append(e.context)
         if has_caps and e.caption_ids:
             kc = min(len(e.caption_ids), cap_ids.shape[1])
+            if len(e.caption_ids) > cap_ids.shape[1]:
+                # static (multi-host) collation pins caption width to
+                # static_cap_len while single-host buckets up to max_len
+                # — silent truncation would mean the same dataset trains
+                # on different caption content by host count (ADVICE r2)
+                import warnings
+
+                warnings.warn(
+                    f"caption truncated {len(e.caption_ids)} -> "
+                    f"{cap_ids.shape[1]} tokens by the static collation "
+                    f"cap (static_cap_len); raise static_cap_len to keep "
+                    f"full captions in multi-host runs")
             cap_ids[b, :kc] = e.caption_ids[:kc]
             cap_mask[b, :kc] = 1.0
     return Batch(input_ids=ids, token_type_ids=tts, labels=lbl, imgs=imgs,

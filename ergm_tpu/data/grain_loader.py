@@ -39,14 +39,18 @@ def make_grain_loader(
     import grain
 
     ds = grain.MapDataset.source(dataset)
+    # shuffle FIRST, shard after: the epoch-seeded global shuffle re-mixes
+    # examples across hosts every epoch like a global DataLoader shuffle;
+    # shard-then-shuffle would pin each example to one host forever
+    # (ADVICE r2)
+    if shuffle:
+        ds = ds.shuffle(seed=seed)
     if host_count > 1:
         # per-host shard (DCN data split), truncated to the MINIMUM
         # shard length: every host must iterate the same number of
         # batches or the collective train/eval steps deadlock
         per_host = len(dataset) // host_count
         ds = ds[host_index::host_count][:per_host]
-    if shuffle:
-        ds = ds.shuffle(seed=seed)
     ds = ds.batch(
         batch_size,
         drop_remainder=drop_remainder,

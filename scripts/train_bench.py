@@ -33,34 +33,7 @@ REMAT = os.environ.get("TRAIN_BENCH_REMAT", "1") not in ("0", "false")
 REMAT_POLICY = os.environ.get("TRAIN_BENCH_REMAT_POLICY", "mlp")
 LM_LOSS = os.environ.get("TRAIN_BENCH_LM_LOSS", "auto")
 
-# bf16 peak TFLOP/s by device kind substring (public specs)
-PEAK_TFLOPS = {
-    "v5 lite": 197.0, "v5e": 197.0,
-    "v4": 275.0,
-    "v5p": 459.0, "v5": 459.0,
-    "v6 lite": 918.0, "v6e": 918.0,
-}
-
-
-def device_peak_tflops(kind: str):
-    kind = kind.lower()
-    for key, val in PEAK_TFLOPS.items():
-        if key in kind:
-            return val
-    return None
-
-
-def model_flops_per_token(cfg) -> float:
-    """Required train FLOPs per token: 6*P_matmul + causal attention
-    (12*L*D*T/2 = 6*L*D*T). P counts matmul-participating params
-    (weights incl. the tied vocab projection; embeddings gathered, not
-    multiplied, except the logits matmul which IS wte — counted once)."""
-    D, L, I, V = cfg.n_embd, cfg.n_layer, cfg.inner_dim, cfg.vocab_size
-    per_layer = (3 * D * D + D * D) + (D * I + I * D)  # qkv+proj, mlp
-    if cfg.use_cross_attention:
-        per_layer += D * D + 2 * D * D + D * D  # q_attn, kv, proj
-    p_matmul = L * per_layer + V * D  # + logits projection
-    return 6.0 * p_matmul + 6.0 * L * D * SEQ
+from ergm_tpu.utils.flops import device_peak_tflops, model_flops_per_token
 
 
 def main():
@@ -123,7 +96,7 @@ def main():
         "step_ms": round(best * 1000, 1),
     }
     peak = device_peak_tflops(kind)
-    model_tflops = model_flops_per_token(cfg) * tok_per_sec / 1e12
+    model_tflops = model_flops_per_token(cfg, SEQ) * tok_per_sec / 1e12
     payload["model_tflops"] = round(model_tflops, 1)
     if peak:
         payload["mfu"] = round(model_tflops / peak, 4)

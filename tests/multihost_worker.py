@@ -35,7 +35,8 @@ def main():
     from ergm_tpu.core.config import ModelConfig
     from ergm_tpu.core.mesh import make_mesh, replicated
     from ergm_tpu.data.assembly import read_meta
-    from ergm_tpu.data.dataset import DialogueDataset, batches
+    from ergm_tpu.data.dataset import (DialogueDataset, Subset, batches,
+                                       host_shard_order)
     from ergm_tpu.models import gpt2
     from ergm_tpu.train import checkpoint as ckpt_lib
     from ergm_tpu.train.steps import (batch_to_device, create_train_state,
@@ -58,9 +59,9 @@ def main():
 
     ds = DialogueDataset("train", data_dir, sp1_id=st.sp1_id, sp2_id=st.sp2_id,
                          eos_id=st.eos_id, max_len=64)
-    # per-host shard, equal length (the grain_loader convention)
-    per_host = len(ds.examples) // 2
-    ds.examples = ds.examples[pid::2][:per_host]
+    # globally-shuffled per-host shard — the Trainer._batches convention
+    # (same epoch seed on every process => disjoint consistent shards)
+    ds = Subset(ds, host_shard_order(len(ds), pid, 2, shuffle=True, seed=7))
 
     rng = jax.random.PRNGKey(0)
     with mesh:

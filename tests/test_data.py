@@ -157,3 +157,51 @@ def test_collate_static_mode_pins_shapes(tmp_path, st):
     # dynamic mode still buckets tightly
     c = collate(short, st.eos_id, 2, max_len=256)
     assert c.input_ids.shape[1] <= 128
+
+
+def test_host_shard_order_disjoint_equal_and_remixing():
+    """Shuffle-then-shard (ADVICE r2): shards are disjoint, equal-length,
+    cover ~all data, and an example MOVES between hosts across epoch
+    seeds (shard-then-shuffle would pin it to one host forever)."""
+    from ergm_tpu.data.dataset import host_shard_order
+
+    n, hosts = 103, 4
+    shards = [host_shard_order(n, h, hosts, shuffle=True, seed=1)
+              for h in range(hosts)]
+    lengths = {len(s) for s in shards}
+    assert lengths == {n // hosts}
+    flat = np.concatenate(shards)
+    assert len(set(flat.tolist())) == len(flat)  # disjoint
+
+    # epoch re-mixing: example 0's host changes for some seed
+    def host_of(example, seed):
+        for h in range(hosts):
+            if example in host_shard_order(n, h, hosts, shuffle=True, seed=seed):
+                return h
+        return None
+
+    assert any(host_of(0, s) != host_of(0, 1) for s in range(2, 8))
+
+    # no shuffle: deterministic strided shards (validation path)
+    np.testing.assert_array_equal(
+        host_shard_order(n, 1, hosts), np.arange(n)[1::hosts][:n // hosts])
+
+
+def test_subset_views_without_copy(tmp_path, st):
+    from ergm_tpu.data.dataset import Subset
+
+    ds = _dataset(tmp_path, st, num_dialogues=2, turns_per_dialogue=3)
+    sub = Subset(ds, [2, 0])
+    assert len(sub) == 2
+    assert sub[0] is ds[2] and sub[1] is ds[0]
+
+
+def test_collate_static_caption_truncation_warns(tmp_path, st):
+    """Static collation must not silently truncate captions (ADVICE r2):
+    an over-long caption under static_cap_len warns."""
+    ds = _dataset(tmp_path, st, num_dialogues=2, turns_per_dialogue=3)
+    e = ds[0]
+    e.caption_ids = list(range(10, 50))  # longer than the 16-token cap below
+    with pytest.warns(UserWarning, match="caption truncated"):
+        collate([e], st.eos_id, 1, max_len=1024, static=True,
+                static_caps=True, static_cap_len=16)
