@@ -208,6 +208,14 @@ class TrainConfig:
     # threefry (seed-portable); set "threefry2x32" for a fully portable
     # dropout stream too.
     prng_impl: str = "rbg"
+    # Dropout overrides (None = ModelConfig defaults). --attn_pdrop=0.1
+    # restores the reference's attention-prob dropout — at the cost of
+    # the flash attention kernel (no in-kernel PRNG): training then runs
+    # XLA attention with a materialized [B,H,L,L] tensor (see
+    # PARITY.md "attention dropout").
+    attn_pdrop: Optional[float] = None
+    resid_pdrop: Optional[float] = None
+    embd_pdrop: Optional[float] = None
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -93,11 +93,17 @@ def param_partition_spec(path: Tuple[str, ...]) -> P:
     def spec(*entries) -> P:
         return P(None, *entries) if stacked else P(*entries)
 
-    # column-parallel kernels: shard output features
-    if name.endswith(("c_attn/kernel", "q_attn/kernel", "c_fc/kernel")):
+    # column-parallel kernels: shard output features. int8 serving
+    # kernels (gpt2.quantize_params_int8: kernel_q [in, out] + per-out
+    # kernel_scale [1, out]) shard the same way — their out dim.
+    if name.endswith(("c_attn/kernel", "q_attn/kernel", "c_fc/kernel",
+                      "c_attn/kernel_q", "q_attn/kernel_q", "c_fc/kernel_q",
+                      "c_attn/kernel_scale", "q_attn/kernel_scale",
+                      "c_fc/kernel_scale")):
         return spec(None, MODEL_AXIS)
-    # row-parallel kernels: shard input features (XLA inserts the psum)
-    if name.endswith("c_proj/kernel"):
+    # row-parallel kernels: shard input features (XLA inserts the psum);
+    # the per-out scale of a row-parallel int8 kernel stays replicated
+    if name.endswith(("c_proj/kernel", "c_proj/kernel_q")):
         return spec(MODEL_AXIS, None)
     # column-parallel biases follow the sharded output dim
     if name.endswith(("c_attn/bias", "q_attn/bias", "c_fc/bias")):

@@ -232,10 +232,16 @@ class Evaluator:
         true_label_ids: Optional[Sequence[int]] = None,
         losses: Optional[Sequence[float]] = None,
         pred_label_ids: Optional[Sequence[int]] = None,
+        loss_token_counts: Optional[Sequence[float]] = None,
     ) -> Dict[str, float]:
         """The signature src/main.py:378-383 actually calls. Adds
         ``pred_label_ids`` so emotion accuracy is computable (the
-        reference collected true labels but produced no predictions)."""
+        reference collected true labels but produced no predictions),
+        and ``loss_token_counts`` (supervised tokens per batch, aligned
+        with ``losses``) so the statistically honest token-weighted PPL
+        is reported next to the reference's equal-batch-weighted one
+        (src/main.py:328-333 weights every batch the same regardless of
+        token count)."""
         results: Dict[str, float] = {}
         d1, d2 = self.calculate_distinct(hypotheses)
         results["dist_1"], results["dist_2"] = d1, d2
@@ -247,6 +253,13 @@ class Evaluator:
             mean = float(np.mean(losses))
             ppl = math.exp(mean) if math.isfinite(mean) else float("inf")
             results["ppl"] = 1e8 if not math.isfinite(ppl) else ppl
+            if loss_token_counts is not None and len(loss_token_counts) == len(losses):
+                tok = float(np.sum(loss_token_counts))
+                if tok > 0:
+                    tw = float(np.dot(losses, loss_token_counts)) / tok
+                    tw_ppl = math.exp(tw) if math.isfinite(tw) else float("inf")
+                    results["ppl_token_weighted"] = \
+                        1e8 if not math.isfinite(tw_ppl) else tw_ppl
         if true_label_ids is not None and pred_label_ids is not None and len(true_label_ids):
             t = np.asarray(true_label_ids)
             p = np.asarray(pred_label_ids)

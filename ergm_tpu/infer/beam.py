@@ -224,11 +224,16 @@ def beam_search_batch(
     length_penalty: float = 1.0,
     prompt_bucket: int = 64,
     caption_bucket: int = 32,
+    mesh=None,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched beam decode over ragged prompts (the beam
     counterpart of generate_batch): left-pads to a bucketed width, runs
     ONE jitted beam_search for the whole batch, returns per-sample
-    continuation ids (eos included when emitted) + emotion logits."""
+    continuation ids (eos included when emitted) + emotion logits.
+    ``mesh``: SPMD decode (see generate_batch) — batch padded to the
+    data-axis multiple, inputs batch-sharded, extra rows dropped."""
+    from contextlib import nullcontext
+
     from ergm_tpu.infer.generate import pack_ragged_batch
 
     ids, mask, tts, cap_ids, cap_mask, buffer_len = pack_ragged_batch(
@@ -239,19 +244,45 @@ def beam_search_batch(
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
 
-    out = beam_search(
-        params, config, jnp.asarray(ids), prompt_mask=jnp.asarray(mask),
-        num_beams=num_beams, max_len=buffer_len, logical_cap=cap,
-        eos_id=eos_id, sp2_id=sp2_id, length_penalty=length_penalty,
-        token_type_ids=jnp.asarray(tts) if token_types is not None else None,
-        imgs=None if imgs is None else jnp.asarray(imgs),
-        auds=None if auds is None else jnp.asarray(auds),
-        caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
-        caption_mask=None if cap_mask is None else jnp.asarray(cap_mask),
-    )
-    tokens = np.asarray(out.tokens)
-    lengths = np.asarray(out.lengths)
+    def dev(x):
+        return None if x is None else jnp.asarray(x)
+
+    ctx = nullcontext()
+    if mesh is not None:
+        from ergm_tpu.core.mesh import batch_sharding
+
+        dp = int(mesh.shape.get("data", 1))
+        padded = ((B + dp - 1) // dp) * dp
+        if padded > B:
+            def pad_rows(x):
+                if x is None:
+                    return None
+                x = np.asarray(x)
+                return np.concatenate([x, np.repeat(x[-1:], padded - B, axis=0)], axis=0)
+
+            ids, mask, tts = pad_rows(ids), pad_rows(mask), pad_rows(tts)
+            cap_ids, cap_mask = pad_rows(cap_ids), pad_rows(cap_mask)
+            imgs, auds = pad_rows(imgs), pad_rows(auds)
+        sh = batch_sharding(mesh)
+
+        def dev(x):  # noqa: F811
+            return None if x is None else jax.device_put(jnp.asarray(x), sh)
+
+        ctx = mesh
+
+    with ctx:
+        out = beam_search(
+            params, config, dev(ids), prompt_mask=dev(mask),
+            num_beams=num_beams, max_len=buffer_len, logical_cap=cap,
+            eos_id=eos_id, sp2_id=sp2_id, length_penalty=length_penalty,
+            token_type_ids=dev(tts) if token_types is not None else None,
+            imgs=dev(imgs), auds=dev(auds),
+            caption_ids=dev(cap_ids), caption_mask=dev(cap_mask),
+        )
+        tokens = np.asarray(out.tokens)
+        lengths = np.asarray(out.lengths)
+        emo = np.asarray(out.emotion_logits)
     results: List[List[int]] = []
-    for b in range(B):
+    for b in range(B):  # B excludes mesh fill rows
         results.append(tokens[b, Lp:lengths[b]].tolist())
-    return results, np.asarray(out.emotion_logits)
+    return results, emo[:B]

@@ -305,6 +305,7 @@ def generate_batch(
     max_new_tokens: Optional[int] = None,
     sample_top_k: int = 64,
     sample_approx: bool = True,
+    mesh=None,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
 
@@ -314,6 +315,12 @@ def generate_batch(
     logits from the prompt's final token. ``captions``: per-sample
     marker-wrapped caption ids for cross-attention conditioning
     (src/model.py:460-463); right-padded to a bucketed width and masked.
+
+    ``mesh``: decode SPMD over a device mesh — the batch is padded to a
+    multiple of the ``data`` axis, batch-dim inputs are sharded over it,
+    and the jitted program runs under the mesh so tensor-parallel param
+    shardings (core/mesh.py specs) drive XLA's collectives. Extra padded
+    rows are dropped from the returned results.
     """
     ids, mask, tts, cap_ids, cap_mask, buffer_len = pack_ragged_batch(
         prompts, eos_id=eos_id, sp2_id=sp2_id, n_positions=config.n_positions,
@@ -323,20 +330,48 @@ def generate_batch(
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
 
-    out = generate(
-        params, config, jnp.asarray(ids),
-        prompt_mask=jnp.asarray(mask),
-        token_type_ids=jnp.asarray(tts) if token_types is not None else None,
-        max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
-        rng=rng, imgs=None if imgs is None else jnp.asarray(imgs),
-        auds=None if auds is None else jnp.asarray(auds), greedy=greedy,
-        caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
-        caption_mask=None if cap_mask is None else jnp.asarray(cap_mask),
-        sample_top_k=sample_top_k, sample_approx=sample_approx,
-    )
-    tokens = np.asarray(out.tokens)
-    lengths = np.asarray(out.lengths)
+    def dev(x):
+        return None if x is None else jnp.asarray(x)
+
+    ctx = None
+    if mesh is not None:
+        from ergm_tpu.core.mesh import batch_sharding
+
+        dp = int(mesh.shape.get("data", 1))
+        padded = ((B + dp - 1) // dp) * dp
+        if padded > B:
+            def pad_rows(x):
+                if x is None:
+                    return None
+                reps = np.repeat(x[-1:], padded - B, axis=0)
+                return np.concatenate([np.asarray(x), reps], axis=0)
+
+            ids, mask, tts = pad_rows(ids), pad_rows(mask), pad_rows(tts)
+            cap_ids, cap_mask = pad_rows(cap_ids), pad_rows(cap_mask)
+            imgs, auds = pad_rows(imgs), pad_rows(auds)
+        sh = batch_sharding(mesh)
+
+        def dev(x):  # noqa: F811 — mesh-sharded placement
+            return None if x is None else jax.device_put(jnp.asarray(x), sh)
+
+        ctx = mesh
+    from contextlib import nullcontext
+
+    with (ctx if ctx is not None else nullcontext()):
+        out = generate(
+            params, config, dev(ids),
+            prompt_mask=dev(mask),
+            token_type_ids=dev(tts) if token_types is not None else None,
+            max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id,
+            top_p=top_p,
+            rng=rng, imgs=dev(imgs), auds=dev(auds), greedy=greedy,
+            caption_ids=dev(cap_ids), caption_mask=dev(cap_mask),
+            sample_top_k=sample_top_k, sample_approx=sample_approx,
+        )
+        tokens = np.asarray(out.tokens)
+        lengths = np.asarray(out.lengths)
+        emo = np.asarray(out.emotion_logits)
     results: List[List[int]] = []
-    for b in range(B):
+    for b in range(B):  # B excludes mesh fill rows by construction
         results.append(tokens[b, Lp:lengths[b]].tolist())
-    return results, np.asarray(out.emotion_logits)
+    return results, emo[:B]

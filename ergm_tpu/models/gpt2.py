@@ -219,8 +219,9 @@ def quantize_params_int8(params: Params, config: ModelConfig) -> Params:
     per-vocab-row scale on the logits). ``wpe``, LayerNorms, biases and
     the emotion head stay in the compute dtype. Quantize from the
     highest-precision checkpoint available (call before any bf16 cast —
-    params_for_inference orders this correctly). Single-chip serving
-    path: mesh.shard_params specs don't map kernel_q under TP."""
+    params_for_inference orders this correctly). Under TP,
+    core/mesh.py's partition specs shard kernel_q/kernel_scale along
+    the same axes as the fp kernels they replace."""
     skip = {"wpe", "emotion_head"}
 
     def walk(node, name=""):

@@ -130,11 +130,13 @@ def test_runner_beam_mode(tmp_path):
     p = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     ds = DialogueDataset("valid", str(tmp_path), sp1_id=st.sp1_id,
                          sp2_id=st.sp2_id, eos_id=st.eos_id, max_len=64)
-    hyps, refs, labels, losses, preds, contexts = run_test(
+    res = run_test(
         p, cfg, ds, batch_size=4, eos_id=st.eos_id, sp2_id=st.sp2_id,
         max_len=64, top_p=0.9, num_beams=2, max_new_tokens=4)
+    hyps, refs, labels, preds = (res.hypotheses, res.references,
+                                 res.true_labels, res.pred_labels)
     assert len(hyps) == len(refs) == len(labels) == len(preds) == len(ds)
-    assert len(contexts) == len(ds)
+    assert len(res.contexts) == len(ds)
 
 
 def test_beam_scores_improve_over_greedy(params):

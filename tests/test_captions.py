@@ -168,11 +168,16 @@ def test_run_test_feeds_captions(cap_data_dir):
                          sp2_id=st.sp2_id, eos_id=st.eos_id, max_len=MAX_LEN,
                          limit=2)
     for beams in (1, 2):
-        hyps, refs, labels, losses, preds, ctxs = run_test(
+        res = run_test(
             params, mcfg, ds, batch_size=4, eos_id=st.eos_id, sp2_id=st.sp2_id,
             max_len=MAX_LEN, top_p=0.9, max_new_tokens=4, num_beams=beams)
+        hyps, refs, labels, losses, preds = (res.hypotheses, res.references,
+                                             res.true_labels, res.losses,
+                                             res.pred_labels)
         assert len(hyps) == len(refs) == len(labels) == len(preds) > 0
         assert all(np.isfinite(l) for l in losses)
+        assert len(res.loss_tokens) == len(losses)
+        assert all(t > 0 for t in res.loss_tokens)
 
 
 def test_capless_row_in_mixed_batch_is_a_noop():

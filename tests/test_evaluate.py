@@ -87,10 +87,14 @@ def test_evaluate_all_full_surface():
         true_label_ids=[1, 4],
         losses=[2.0, 2.2],
         pred_label_ids=[1, 3],
+        loss_token_counts=[10.0, 30.0],
     )
     assert set(metrics) >= {"dist_1", "dist_2", "bs_precision", "bs_recall",
-                            "bs_f1", "ppl", "emotion_acc"}
+                            "bs_f1", "ppl", "emotion_acc",
+                            "ppl_token_weighted"}
     assert metrics["ppl"] == pytest.approx(math.exp(2.1))
+    # token-weighted: (2.0*10 + 2.2*30) / 40 = 2.15
+    assert metrics["ppl_token_weighted"] == pytest.approx(math.exp(2.15))
     assert metrics["emotion_acc"] == pytest.approx(50.0)
 
 

@@ -79,3 +79,36 @@ def test_batch_and_replicated_shardings_place_arrays():
     assert len(x.sharding.device_set) == 8
     y = jax.device_put(np.zeros((4,)), replicated(m))
     assert y.sharding.is_fully_replicated
+
+
+def test_int8_serving_params_shard_under_tp():
+    """quantize_params_int8 leaves (kernel_q + kernel_scale) carry the
+    same TP partition axes as the fp kernels they replace, so int8
+    serving composes with --mesh_shape model parallelism."""
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.core.mesh import param_partition_spec, shard_params
+    from ergm_tpu.models import gpt2
+
+    cfg = ModelConfig(vocab_size=128, n_positions=32, n_embd=32, n_layer=2,
+                      n_head=4, use_cross_attention=False, dtype="float32",
+                      weight_dtype="int8")
+    params = gpt2.params_for_inference(
+        gpt2.init_params(jax.random.PRNGKey(0), cfg), cfg)
+    mesh = make_mesh((2, 4), ("data", "model"))
+    sharded = shard_params(params, mesh)
+
+    blocks = sharded["blocks"]["attn"]["c_attn"]
+    assert blocks["kernel_q"].dtype == jnp.int8
+    # column-parallel: out-features dim split over the 4-way model axis
+    spec = param_partition_spec(("blocks", "attn", "c_attn", "kernel_q"))
+    assert spec == P(None, None, "model")
+    assert param_partition_spec(("blocks", "attn", "c_attn", "kernel_scale")) \
+        == P(None, None, "model")
+    # row-parallel: in-features dim split; its per-out scale replicated
+    assert param_partition_spec(("blocks", "attn", "c_proj", "kernel_q")) \
+        == P(None, "model", None)
+    assert param_partition_spec(("blocks", "attn", "c_proj", "kernel_scale")) == P()
+    # placement really happened: addressable shard is 1/4 on the out dim
+    full = params["blocks"]["attn"]["c_attn"]["kernel_q"].shape
+    shard = blocks["kernel_q"].addressable_shards[0].data.shape
+    assert shard[-1] * 4 == full[-1] and shard[:-1] == full[:-1]
