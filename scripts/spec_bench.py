@@ -1,0 +1,204 @@
+"""B=1 speculative-decoding benchmark (VERDICT r2 #4).
+
+Two measurements, one JSON line each to results/spec_bench.jsonl:
+
+1. **Cost side** (random weights — acceptance-independent): per-macro-step
+   wall time of the speculative program for a (draft_layers, gamma) grid
+   vs the plain single-token step, at the north-star B=1 config
+   (gpt2 geometry, prompt 128, +32 tokens, int8 weights). From these the
+   BREAKEVEN mean-acceptance per config: t_macro / t_plain - 1.
+
+2. **Acceptance side** (SPEC_TRAIN=1): train gpt2 on the synthetic
+   dialogue task (a few hundred steps — the task is learnable in
+   minutes), then measure the realized acceptance and END-TO-END p50
+   latency for 128+32 greedy and sampled decode. Acceptance on this
+   task is an optimistic-but-real signal (the model actually predicts
+   its data); the cost-side numbers bound what any acceptance rate
+   delivers.
+
+    python scripts/spec_bench.py                 # cost grid only
+    SPEC_TRAIN=1 python scripts/spec_bench.py    # + trained acceptance
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results", "spec_bench.jsonl")
+PROMPT = int(os.environ.get("SPEC_PROMPT", 128))
+NEW = int(os.environ.get("SPEC_NEW", 32))
+WDT = os.environ.get("SPEC_WEIGHT", "int8")
+GRID = [(int(k), int(g)) for k, g in
+        (kg.split(":") for kg in
+         os.environ.get("SPEC_GRID", "2:2,2:4,3:2,3:4,3:6,4:4").split(","))]
+CHAIN = int(os.environ.get("SPEC_CHAIN", 4))
+REPS = int(os.environ.get("SPEC_REPS", 3))
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def timed(fn, *args):
+    """Median-of-REPS chained wall time (tunnel-safe: fetch once/chain)."""
+    outs = fn(*args)
+    np.asarray(jax_fetch(outs))
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        rs = [fn(*args) for _ in range(CHAIN)]
+        for r in rs:
+            np.asarray(jax_fetch(r))
+        times.append((time.time() - t0) / CHAIN)
+    return min(times)
+
+
+def jax_fetch(x):
+    import jax
+
+    return jax.tree_util.tree_leaves(x)[0]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.infer.generate import generate
+    from ergm_tpu.infer.speculative import speculative_stats
+    from ergm_tpu.models import gpt2
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind}", file=sys.stderr)
+    cfg = ModelConfig.from_model_type(
+        "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
+        weight_dtype=WDT, use_cross_attention=True)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    sparams = jax.device_put(gpt2.params_for_inference(params, cfg))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 50000, (1, PROMPT)), jnp.int32)
+    tts = jnp.asarray(rng.integers(0, 50000, (1, PROMPT)), jnp.int32)
+    total = PROMPT + NEW
+
+    # --- baseline: plain single-token decode
+    @jax.jit
+    def plain(p, i, t, key):
+        return generate(p, cfg, i, PROMPT, max_len=total, eos_id=50256,
+                        sp2_id=50258, top_p=0.8, rng=key, token_type_ids=t,
+                        greedy=True)
+
+    t_plain = timed(lambda: plain(sparams, ids, tts, jax.random.PRNGKey(1)))
+    ms_tok_plain = t_plain / NEW * 1e3
+    emit({"config": "baseline_greedy", "prompt": PROMPT, "new": NEW,
+          "weight": WDT, "request_ms": round(t_plain * 1e3, 2),
+          "ms_per_token": round(ms_tok_plain, 3)})
+
+    # --- cost grid: random weights => acceptance ~ 0 => every macro step
+    # emits ~1 token, so request_time/NEW ~= t_macro (upper-bound cost)
+    for k, g in GRID:
+        @jax.jit
+        def spec(p, i, t, key, k=k, g=g):
+            out, stats = speculative_stats(
+                p, cfg, i, PROMPT, max_len=total, eos_id=50256, sp2_id=50258,
+                draft_layers=k, gamma=g, greedy=True, rng=key,
+                token_type_ids=t)
+            return out.lengths, stats
+
+        t_spec = timed(lambda: spec(sparams, ids, tts, jax.random.PRNGKey(1)))
+        (lengths, (acc, steps, _)) = spec(sparams, ids, tts, jax.random.PRNGKey(1))
+        steps_f = float(np.asarray(steps))
+        t_macro = t_spec / max(steps_f, 1.0)
+        emit({"config": f"spec_cost_k{k}_g{g}", "prompt": PROMPT, "new": NEW,
+              "weight": WDT, "request_ms": round(t_spec * 1e3, 2),
+              "macro_steps": steps_f,
+              "accepted": float(np.asarray(acc)),
+              "t_macro_ms": round(t_macro * 1e3, 3),
+              "breakeven_mean_accept": round(t_macro / (t_plain / NEW) - 1, 2)})
+
+    if os.environ.get("SPEC_TRAIN", "0") not in ("0", "false"):
+        run_trained_acceptance(cfg)
+
+
+def run_trained_acceptance(cfg):
+    """Train gpt2 on the synthetic dialogue task, then measure realized
+    acceptance + end-to-end latency of speculative decode on held-out
+    synthetic dialogues."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from ergm_tpu.core.config import TrainConfig
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.data.dataset import DialogueDataset
+    from ergm_tpu.data.synthetic import write_synthetic_dataset
+    from ergm_tpu.infer.speculative import speculative_stats
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.train.trainer import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="spec_train_")
+    write_synthetic_dataset(tmp, prefixes=("train", "valid"),
+                            num_dialogues=48, turns_per_dialogue=6,
+                            base_vocab_size=256, seed=11)
+    st = read_meta(tmp)
+    mcfg = cfg.replace(vocab_size=st.vocab_size, weight_dtype="auto")
+    epochs = int(os.environ.get("SPEC_TRAIN_EPOCHS", 6))
+    tcfg = TrainConfig(seed=0, data_dir=tmp, ckpt_dir=os.path.join(tmp, "ck"),
+                       output_dir="", batch_size=16, num_epochs=epochs,
+                       lr=3e-4, max_len=256, dtype="bfloat16",
+                       mesh_shape=(1,), valid_prefix="valid")
+    tr = Trainer(tcfg, model_config=mcfg)
+    tr.train()
+    params = jax.device_put(gpt2.params_for_inference(
+        tr.state.params, mcfg.replace(weight_dtype=WDT)))
+    smcfg = mcfg.replace(weight_dtype=WDT)
+
+    ds = DialogueDataset("valid", tmp, sp1_id=st.sp1_id, sp2_id=st.sp2_id,
+                         eos_id=st.eos_id, max_len=256)
+    # uniform-length prompts: trim/skip to a fixed length for one program
+    plen = int(os.environ.get("SPEC_TRAIN_PROMPT", 64))
+    prompts = [e for e in ds.examples if len(e.input_ids) >= plen][:16]
+    print(f"trained; measuring acceptance on {len(prompts)} prompts",
+          file=sys.stderr)
+
+    for k, g in GRID:
+        @jax.jit
+        def spec(p, i, t, key, k=k, g=g):
+            out, stats = speculative_stats(
+                p, smcfg, i, plen, max_len=plen + NEW, eos_id=st.eos_id,
+                sp2_id=st.sp2_id, draft_layers=k, gamma=g, greedy=True,
+                rng=key, token_type_ids=t)
+            return out.lengths, stats
+
+        accs, stepss, new_toks, times = [], [], [], []
+        for n, e in enumerate(prompts):
+            i = jnp.asarray(np.asarray(e.input_ids[:plen])[None], jnp.int32)
+            t = jnp.asarray(np.asarray(e.token_type_ids[:plen])[None], jnp.int32)
+            t0 = time.time()
+            lengths, (acc, steps, _) = spec(params, i, t, jax.random.PRNGKey(n))
+            l = float(np.asarray(lengths)[0])
+            times.append(time.time() - t0)
+            accs.append(float(np.asarray(acc)))
+            stepss.append(float(np.asarray(steps)))
+            new_toks.append(l - plen)
+        mean_acc = float(np.sum(accs) / max(np.sum(stepss), 1))
+        emit({"config": f"spec_trained_k{k}_g{g}", "prompt": plen, "new": NEW,
+              "weight": WDT,
+              "mean_accept_per_step": round(mean_acc, 3),
+              "tokens_per_macro_step": round(
+                  float(np.sum(new_toks) / max(np.sum(stepss), 1)), 3),
+              "p50_request_ms": round(float(np.median(times)) * 1e3, 2)})
+
+
+if __name__ == "__main__":
+    main()
