@@ -58,6 +58,14 @@ def main():
     from ergm_tpu.core.config import ModelConfig
     from ergm_tpu.infer.generate import generate
     from ergm_tpu.models import gpt2
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    # persistent compile cache: warm rounds skip the multi-minute cold
+    # XLA compiles (the r02 driver run spent 207.6 s in compile+first-run
+    # vs 0.56 s/step steady — see README "cold starts"). The cache is
+    # content-addressed, so code changes still recompile. Opt out with
+    # ERGM_NO_COMPILE_CACHE=1.
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({jax.default_backend()})", file=sys.stderr)
@@ -171,7 +179,10 @@ def run_b1_latency(base_cfg):
     # (0.842 vs 0.863 ms/token measured)
     kv = os.environ.get("BENCH_B1_KV", "auto")
     chain = int(os.environ.get("BENCH_B1_CHAIN", 8))
-    reps = int(os.environ.get("BENCH_B1_REPS", 3))
+    # reps raised 3 -> 6: the r02 driver artifact (33.28 ms) vs the
+    # README row (27 ms) disagreed by ~20%; p50/p90 over more chains
+    # makes the artifact a distribution, not a point (VERDICT r2 #3)
+    reps = int(os.environ.get("BENCH_B1_REPS", 6))
 
     cfg = base_cfg.replace(weight_dtype=wdtype, kv_cache_dtype=kv)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
@@ -190,8 +201,10 @@ def run_b1_latency(base_cfg):
                         token_type_ids=tts, imgs=imgs, auds=auds,
                         caption_ids=caps)
 
+    t0 = time.time()
     out = run(params, jax.random.PRNGKey(0))
     np.asarray(out.lengths)
+    print(f"b1 compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
     times = []
     for i in range(reps):
         t0 = time.time()
@@ -200,16 +213,75 @@ def run_b1_latency(base_cfg):
         for o in outs:
             np.asarray(o.lengths)
         times.append((time.time() - t0) / chain)
-    best = min(times)
+    ts = sorted(times)
+    p50 = ts[len(ts) // 2]
+    p90 = ts[min(len(ts) - 1, int(len(ts) * 0.9))]
     payload = {"metric": "trimodal_b1_request_latency_ms",
-               "value": round(best * 1e3, 2),
-               "unit": f"ms/request (B=1, prompt={prompt}, new={new}, "
-                       f"{MODEL_TYPE}, kv={kv}, w={wdtype})",
-               "ms_per_token": round(best / new * 1e3, 3)}
+               "value": round(p50 * 1e3, 2),
+               "unit": f"ms/request p50 (B=1, prompt={prompt}, new={new}, "
+                       f"{MODEL_TYPE}, kv={kv}, w={wdtype}; "
+                       f"N={reps} chains of {chain})",
+               "p90_ms": round(p90 * 1e3, 2),
+               "min_ms": round(ts[0] * 1e3, 2),
+               "ms_per_token": round(p50 / new * 1e3, 3)}
+
+    if os.environ.get("BENCH_B1_SPEC", "1") not in ("0", "false"):
+        try:
+            payload["speculative"] = b1_speculative(cfg, params, prompt, new,
+                                                    chain=chain, reps=max(reps // 2, 2))
+        except Exception as e:
+            print(f"b1 speculative bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
     out_path = os.environ.get("B1_LATENCY_OUT", os.path.join(REPO, "B1_LATENCY.json"))
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"b1: {json.dumps(payload)}", file=sys.stderr)
+
+
+def b1_speculative(cfg, params, prompt, new, *, chain=8, reps=3,
+                   draft_layers=None, gamma=None):
+    """B=1 self-speculative decode at the same workload (greedy — the
+    acceptance-independent macro-step cost; random weights give ~zero
+    acceptance, so request_ms here is the WORST case and t_macro_ms is
+    the per-macro-step program cost; realized latency at acceptance a is
+    t_macro/(1+a) per token — acceptance on a trained model lives in
+    results/spec_bench.jsonl via scripts/spec_bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ergm_tpu.infer.speculative import speculative_stats
+
+    draft_layers = int(os.environ.get("BENCH_B1_DRAFT", draft_layers or 3))
+    gamma = int(os.environ.get("BENCH_B1_GAMMA", gamma or 4))
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
+    tts = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
+
+    @jax.jit
+    def run(params, key):
+        out, stats = speculative_stats(
+            params, cfg, ids, prompt, max_len=prompt + new, eos_id=50256,
+            sp2_id=50258, greedy=True, rng=key, token_type_ids=tts,
+            draft_layers=draft_layers, gamma=gamma)
+        return out.lengths, stats
+
+    (lengths, (acc, steps, _)) = run(params, jax.random.PRNGKey(0))
+    np.asarray(lengths)
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        rs = [run(params, jax.random.PRNGKey(i * chain + c + 1))
+              for c in range(chain)]
+        for l, _s in rs:
+            np.asarray(l)
+        times.append((time.time() - t0) / chain)
+    best = min(times)
+    steps_f = float(np.asarray(steps))
+    return {"draft_layers": draft_layers, "gamma": gamma,
+            "request_ms_zero_accept": round(best * 1e3, 2),
+            "macro_steps": steps_f,
+            "accepted": float(np.asarray(acc)),
+            "t_macro_ms": round(best / max(steps_f, 1) * 1e3, 3)}
 
 
 def run_train_bench():

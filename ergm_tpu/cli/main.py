@@ -95,11 +95,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_beams", type=int, default=1,
                    help=">1 decodes with beam search instead of nucleus "
                         "sampling during inference.")
-    p.add_argument("--sampler", type=str, default="approx",
+    p.add_argument("--sampler", type=str, default="full_sort",
                    choices=["approx", "exact", "full_sort"],
-                   help="Nucleus sampler: 'approx' (approx_max_k top-64, "
-                        "fastest on TPU), 'exact' (exact top-64), "
-                        "'full_sort' (reference-identical full-vocab sort).")
+                   help="Nucleus sampler. Default 'full_sort' "
+                        "(reference-identical full-vocab top-p) — measured "
+                        "necessary for faithful quality metrics whenever "
+                        "the nucleus exceeds 64 tokens "
+                        "(results/sampler_quality.jsonl). 'approx' "
+                        "(approx_max_k top-64) is the serving-throughput "
+                        "option; 'exact' the exact top-64 middle ground.")
     p.add_argument("--kv_cache", type=str, default="auto",
                    choices=["auto", "int8"],
                    help="Decode KV-cache storage; int8 trades ~1e-2-level "
@@ -115,6 +119,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None,
                    help="Debug: use only the first N dialogues "
                         "(the reference's [:1] slice, made explicit).")
+    p.add_argument("--draft_layers", type=int, default=0,
+                   help="B=1 serving: >0 enables self-speculative decoding "
+                        "with a draft built from the first N transformer "
+                        "blocks (greedy output identical; sampling exact "
+                        "via rejection sampling).")
+    p.add_argument("--spec_gamma", type=int, default=4,
+                   help="Speculative proposals per macro step.")
     p.add_argument("--attn_pdrop", type=float, default=None,
                    help="Attention-probability dropout (default 0.0; "
                         "0.1 restores reference-parity regularization at "
@@ -123,6 +134,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Residual dropout override (default 0.1).")
     p.add_argument("--embd_pdrop", type=float, default=None,
                    help="Embedding dropout override (default 0.1).")
+    p.add_argument("--adam_mu_dtype", type=str, default=None,
+                   choices=["bfloat16", "float32"],
+                   help="Adam first-moment storage dtype; bfloat16 halves "
+                        "the momentum buffer (HBM headroom for larger "
+                        "batches under remat).")
     return p
 
 
@@ -143,7 +159,7 @@ def args_to_config(args) -> TrainConfig:
         tokenizer_dir=args.tokenizer_dir, init_params=args.init_params,
         keep_best=args.keep_best,
         attn_pdrop=args.attn_pdrop, resid_pdrop=args.resid_pdrop,
-        embd_pdrop=args.embd_pdrop,
+        embd_pdrop=args.embd_pdrop, adam_mu_dtype=args.adam_mu_dtype,
     )
 
 
@@ -254,8 +270,9 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         params, mcfg, dataset, batch_size=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_len=max_len, top_p=cfg.top_p, seed=cfg.seed,
         tokenizer=tokenizer, prompt_mode=args.prompt_mode,
-        num_beams=args.num_beams, sampler=getattr(args, "sampler", "approx"),
-        mesh=mesh)
+        num_beams=args.num_beams, sampler=getattr(args, "sampler", "full_sort"),
+        mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
+        spec_gamma=getattr(args, "spec_gamma", 4))
     hyps, refs, true_labels, losses, preds, contexts = (
         res.hypotheses, res.references, res.true_labels, res.losses,
         res.pred_labels, res.contexts)
@@ -298,6 +315,9 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         f.write(f"top_p: {cfg.top_p}\n")
         f.write(f"kv_cache: {getattr(args, 'kv_cache', 'auto')}\n")
         f.write(f"weight_dtype: {getattr(args, 'weight_dtype', 'auto')}\n")
+        if getattr(args, "draft_layers", 0):
+            f.write(f"draft_layers: {args.draft_layers}\n")
+            f.write(f"spec_gamma: {getattr(args, 'spec_gamma', 4)}\n")
     print(f"Results written to {out_path}")
     return metrics
 
@@ -356,7 +376,8 @@ def run_interact(cfg: TrainConfig, args=None):
     tokenizer = _load_tokenizer(cfg.tokenizer_dir, st)
     run_repl(params, mcfg, st, tokenizer, max_len=cfg.max_len,
              max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed,
-             mesh=mesh)
+             mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
+             spec_gamma=getattr(args, "spec_gamma", 4))
 
 
 if __name__ == "__main__":

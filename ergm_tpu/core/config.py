@@ -65,7 +65,13 @@ class ModelConfig:
     layer_norm_epsilon: float = 1e-5
     initializer_range: float = 0.02
     embd_pdrop: float = 0.1
-    attn_pdrop: float = 0.1
+    # 0.0 (the reference uses HF's 0.1): attention-prob dropout would
+    # disqualify the flash attention kernel — XLA fallback with a
+    # materialized [B,H,L,L] tensor. Quality-ablated: no resolvable
+    # effect on the synthetic task across 6 seeds (PARITY.md "attention
+    # dropout", results/attn_pdrop_ablation.jsonl). --attn_pdrop=0.1
+    # restores reference behavior.
+    attn_pdrop: float = 0.0
     resid_pdrop: float = 0.1
     # Attention-scaling options preserved for logit parity
     # (reference: src/model.py:87, 90, 92, 122-128).
@@ -216,6 +222,12 @@ class TrainConfig:
     attn_pdrop: Optional[float] = None
     resid_pdrop: Optional[float] = None
     embd_pdrop: Optional[float] = None
+    # Adam first-moment storage dtype (optax mu_dtype). "bfloat16"
+    # halves the momentum buffer (~2 bytes/param) — the HBM headroom
+    # that decides whether gpt2 B=64 fits under remat_policy="mlp".
+    # Second moments stay fp32 (bf16 nu measurably hurts update
+    # precision; mu is robust). None = fp32.
+    adam_mu_dtype: Optional[str] = None
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

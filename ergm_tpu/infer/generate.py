@@ -306,6 +306,8 @@ def generate_batch(
     sample_top_k: int = 64,
     sample_approx: bool = True,
     mesh=None,
+    draft_layers: int = 0,
+    spec_gamma: int = 4,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
 
@@ -329,6 +331,36 @@ def generate_batch(
         max_new_tokens=max_new_tokens)
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
+
+    if draft_layers:
+        # B=1 single-device requests route to self-speculative decoding
+        # (multi-token steps; infer/speculative.py). Sampling there is
+        # full-vocab nucleus (the 'full_sort' reference semantics) —
+        # sample_top_k/sample_approx don't apply.
+        if B == 1 and mesh is None:
+            from ergm_tpu.infer.speculative import speculative_generate
+
+            out = speculative_generate(
+                params, config, jnp.asarray(ids),
+                prompt_mask=jnp.asarray(mask),
+                token_type_ids=jnp.asarray(tts) if token_types is not None else None,
+                max_len=cap, max_new_tokens=buffer_len - Lp,
+                eos_id=eos_id, sp2_id=sp2_id, top_p=top_p, greedy=greedy,
+                draft_layers=draft_layers, gamma=spec_gamma, rng=rng,
+                imgs=None if imgs is None else jnp.asarray(imgs),
+                auds=None if auds is None else jnp.asarray(auds),
+                caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
+                caption_mask=None if cap_mask is None else jnp.asarray(cap_mask))
+            tokens = np.asarray(out.tokens)
+            length = int(np.asarray(out.lengths)[0])
+            return [tokens[0, Lp:length].tolist()], np.asarray(out.emotion_logits)
+        import warnings
+
+        warnings.warn(
+            f"speculative decode (draft_layers={draft_layers}) is a B=1 "
+            f"single-device path; this call has B={B}"
+            f"{' and a mesh' if mesh is not None else ''} — falling back "
+            f"to standard batched decode")
 
     def dev(x):
         return None if x is None else jnp.asarray(x)

@@ -25,9 +25,12 @@ from ergm_tpu.infer.generate import generate_batch
 class DialogueSession:
     def __init__(self, params, config: ModelConfig, st: SpecialTokens,
                  tokenizer=None, max_len: int = 1024, max_turns: Optional[int] = None,
-                 top_p: float = 0.95, seed: int = 0, mesh=None):
+                 top_p: float = 0.95, seed: int = 0, mesh=None,
+                 draft_layers: int = 0, spec_gamma: int = 4):
         self.params = params
         self.mesh = mesh
+        self.draft_layers = draft_layers
+        self.spec_gamma = spec_gamma
         self.config = config
         self.st = st
         self.tokenizer = tokenizer
@@ -73,19 +76,23 @@ class DialogueSession:
             self.params, self.config, [prompt], token_types=[tts],
             max_len=self.max_len,
             eos_id=self.st.eos_id, sp2_id=self.st.sp2_id, top_p=self.top_p,
-            rng=key, max_new_tokens=max_new_tokens, mesh=self.mesh)
+            rng=key, max_new_tokens=max_new_tokens, mesh=self.mesh,
+            draft_layers=self.draft_layers, spec_gamma=self.spec_gamma)
         reply_ids = [t for t in outs[0] if t != self.st.eos_id]
         self.turns.append(reply_ids)
         return self._decode(reply_ids)
 
 
 def run_repl(params, config, st, tokenizer, *, max_len=1024, max_turns=None,
-             top_p=0.95, seed=0, stdin=None, stdout=None, mesh=None):
+             top_p=0.95, seed=0, stdin=None, stdout=None, mesh=None,
+             draft_layers=0, spec_gamma=4):
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
     session = DialogueSession(params, config, st, tokenizer,
                               max_len=max_len, max_turns=max_turns,
-                              top_p=top_p, seed=seed, mesh=mesh)
+                              top_p=top_p, seed=seed, mesh=mesh,
+                              draft_layers=draft_layers,
+                              spec_gamma=spec_gamma)
     print("Interactive dialogue (empty line or Ctrl-D to quit).", file=stdout)
     for line in stdin:
         text = line.strip()

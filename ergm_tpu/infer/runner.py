@@ -84,16 +84,23 @@ def run_test(
     use_modalities: bool = True,
     max_new_tokens: Optional[int] = None,
     num_beams: int = 1,
-    sampler: str = "approx",
+    sampler: str = "full_sort",
     mesh=None,
+    draft_layers: int = 0,
+    spec_gamma: int = 4,
 ) -> TestResults:
     """``num_beams > 1`` decodes with beam search instead of nucleus
     sampling (the capability src/model.py:739-745 plumbs but the
     reference never invokes).
 
-    ``sampler``: "approx" (default; approx_max_k top-64 nucleus, fastest
-    on TPU), "exact" (exact top-64 nucleus), "full_sort" (full-vocab
-    sort — bit-identical to the reference top-p math, slowest).
+    ``sampler``: "full_sort" (default: full-vocab sort, bit-identical to
+    the reference top-p math — this is the metric-REPORTING path, and
+    the top-64 samplers were measured to distort quality whenever the
+    nucleus exceeds 64 tokens: on the trained synthetic model at
+    top_p=0.8 the nucleus held ~150 tokens and dist-2 dropped
+    0.982 -> 0.940, results/sampler_quality.jsonl), "approx"
+    (approx_max_k top-64 nucleus, fastest on TPU — the serving
+    throughput option), "exact" (exact top-64 nucleus).
 
     ``mesh``: run the eval step AND the decode SPMD over a device mesh
     (data-axis batch sharding; tensor-parallel params when the caller
@@ -163,6 +170,7 @@ def run_test(
                 captions=cap_arg,
                 max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
                 rng=gen_rng, max_new_tokens=max_new_tokens, mesh=mesh,
+                draft_layers=draft_layers, spec_gamma=spec_gamma,
                 **sample_kw,
             )
         hyps.extend(_decode(tokenizer, o) for o in outs)

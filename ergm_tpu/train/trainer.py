@@ -86,7 +86,13 @@ class Trainer:
         self.warmup_steps = int(cfg.warmup_ratio * self.total_train_steps)
         schedule = polynomial_warmup_schedule(
             cfg.lr, self.warmup_steps, self.total_train_steps, power=2.0)
-        self.tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+        mu_dtype = None
+        if getattr(cfg, "adam_mu_dtype", None):
+            import jax.numpy as jnp
+
+            mu_dtype = jnp.dtype(cfg.adam_mu_dtype)
+        self.tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                              weight_decay=0.01, mu_dtype=mu_dtype)
 
         if params is None:
             params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), self.mcfg)

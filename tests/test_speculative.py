@@ -168,3 +168,33 @@ def test_masked_leftpad_matches_uniform(setup):
     gl = int(got.lengths[0])
     got_cont = np.asarray(got.tokens[0, bucket:gl])
     np.testing.assert_array_equal(ref_cont, got_cont)
+
+
+def test_generate_batch_routes_to_speculative(setup):
+    """generate_batch(draft_layers=K) on a B=1 request produces the same
+    greedy continuation as the standard path — the user-facing switch
+    (infer/interact --draft_layers) changes speed, not output."""
+    from ergm_tpu.infer.generate import generate_batch
+
+    cfg, params, _ = setup
+    prompt = [3, 7, 11, 2, 9]
+    kw = dict(max_len=30, eos_id=EOS, sp2_id=SP2, greedy=True,
+              max_new_tokens=8, rng=jax.random.PRNGKey(0))
+    base, base_emo = generate_batch(params, cfg, [prompt], **kw)
+    spec, spec_emo = generate_batch(params, cfg, [prompt], draft_layers=2,
+                                    spec_gamma=3, **kw)
+    assert spec == base
+    np.testing.assert_allclose(np.asarray(base_emo), np.asarray(spec_emo),
+                               atol=1e-5)
+
+
+def test_generate_batch_spec_falls_back_on_batch(setup):
+    from ergm_tpu.infer.generate import generate_batch
+
+    cfg, params, _ = setup
+    kw = dict(max_len=20, eos_id=EOS, sp2_id=SP2, greedy=True,
+              max_new_tokens=4, rng=jax.random.PRNGKey(0))
+    with pytest.warns(UserWarning, match="B=1"):
+        outs, _ = generate_batch(params, cfg, [[1, 2], [3, 4]],
+                                 draft_layers=2, **kw)
+    assert len(outs) == 2
