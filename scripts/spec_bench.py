@@ -69,20 +69,40 @@ def jax_fetch(x):
     return jax.tree_util.tree_leaves(x)[0]
 
 
+def _headline_cfg():
+    from ergm_tpu.core.config import ModelConfig
+
+    cfg = ModelConfig.from_model_type(
+        "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
+        weight_dtype=WDT, use_cross_attention=True)
+    if os.environ.get("SPEC_SMOKE", "0") not in ("0", "false"):
+        # CPU plumbing check: tiny geometry, same code paths
+        cfg = cfg.replace(n_layer=4, n_head=4, n_embd=64, n_positions=512,
+                          dtype="float32", weight_dtype="auto")
+    return cfg
+
+
 def main():
     import jax
+
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    # persistent compile cache (content-addressed): kills the multi-minute
+    # tunnel compile on re-runs; ERGM_NO_COMPILE_CACHE=1 opts out
+    enable_compilation_cache()
+    if os.environ.get("SPEC_COST", "1") in ("0", "false"):
+        cfg = _headline_cfg()
+        run_trained_acceptance(cfg)
+        return
     import jax.numpy as jnp
 
-    from ergm_tpu.core.config import ModelConfig
     from ergm_tpu.infer.generate import generate
     from ergm_tpu.infer.speculative import speculative_stats
     from ergm_tpu.models import gpt2
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", file=sys.stderr)
-    cfg = ModelConfig.from_model_type(
-        "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        weight_dtype=WDT, use_cross_attention=True)
+    cfg = _headline_cfg()
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     sparams = jax.device_put(gpt2.params_for_inference(params, cfg))
     rng = np.random.default_rng(0)
@@ -147,8 +167,11 @@ def run_trained_acceptance(cfg):
     from ergm_tpu.train.trainer import Trainer
 
     tmp = tempfile.mkdtemp(prefix="spec_train_")
+    # long dialogues (10 turns x 8-15 tokens) so held-out contexts reach
+    # the measurement prompt length; short-dialogue defaults max out ~48
     write_synthetic_dataset(tmp, prefixes=("train", "valid"),
-                            num_dialogues=48, turns_per_dialogue=6,
+                            num_dialogues=48, turns_per_dialogue=10,
+                            utter_len=range(8, 16),
                             base_vocab_size=256, seed=11)
     st = read_meta(tmp)
     mcfg = cfg.replace(vocab_size=st.vocab_size, weight_dtype="auto")
@@ -165,39 +188,87 @@ def run_trained_acceptance(cfg):
 
     ds = DialogueDataset("valid", tmp, sp1_id=st.sp1_id, sp2_id=st.sp2_id,
                          eos_id=st.eos_id, max_len=256)
-    # uniform-length prompts: trim/skip to a fixed length for one program
+    # uniform-length prompts: trim/skip to a fixed length for one program.
+    # Adapt plen downward until >=16 prompts qualify (the synthetic task's
+    # contexts are bounded) and fail loudly rather than emit empty stats.
     plen = int(os.environ.get("SPEC_TRAIN_PROMPT", 64))
+    lens = sorted((len(e.input_ids) for e in ds.examples), reverse=True)
+    while plen > 8 and sum(1 for n in lens if n >= plen) < 16:
+        plen -= 8
     prompts = [e for e in ds.examples if len(e.input_ids) >= plen][:16]
-    print(f"trained; measuring acceptance on {len(prompts)} prompts",
-          file=sys.stderr)
+    if not prompts:
+        raise SystemExit(f"no valid examples reach plen={plen}")
+    print(f"trained; measuring acceptance on {len(prompts)} prompts "
+          f"at plen={plen}", file=sys.stderr)
 
-    for k, g in GRID:
+    from ergm_tpu.infer.generate import generate
+
+    # eos DISABLED (-1 never matches a real token id): the synthetic task's
+    # only learnable structure is eos/turn layout, so a trained model ends
+    # most greedy continuations instantly; forcing a full NEW-token
+    # continuation measures draft/target agreement on the model's actual
+    # prediction distribution instead of measuring early exit.
+    meas_eos = -1
+
+    @jax.jit
+    def plain(p, i, t, key):
+        out = generate(p, smcfg, i, plen, max_len=plen + NEW, eos_id=meas_eos,
+                       sp2_id=st.sp2_id, greedy=True, rng=key,
+                       token_type_ids=t)
+        return out.lengths
+
+    base_batch = [
+        (jnp.asarray(np.asarray(e.input_ids[:plen])[None], jnp.int32),
+         jnp.asarray(np.asarray(e.token_type_ids[:plen])[None], jnp.int32),
+         jax.random.PRNGKey(n)) for n, e in enumerate(prompts)]
+    for i, t, key in base_batch:       # warm-up / compile
+        np.asarray(plain(params, i, t, key))
+    t0 = time.time()
+    last = None
+    for i, t, key in base_batch:
+        last = plain(params, i, t, key)
+    np.asarray(last)
+    emit({"config": "trained_baseline_greedy", "prompt": plen, "new": NEW,
+          "weight": WDT,
+          "mean_request_ms": round(
+              (time.time() - t0) / len(base_batch) * 1e3, 2)})
+
+    modes = [("greedy", True)] * len(GRID) + [("sampled", False)] * len(GRID)
+    for (k, g), (mode, use_greedy) in zip(GRID * 2, modes):
         @jax.jit
-        def spec(p, i, t, key, k=k, g=g):
+        def spec(p, i, t, key, k=k, g=g, use_greedy=use_greedy):
             out, stats = speculative_stats(
-                p, smcfg, i, plen, max_len=plen + NEW, eos_id=st.eos_id,
-                sp2_id=st.sp2_id, draft_layers=k, gamma=g, greedy=True,
-                rng=key, token_type_ids=t)
+                p, smcfg, i, plen, max_len=plen + NEW, eos_id=meas_eos,
+                sp2_id=st.sp2_id, draft_layers=k, gamma=g, greedy=use_greedy,
+                top_p=0.8, rng=key, token_type_ids=t)
             return out.lengths, stats
 
-        accs, stepss, new_toks, times = [], [], [], []
-        for n, e in enumerate(prompts):
-            i = jnp.asarray(np.asarray(e.input_ids[:plen])[None], jnp.int32)
-            t = jnp.asarray(np.asarray(e.token_type_ids[:plen])[None], jnp.int32)
-            t0 = time.time()
-            lengths, (acc, steps, _) = spec(params, i, t, jax.random.PRNGKey(n))
-            l = float(np.asarray(lengths)[0])
-            times.append(time.time() - t0)
+        batch = [(jnp.asarray(np.asarray(e.input_ids[:plen])[None], jnp.int32),
+                  jnp.asarray(np.asarray(e.token_type_ids[:plen])[None],
+                              jnp.int32), jax.random.PRNGKey(n))
+                 for n, e in enumerate(prompts)]
+        # warm-up + acceptance stats (fetched per prompt, untimed)
+        accs, stepss, new_toks = [], [], []
+        for i, t, key in batch:
+            lengths, (acc, steps, _) = spec(params, i, t, key)
+            new_toks.append(float(np.asarray(lengths)[0]) - plen)
             accs.append(float(np.asarray(acc)))
             stepss.append(float(np.asarray(steps)))
-            new_toks.append(l - plen)
+        # timed: chain all prompts, fetch once (tunnel fetch overhead ~30 ms
+        # per round-trip would otherwise dominate a ~20 ms request)
+        t0 = time.time()
+        last = None
+        for i, t, key in batch:
+            last = spec(params, i, t, key)
+        np.asarray(last[0])
+        mean_ms = (time.time() - t0) / len(batch) * 1e3
         mean_acc = float(np.sum(accs) / max(np.sum(stepss), 1))
-        emit({"config": f"spec_trained_k{k}_g{g}", "prompt": plen, "new": NEW,
-              "weight": WDT,
+        emit({"config": f"spec_trained_{mode}_k{k}_g{g}", "prompt": plen,
+              "new": NEW, "weight": WDT,
               "mean_accept_per_step": round(mean_acc, 3),
               "tokens_per_macro_step": round(
                   float(np.sum(new_toks) / max(np.sum(stepss), 1)), 3),
-              "p50_request_ms": round(float(np.median(times)) * 1e3, 2)})
+              "mean_request_ms": round(mean_ms, 2)})
 
 
 if __name__ == "__main__":

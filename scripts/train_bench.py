@@ -38,6 +38,12 @@ from ergm_tpu.utils.flops import device_peak_tflops, model_flops_per_token
 
 def main():
     import jax
+
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    # persistent compile cache (content-addressed): kills the multi-minute
+    # tunnel compile on re-runs; ERGM_NO_COMPILE_CACHE=1 opts out
+    enable_compilation_cache()
     import jax.numpy as jnp
     import optax
 
@@ -98,7 +104,8 @@ def main():
     payload = {
         "metric": "trimodal_train_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 1),
-        "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, bf16+flash"
+        "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, "
+                f"{'bf16+xla-attn(dropout)' if attn_drop > 0 else 'bf16+flash'}"
                 f"{'+remat:' + REMAT_POLICY if REMAT else ''}+ce:{LM_LOSS})",
         "step_ms": round(best * 1000, 1),
     }

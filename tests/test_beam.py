@@ -187,3 +187,25 @@ def test_batched_ragged_beam_matches_per_sample(params):
         max_new_tokens=horizon)
     assert got == want, (got, want)
     assert emo.shape == (4, CFG.num_emotions)
+
+
+def test_beam_batch_mesh_matches_single_device():
+    """beam_search_batch under a data x model mesh (batch padded to the
+    data-axis multiple) returns the same continuations as meshless."""
+    from ergm_tpu.core.mesh import make_mesh, shard_params
+    from ergm_tpu.infer.beam import beam_search_batch
+
+    cfg = ModelConfig(vocab_size=64, n_positions=64, n_embd=32, n_layer=2,
+                      n_head=4, use_cross_attention=False, dtype="float32",
+                      embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    p = gpt2.init_params(jax.random.PRNGKey(3), cfg)
+    prompts = [[1, 8, 3], [2, 5, 9, 11], [7, 4]]  # 3 rows -> padded to 4
+    kw = dict(num_beams=2, max_len=24, eos_id=60, sp2_id=61,
+              max_new_tokens=5)
+    base, base_emo = beam_search_batch(p, cfg, prompts, **kw)
+
+    mesh = make_mesh((2, 2), ("data", "model"))
+    sp = shard_params(p, mesh)
+    got, got_emo = beam_search_batch(sp, cfg, prompts, mesh=mesh, **kw)
+    assert got == base
+    assert got_emo.shape == base_emo.shape == (3, cfg.num_emotions)

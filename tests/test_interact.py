@@ -55,3 +55,15 @@ def test_repl_loop(setup):
              stdin=io.StringIO("hello there\n\n"), stdout=out)
     text = out.getvalue()
     assert "model>" in text and "bye." in text
+
+
+def test_repl_speculative(setup):
+    """--draft_layers wiring: the REPL serves replies through the
+    self-speculative B=1 path without changing the session contract."""
+    params, cfg, st, tok = setup
+    out = io.StringIO()
+    run_repl(params, cfg, st, tok, max_len=64, draft_layers=1, spec_gamma=2,
+             stdin=io.StringIO("hello there\n\n"), stdout=out)
+    text = out.getvalue()
+    assert "model>" in text and "bye." in text
+    assert "[error" not in text
