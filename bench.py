@@ -99,7 +99,8 @@ def main():
     t0 = time.time()
     out = run(params, ids, tts, imgs, auds, caps, jax.random.PRNGKey(0))
     np.asarray(out.lengths)
-    print(f"compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(REPS):
@@ -151,12 +152,16 @@ def main():
         except Exception as e:  # the decode headline must still print
             print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
+    # compile_s records cold-start variance (20.1 s -> 207.6 s -> 452 s for
+    # the SAME program across rounds — remote-compile-path jitter, see
+    # README "B=1 variance, reconciled"); steady-state `value` is the metric
     print(json.dumps({
         "metric": "trimodal_generate_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
         "unit": f"utt/s/chip (B={BATCH}, prompt={PROMPT_LEN}, new={NEW_TOKENS}, "
                 f"{MODEL_TYPE}, kv={KV_DTYPE})",
         "vs_baseline": round(vs_baseline, 3),
+        "compile_s": round(compile_s, 1),
     }))
 
 
@@ -204,7 +209,8 @@ def run_b1_latency(base_cfg):
     t0 = time.time()
     out = run(params, jax.random.PRNGKey(0))
     np.asarray(out.lengths)
-    print(f"b1 compile+first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    b1_compile_s = time.time() - t0
+    print(f"b1 compile+first run: {b1_compile_s:.1f}s", file=sys.stderr)
     times = []
     for i in range(reps):
         t0 = time.time()
@@ -223,7 +229,8 @@ def run_b1_latency(base_cfg):
                        f"N={reps} chains of {chain})",
                "p90_ms": round(p90 * 1e3, 2),
                "min_ms": round(ts[0] * 1e3, 2),
-               "ms_per_token": round(p50 / new * 1e3, 3)}
+               "ms_per_token": round(p50 / new * 1e3, 3),
+               "compile_s": round(b1_compile_s, 1)}
 
     if os.environ.get("BENCH_B1_SPEC", "1") not in ("0", "false"):
         try:

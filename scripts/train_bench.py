@@ -88,7 +88,8 @@ def main():
     t0 = time.time()
     state, m = step(state, batch, key)
     _ = float(m["loss"])  # fetch barrier (block_until_ready unreliable on tunnels)
-    print(f"compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    compile_s = time.time() - t0
+    print(f"compile+first step: {compile_s:.1f}s", file=sys.stderr)
 
     chain = int(os.environ.get("TRAIN_BENCH_CHAIN", 4))
     times = []
@@ -108,6 +109,7 @@ def main():
                 f"{'bf16+xla-attn(dropout)' if attn_drop > 0 else 'bf16+flash'}"
                 f"{'+remat:' + REMAT_POLICY if REMAT else ''}+ce:{LM_LOSS})",
         "step_ms": round(best * 1000, 1),
+        "compile_s": round(compile_s, 1),
     }
     peak = device_peak_tflops(kind)
     model_tflops = model_flops_per_token(cfg, SEQ) * tok_per_sec / 1e12

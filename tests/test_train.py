@@ -198,3 +198,24 @@ def test_train_log_reports_throughput(data_dir, tmp_path, capsys):
     tr.train()
     out = capsys.readouterr().out
     assert "tok/s" in out and "step p50" in out
+
+
+def test_bf16_adam_moments_train(data_dir, tmp_path):
+    """--adam_mu_dtype=bfloat16 (the HBM headroom knob that unlocks gpt2
+    B=64 under mlp remat) stores bf16 first moments, keeps fp32 second
+    moments, and still learns."""
+    import jax.numpy as jnp
+
+    tr = make_trainer(data_dir, tmp_path, adam_mu_dtype="bfloat16",
+                      num_epochs=2)
+    v0 = tr.validation()
+    tr.train()
+    v1 = tr.validation()
+    assert v1[1] < v0[1], f"valid ppl should improve: {v0[1]} -> {v1[1]}"
+
+    mu = tr.state.opt_state[0].mu
+    nu = tr.state.opt_state[0].nu
+    mu_dts = {l.dtype for l in jax.tree_util.tree_leaves(mu)}
+    nu_dts = {l.dtype for l in jax.tree_util.tree_leaves(nu)}
+    assert mu_dts == {jnp.dtype(jnp.bfloat16)}
+    assert nu_dts == {jnp.dtype(jnp.float32)}
