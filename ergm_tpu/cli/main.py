@@ -63,6 +63,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Per-block rematerialization (default on; measured "
                         "faster end-to-end by unlocking larger batches).")
     p.add_argument("--no_remat", dest="remat", action="store_false")
+    p.add_argument("--remat_policy", type=str, default=None,
+                   choices=["full", "dots", "mlp", "mlp_only"],
+                   help="Rematerialization policy (default mlp). Measured "
+                        "single-chip recipes: gpt2 B=48 mlp; gpt2-medium "
+                        "B=12 mlp + --adam_mu_dtype=bfloat16; gpt2-large "
+                        "B=12 full + --adam_mu_dtype=bfloat16.")
     p.add_argument("--tokenizer_dir", type=str, default=None,
                    help="Dir with GPT-2 vocab.json/merges.txt for text decode.")
     p.add_argument("--init_params", type=str, default=None,
@@ -160,6 +166,7 @@ def args_to_config(args) -> TrainConfig:
         keep_best=args.keep_best,
         attn_pdrop=args.attn_pdrop, resid_pdrop=args.resid_pdrop,
         embd_pdrop=args.embd_pdrop, adam_mu_dtype=args.adam_mu_dtype,
+        remat_policy=args.remat_policy,
     )
 
 

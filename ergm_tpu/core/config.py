@@ -224,10 +224,17 @@ class TrainConfig:
     embd_pdrop: Optional[float] = None
     # Adam first-moment storage dtype (optax mu_dtype). "bfloat16"
     # halves the momentum buffer (~2 bytes/param) — the HBM headroom
-    # that decides whether gpt2 B=64 fits under remat_policy="mlp".
-    # Second moments stay fp32 (bf16 nu measurably hurts update
-    # precision; mu is robust). None = fp32.
+    # that unlocks gpt2-large B=8-12 (48.1% MFU vs 37.5% at the
+    # fp32-mu-constrained B=4) and gpt2-medium under remat_policy=mlp.
+    # Quality-neutral on the synthetic-task ablation
+    # (results/mu_dtype_ablation.jsonl). Second moments stay fp32
+    # (Adam's nu sets per-param scale; mu is robust). None = fp32.
     adam_mu_dtype: Optional[str] = None
+    # Rematerialization policy override (None = ModelConfig default
+    # "mlp"). Measured single-chip recipes (scripts/train_bench.py):
+    # gpt2 B=48 mlp; gpt2-medium B=12 mlp + bf16 mu; gpt2-large B=12
+    # full + bf16 mu.
+    remat_policy: Optional[str] = None
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -43,6 +43,8 @@ class Trainer:
             drops = {k: getattr(cfg, k) for k in
                      ("attn_pdrop", "resid_pdrop", "embd_pdrop")
                      if getattr(cfg, k, None) is not None}
+            if getattr(cfg, "remat_policy", None):
+                drops["remat_policy"] = cfg.remat_policy
             model_config = ModelConfig.from_model_type(
                 cfg.model_type, vocab_size=self.st.vocab_size,
                 dtype=cfg.dtype, remat=cfg.remat, **drops)

@@ -124,3 +124,29 @@ def test_infer_multichip_mesh_matches_single_device(workspace, monkeypatch):
     meshed = generations(["--mesh_shape=4,2", "--mesh_axes=data,model"])
     assert "GPT-2:" in single
     assert meshed == single
+
+
+def test_remat_policy_and_mu_dtype_reach_the_trainer(tmp_path):
+    """--remat_policy / --adam_mu_dtype flow argparse -> TrainConfig ->
+    the Trainer's ModelConfig/optimizer (the measured big-model recipes
+    must be reachable from train.sh, not only from bench scripts)."""
+    from ergm_tpu.cli.main import args_to_config, build_argparser
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.data.synthetic import write_synthetic_dataset
+    from ergm_tpu.train.trainer import Trainer
+
+    d = tmp_path / "data"
+    write_synthetic_dataset(str(d), prefixes=("train", "valid"),
+                            num_dialogues=4, turns_per_dialogue=3,
+                            base_vocab_size=64)
+    args = build_argparser().parse_args([
+        "--mode=train", f"--data_dir={d}", "--valid_prefix=valid",
+        "--remat_policy=full", "--adam_mu_dtype=bfloat16",
+        "--dtype=float32", "--batch_size=2", "--num_epochs=1",
+        "--mesh_shape=1",
+        f"--ckpt_dir={tmp_path / 'ck'}", f"--output_dir={tmp_path / 'out'}",
+    ])
+    cfg = args_to_config(args)
+    assert cfg.remat_policy == "full" and cfg.adam_mu_dtype == "bfloat16"
+    tr = Trainer(cfg)
+    assert tr.mcfg.remat_policy == "full"
