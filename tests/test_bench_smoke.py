@@ -39,7 +39,9 @@ def test_bench_prints_one_json_line(tmp_path):
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, proc.stdout
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    # the driver contract requires these four keys; extras (compile_s
+    # records cold-start variance) are allowed
+    assert set(payload) >= {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
     # the side artifact carries the training number + MFU for the driver
     train_path = str(tmp_path / "TRAIN_BENCH.json")
