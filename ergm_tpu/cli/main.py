@@ -133,9 +133,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--spec_gamma", type=int, default=4,
                    help="Speculative proposals per macro step.")
     p.add_argument("--attn_pdrop", type=float, default=None,
-                   help="Attention-probability dropout (default 0.0; "
-                        "0.1 restores reference-parity regularization at "
-                        "the cost of the flash kernel — see PARITY.md).")
+                   help="Attention-probability dropout (default 0.1, the "
+                        "reference's regularization; runs in-kernel on the "
+                        "fused block-attention path — see PARITY.md).")
     p.add_argument("--resid_pdrop", type=float, default=None,
                    help="Residual dropout override (default 0.1).")
     p.add_argument("--embd_pdrop", type=float, default=None,

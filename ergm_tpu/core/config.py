@@ -66,12 +66,15 @@ class ModelConfig:
     initializer_range: float = 0.02
     embd_pdrop: float = 0.1
     # 0.0 (the reference uses HF's 0.1): attention-prob dropout would
-    # disqualify the flash attention kernel — XLA fallback with a
-    # materialized [B,H,L,L] tensor. Quality-ablated: no resolvable
-    # effect on the synthetic task across 6 seeds (PARITY.md "attention
-    # dropout", results/attn_pdrop_ablation.jsonl). --attn_pdrop=0.1
-    # restores reference behavior.
-    attn_pdrop: float = 0.0
+    # Attention-prob dropout (reference: src/model.py:101, 142; HF
+    # default 0.1). Served IN-KERNEL by the fused block-attention Pallas
+    # kernel (ergm_tpu/ops/block_attention.py) at ~4% attention cost —
+    # round 2 shipped 0.0 because dropout used to force the XLA fallback
+    # with a materialized [B,H,L,L] tensor; with the in-kernel PRNG the
+    # reference-parity default is restored. (Quality had also been
+    # ablated as neutral on the synthetic task across 6 seeds:
+    # results/attn_pdrop_ablation.jsonl.)
+    attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
     # Attention-scaling options preserved for logit parity
     # (reference: src/model.py:87, 90, 92, 122-128).
@@ -214,10 +217,8 @@ class TrainConfig:
     # threefry (seed-portable); set "threefry2x32" for a fully portable
     # dropout stream too.
     prng_impl: str = "rbg"
-    # Dropout overrides (None = ModelConfig defaults). --attn_pdrop=0.1
-    # restores the reference's attention-prob dropout — at the cost of
-    # the flash attention kernel (no in-kernel PRNG): training then runs
-    # XLA attention with a materialized [B,H,L,L] tensor (see
+    # Dropout overrides (None = ModelConfig defaults; attention-prob
+    # dropout runs in-kernel on the fused block-attention path — see
     # PARITY.md "attention dropout").
     attn_pdrop: Optional[float] = None
     resid_pdrop: Optional[float] = None

@@ -100,27 +100,64 @@ def multihead_attention(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
-    """Dispatch to the flash kernel on TPU, XLA math elsewhere.
+    """Dispatch to a Pallas kernel on TPU, XLA math elsewhere.
 
-    The flash path handles masking via segment ids and skips
-    attention-prob dropout; with dropout active or an ``extra_bias``
-    given, the XLA path (numerically identical masking via additive
-    bias) is used.
+    ``impl``:
+    - ``auto``: ``pallas`` on TPU, ``xla`` elsewhere.
+    - ``pallas``: best available Pallas backend — the fused block kernel
+      (ergm_tpu/ops/block_attention.py, whole-sequence problems in VMEM,
+      single-pass backward, in-kernel dropout) when the shape fits, else
+      the library flash kernel (no dropout), else XLA.
+    - ``block`` / ``flash``: pin a specific Pallas backend (bench/tests).
+    - ``xla``: reference einsum math.
+
+    The ``ERGM_ATTN_IMPL`` env var overrides ``impl`` for A/B runs.
+    Masking rides as segment masks on the Pallas paths and as an
+    additive bias on the XLA path (numerically identical). With an
+    ``extra_bias`` given, only the XLA path applies. Attention-prob
+    dropout runs in-kernel on the block path; on the flash path it
+    forces the XLA fallback (materialized [B, H, L, L] — measured to
+    OOM the B=48 train step, results/train_ablation.jsonl).
     """
+    import os
+
+    impl = os.environ.get("ERGM_ATTN_IMPL", impl)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     dropout_active = (not deterministic) and dropout_rate > 0.0 and rng is not None
-    if impl == "pallas" and extra_bias is None:
-        from ergm_tpu.ops.flash_attention import flash_attention_supported, flash_mha
+    if impl in ("pallas", "block", "flash") and extra_bias is None:
+        from ergm_tpu.ops.block_attention import (
+            block_attention_supported, block_mha)
+        from ergm_tpu.ops.flash_attention import (
+            flash_attention_supported, flash_mha)
 
-        if flash_attention_supported(q, k, v, causal=causal,
-                                     causal_offset=causal_offset,
-                                     dropout_active=dropout_active):
-            if scale is not None and not isinstance(scale, (int, float)):
-                # traced scale (per-layer scaling under scan): fold into q
+        static_scale = scale
+        if scale is not None and not isinstance(scale, (int, float)):
+            # traced scale (per-layer scaling under scan): fold into q
+            static_scale = None
+
+        if (impl in ("pallas", "block")
+                and block_attention_supported(q, k, v, causal=causal,
+                                              causal_offset=causal_offset)):
+            if static_scale is None and scale is not None:
                 q = q * scale
-                scale = 1.0
-            return flash_mha(q, k, v, causal=causal, scale=scale,
+                static_scale = 1.0
+            seed = None
+            if dropout_active:
+                seed = jax.random.bits(rng, dtype=jnp.uint32).astype(jnp.int32)
+            return block_mha(
+                q, k, v, causal=causal, scale=static_scale,
+                q_mask=q_mask, kv_mask=kv_mask,
+                dropout_rate=dropout_rate if dropout_active else 0.0,
+                dropout_seed=seed)
+        if (impl in ("pallas", "flash")
+                and flash_attention_supported(q, k, v, causal=causal,
+                                              causal_offset=causal_offset,
+                                              dropout_active=dropout_active)):
+            if static_scale is None and scale is not None:
+                q = q * scale
+                static_scale = 1.0
+            return flash_mha(q, k, v, causal=causal, scale=static_scale,
                              q_mask=q_mask, kv_mask=kv_mask)
     bias = attention_bias_from_mask(kv_mask) if kv_mask is not None else None
     if extra_bias is not None:

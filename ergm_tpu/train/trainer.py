@@ -48,16 +48,17 @@ class Trainer:
             model_config = ModelConfig.from_model_type(
                 cfg.model_type, vocab_size=self.st.vocab_size,
                 dtype=cfg.dtype, remat=cfg.remat, **drops)
-        if model_config.attn_pdrop > 0 and jax.default_backend() == "tpu":
+        if (model_config.attn_pdrop > 0 and jax.default_backend() == "tpu"
+                and os.environ.get("ERGM_ATTN_IMPL") in ("flash", "xla")):
             import warnings
 
             warnings.warn(
-                f"attn_pdrop={model_config.attn_pdrop} disqualifies the "
-                f"Pallas flash-attention kernel (no in-kernel PRNG): "
+                f"attn_pdrop={model_config.attn_pdrop} with "
+                f"ERGM_ATTN_IMPL={os.environ['ERGM_ATTN_IMPL']}: the "
+                f"pinned backend cannot serve in-kernel dropout, so "
                 f"training falls back to XLA attention with a "
-                f"materialized [B,H,L,L] tensor — slower and "
-                f"O(L^2) memory. The shipped default is attn_pdrop=0.0 "
-                f"(quality-ablated; results/attn_pdrop_ablation.jsonl).")
+                f"materialized [B,H,L,L] tensor (the default 'block' "
+                f"kernel serves dropout at kernel speed).")
         # clamp like the reference (src/main.py:64)
         self.max_len = min(cfg.max_len, model_config.n_positions)
         self.mcfg = model_config

@@ -5,6 +5,10 @@
                      backend) at the given block sizes
   splash           - library Pallas splash kernel (causal block skipping,
                      fused q-head grid) via make_splash_mha
+  block[-sN][-dropP] - ergm_tpu fused block kernel (whole-sequence VMEM,
+                     single-pass backward) with N causal q-sub-blocks
+                     and optional attention dropout rate P (e.g.
+                     block-s2, block-s1-drop0.1)
   xla              - plain einsum attention (the oracle path)
 
 Times sum-of-squares grad (fwd+bwd) per call, CHAIN calls per fetch.
@@ -80,6 +84,24 @@ def make_fn(variant):
 
         def attn(q, k, v):
             return kernel(q * scale, k, v)
+    elif variant.startswith("block"):
+        from ergm_tpu.ops import block_attention as ba
+
+        if not hasattr(ba, "_orig_pick_subs"):
+            ba._orig_pick_subs = ba._pick_subs
+        ba._pick_subs = ba._orig_pick_subs  # reset any prior pin
+        drop = 0.0
+        for p_ in variant.split("-")[1:]:
+            if p_.startswith("drop"):
+                drop = float(p_[4:])
+            elif p_.startswith("s"):
+                subs = int(p_[1:])
+                ba._pick_subs = (lambda *a, _s=subs, **kw: _s)  # pin sweep
+
+        def attn(q, k, v):
+            return ba.block_mha(q, k, v, causal=True, scale=scale,
+                                dropout_rate=drop,
+                                dropout_seed=(jnp.int32(7) if drop else None))
     elif variant == "xla":
         def attn(q, k, v):
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale

@@ -1,4 +1,4 @@
-"""On-TPU validation: flash-attention backend vs XLA reference math.
+"""On-TPU validation: Pallas attention backends vs XLA reference math.
 
 Run manually on a machine with a TPU attached (the CI test suite runs on
 CPU where the Pallas TPU kernels can't execute):
@@ -6,9 +6,13 @@ CPU where the Pallas TPU kernels can't execute):
     python scripts/tpu_validate.py
 
 Checks, at training shapes (L=512, bf16):
-- forward parity: flash vs XLA path, causal self-attention
+- forward parity: pallas (block kernel where supported, else flash)
+  vs XLA path, causal self-attention; plus explicitly pinned
+  impl='block' and impl='flash' backends
 - masked parity: segment-id masking vs additive-bias masking
-- gradient parity through the custom VJP
+- gradient parity through the custom VJPs
+- in-kernel attention dropout (block backend): determinism per seed and
+  mean-over-seeds convergence to the no-dropout output
 - full-model forward: attention_impl='pallas' vs 'xla'
 """
 
@@ -51,6 +55,26 @@ def main():
     fl = jax.jit(lambda q, k, v: multihead_attention(q, k, v, causal=True, impl="pallas"))
     xl = jax.jit(lambda q, k, v: multihead_attention(q, k, v, causal=True, impl="xla"))
     check("causal forward", fl(q, k, v), xl(q, k, v), 2e-2)
+    for pin in ("block", "flash"):
+        fp = jax.jit(lambda q, k, v, _p=pin: multihead_attention(
+            q, k, v, causal=True, impl=_p))
+        check(f"causal forward [{pin}]", fp(q, k, v), xl(q, k, v), 2e-2)
+
+    # in-kernel dropout (block backend): per-seed determinism + mean
+    # convergence toward the deterministic output
+    def drop_fn(q, k, v, key):
+        return multihead_attention(q, k, v, causal=True, impl="block",
+                                   dropout_rate=0.2, deterministic=False,
+                                   rng=key)
+    dj = jax.jit(drop_fn)
+    k0 = jax.random.key(0)
+    same = rel_err(dj(q, k, v, k0), dj(q, k, v, k0))
+    print(f"{'OK ' if same == 0 else 'FAIL'} dropout determinism: "
+          f"rel_err={same:.2e} (tol 0)")
+    ok = ok and same == 0
+    mean = np.mean([np.asarray(dj(q, k, v, jax.random.key(s)), np.float32)
+                    for s in range(16)], axis=0)
+    check("dropout mean ~ deterministic", mean, fl(q, k, v), 0.2)
 
     flm = jax.jit(lambda q, k, v, m: multihead_attention(
         q, k, v, causal=True, kv_mask=m, q_mask=m, impl="pallas"))

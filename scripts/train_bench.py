@@ -54,12 +54,13 @@ def main():
     kind = jax.devices()[0].device_kind
     print(f"device: {kind}", file=sys.stderr)
     drop = float(os.environ.get("TRAIN_BENCH_DROPOUT", 0.1))
-    # attn dropout defaults to the PRODUCT default (0.0 — flash-eligible;
-    # PARITY.md "attention dropout"), so TRAIN_BENCH.json measures the
-    # config a default `train.sh` run actually executes (VERDICT r2 weak
-    # #1). Set TRAIN_BENCH_ATTN_DROPOUT=0.1 to measure the reference-
-    # parity regularization config (XLA attention fallback).
-    attn_drop = float(os.environ.get("TRAIN_BENCH_ATTN_DROPOUT", 0.0))
+    # attn dropout defaults to the PRODUCT default (0.1 since the fused
+    # block-attention kernel serves dropout in-kernel; PARITY.md
+    # "attention dropout"), so TRAIN_BENCH.json measures the config a
+    # default `train.sh` run actually executes (VERDICT r2 weak #1).
+    from ergm_tpu.core.config import ModelConfig as _MC
+    attn_drop = float(os.environ.get("TRAIN_BENCH_ATTN_DROPOUT",
+                                     _MC.attn_pdrop))
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
         attn_pdrop=attn_drop, resid_pdrop=drop, embd_pdrop=drop,
@@ -106,7 +107,7 @@ def main():
         "metric": "trimodal_train_tokens_per_sec_per_chip",
         "value": round(tok_per_sec, 1),
         "unit": f"tok/s/chip (B={BATCH}, L={SEQ}, {MODEL}, "
-                f"{'bf16+xla-attn(dropout)' if attn_drop > 0 else 'bf16+flash'}"
+                f"bf16+block-attn{'+attndrop' if attn_drop > 0 else ''}"
                 f"{'+remat:' + REMAT_POLICY if REMAT else ''}+ce:{LM_LOSS})",
         "step_ms": round(best * 1000, 1),
         "compile_s": round(compile_s, 1),

@@ -114,14 +114,14 @@ def test_int8_serving_params_shard_under_tp():
     assert shard[-1] * 4 == full[-1] and shard[:-1] == full[:-1]
 
 
-def test_default_training_config_selects_flash_on_tpu(monkeypatch):
-    """VERDICT r2 #1 'done' criterion: the TRAINING STEP at the shipped
-    Trainer defaults (bf16, dropout defaults — attn_pdrop now 0.0)
-    dispatches self-attention to the flash kernel on TPU. Previously the
-    default attn_pdrop=0.1 silently forced the XLA fallback with a
+def test_default_training_config_selects_block_kernel_on_tpu(monkeypatch):
+    """VERDICT r2 #1 'done' criterion, updated for round 3: the TRAINING
+    STEP at the shipped Trainer defaults (bf16, attn_pdrop=0.1 — the
+    reference-parity regularization) dispatches self-attention to the
+    fused block-attention kernel on TPU, which serves dropout in-kernel.
+    Previously attn_pdrop>0 silently forced the XLA fallback with a
     materialized [B,H,L,L] tensor."""
-    import ergm_tpu.ops.attention as attn_mod
-    import ergm_tpu.ops.flash_attention as fa
+    import ergm_tpu.ops.block_attention as ba
     from ergm_tpu.core.config import ModelConfig, TrainConfig
     from ergm_tpu.models import gpt2
     from ergm_tpu.ops.attention import xla_attention
@@ -133,19 +133,20 @@ def test_default_training_config_selects_flash_on_tpu(monkeypatch):
     mcfg = ModelConfig.from_model_type(
         "gpt2", n_layer=2, n_embd=32, n_head=4, vocab_size=256,
         n_positions=256, dtype="float32", remat=tcfg.remat, **drops)
-    assert mcfg.attn_pdrop == 0.0
+    assert mcfg.attn_pdrop == 0.1  # reference parity (src/model.py:101)
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     calls = []
 
-    def fake_flash(q, k, v, *, causal, scale=None, q_mask=None, kv_mask=None):
-        calls.append(q.shape)
+    def fake_block(q, k, v, *, causal, scale=None, q_mask=None, kv_mask=None,
+                   dropout_rate=0.0, dropout_seed=None, interpret=False):
+        calls.append((tuple(q.shape), dropout_rate, dropout_seed is not None))
         bias = None
         if kv_mask is not None:
             bias = (1.0 - kv_mask.astype(jnp.float32)[:, None, None, :]) * -1e9
         return xla_attention(q, k, v, causal=causal, bias=bias, scale=scale)
 
-    monkeypatch.setattr(fa, "flash_mha", fake_flash)
+    monkeypatch.setattr(ba, "block_mha", fake_block)
 
     import optax
 
@@ -166,5 +167,7 @@ def test_default_training_config_selects_flash_on_tpu(monkeypatch):
     }
     state, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
-    # the self-attention of every layer went through the flash kernel
-    assert calls, "training step never reached the flash path"
+    # the self-attention went through the block kernel WITH dropout
+    assert calls, "training step never reached the block-attention path"
+    assert any(rate > 0 and seeded for _, rate, seeded in calls), (
+        "attention dropout was not routed in-kernel", calls)
