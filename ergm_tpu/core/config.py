@@ -65,7 +65,6 @@ class ModelConfig:
     layer_norm_epsilon: float = 1e-5
     initializer_range: float = 0.02
     embd_pdrop: float = 0.1
-    # 0.0 (the reference uses HF's 0.1): attention-prob dropout would
     # Attention-prob dropout (reference: src/model.py:101, 142; HF
     # default 0.1). Served IN-KERNEL by the fused block-attention Pallas
     # kernel (ergm_tpu/ops/block_attention.py) at ~4% attention cost —

@@ -273,3 +273,36 @@ def test_dropout_active_in_training_mode(params):
     out3 = gpt2.forward(params, cfg_d, ids, deterministic=True, rng=jax.random.PRNGKey(0))
     out4 = gpt2.forward(params, cfg_d, ids, deterministic=True)
     np.testing.assert_allclose(out3.logits, out4.logits, rtol=1e-6)
+
+
+def test_model_family_presets():
+    """Every reference model_type (src/model.py:40-46: distilgpt2, gpt2,
+    gpt2-medium, gpt2-large, gpt2-xl) builds a valid config: the MXU-
+    friendly invariants hold (head_dim divides evenly — gpt2-xl's 25
+    heads over 1600 dims still give D=64) and a scaled-down forward of
+    each preset geometry runs (full-size xl is a multi-chip problem;
+    what's under test is the preset wiring, not the weights)."""
+    from ergm_tpu.core.config import GPT2_SIZES, ModelConfig
+
+    expected = {
+        "distilgpt2": (6, 12, 768),
+        "gpt2": (12, 12, 768),
+        "gpt2-medium": (24, 16, 1024),
+        "gpt2-large": (36, 20, 1280),
+        "gpt2-xl": (48, 25, 1600),
+    }
+    for name, (L, H, D) in expected.items():
+        cfg = ModelConfig.from_model_type(name)
+        assert (cfg.n_layer, cfg.n_head, cfg.n_embd) == (L, H, D)
+        assert cfg.n_embd % cfg.n_head == 0
+        assert (cfg.n_inner or 4 * cfg.n_embd) == 4 * cfg.n_embd
+        # tiny forward at the preset's head geometry (2 layers, real n_head)
+        tiny = ModelConfig.from_model_type(
+            name, n_layer=2, vocab_size=128, n_positions=32,
+            n_embd=cfg.n_head * 8, dtype="float32",
+            embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+        p = gpt2.init_params(jax.random.PRNGKey(0), tiny)
+        out = gpt2.forward(p, tiny, jnp.ones((1, 4), jnp.int32))
+        assert out.logits.shape == (1, 4, 128)
+    with pytest.raises(ValueError):
+        ModelConfig.from_model_type("gpt3")
