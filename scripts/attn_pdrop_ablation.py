@@ -71,6 +71,7 @@ def main():
                 rows.append(row)
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")
+                f.flush()
         summary = {}
         for drop in (0.1, 0.0):
             ppls = [r["best_valid_ppl"] for r in rows if r["attn_pdrop"] == drop]

@@ -71,6 +71,7 @@ def main():
                 rows.append(row)
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")
+                f.flush()
         summary = {}
         for mu in ("float32", "bfloat16"):
             ppls = [r["best_valid_ppl"] for r in rows if r["mu_dtype"] == mu]
