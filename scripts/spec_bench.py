@@ -170,7 +170,9 @@ def run_trained_acceptance(cfg):
     # long dialogues (10 turns x 8-15 tokens) so held-out contexts reach
     # the measurement prompt length; short-dialogue defaults max out ~48
     write_synthetic_dataset(tmp, prefixes=("train", "valid"),
-                            num_dialogues=48, turns_per_dialogue=10,
+                            num_dialogues=48,
+                            turns_per_dialogue=int(
+                                os.environ.get("SPEC_TRAIN_TURNS", 10)),
                             utter_len=range(8, 16),
                             base_vocab_size=256, seed=11)
     st = read_meta(tmp)
