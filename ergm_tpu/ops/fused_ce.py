@@ -142,7 +142,7 @@ def _pad_to(x, n, axis, value):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_softmax_xent(hidden, wte, labels,
-                       block_n: int = 256, block_v: int = 1024,
+                       block_n: int = 256, block_v: int = 2048,
                        interpret: bool = False):
     """Per-token NLL of ``labels`` under softmax(hidden @ wte^T).
 
@@ -233,9 +233,10 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
         interpret=interpret,
     )(h, w, lbl, lz, gw)
     # the dW kernel carries a [block, D] fp32 accumulator + fp32 output
-    # block on top of the double-buffered inputs; at block_v=1024/D=768 it
-    # lands 88 KB over the 16 MB scoped-VMEM limit, so it runs at half
-    # the vocab block of the forward/dh kernels
+    # block on top of the double-buffered inputs; at the forward's vocab
+    # block it exceeds the 16 MB scoped-VMEM limit (block_v=1024/D=768
+    # measured 88 KB over), so it runs at half the vocab block of the
+    # forward/dh kernels
     bvw = max(128, block_v // 2)
     Vpw = -(-V // bvw) * bvw
     w_w = _pad_to(wte, Vpw, 0, 0)
@@ -277,7 +278,7 @@ def _masked_nll_sums(hidden, wte, labels, ignore_index, block_n, block_v,
 
 def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
                   ignore_index: int = -100,
-                  block_n: int = 256, block_v: int = 1024,
+                  block_n: int = 256, block_v: int = 2048,
                   interpret: bool = False) -> jnp.ndarray:
     """Shifted LM cross-entropy via the fused kernel — drop-in for
     models.gpt2.chunked_lm_loss (same semantics: position t scored
@@ -290,7 +291,7 @@ def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
 def fused_lm_loss_sharded(hidden: jnp.ndarray, wte: jnp.ndarray,
                           labels: jnp.ndarray, mesh,
                           ignore_index: int = -100,
-                          block_n: int = 256, block_v: int = 1024,
+                          block_n: int = 256, block_v: int = 2048,
                           interpret: bool = False,
                           data_axis: str = "data") -> jnp.ndarray:
     """fused_lm_loss under SPMD: shard_map over the mesh data axis.
