@@ -140,9 +140,20 @@ def _pad_to(x, n, axis, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _resolve_block_v(block_v, d):
+    """Tiling swept on v5e at the training shape (scripts/ce_block_sweep.py,
+    results/ce_block_sweep.jsonl): block_v=2048 is ~5% faster than 1024
+    at D=768 and fits every kernel's 16 MB scoped-VMEM budget, but the
+    dW backward (acc + output blocks scale with block_v*D) exceeds it at
+    D=1024 by 3.84 MB -- wider models keep 1024."""
+    if block_v is not None:
+        return block_v
+    return 2048 if d <= 768 else 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_softmax_xent(hidden, wte, labels,
-                       block_n: int = 256, block_v: int = 2048,
+                       block_n: int = 256, block_v=None,
                        interpret: bool = False):
     """Per-token NLL of ``labels`` under softmax(hidden @ wte^T).
 
@@ -157,6 +168,7 @@ def fused_softmax_xent(hidden, wte, labels,
 def _fwd_impl(hidden, wte, labels, block_n, block_v, interpret):
     N, D = hidden.shape
     V = wte.shape[0]
+    block_v = _resolve_block_v(block_v, D)
     bn = min(block_n, max(N, 8))
     Np = -(-N // bn) * bn
     Vp = -(-V // block_v) * block_v
@@ -205,6 +217,7 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
     hidden, wte, labels, logz = res
     N, D = hidden.shape
     V = wte.shape[0]
+    block_v = _resolve_block_v(block_v, D)
     bn = min(block_n, max(N, 8))
     Np = -(-N // bn) * bn
     Vp = -(-V // block_v) * block_v
@@ -278,7 +291,7 @@ def _masked_nll_sums(hidden, wte, labels, ignore_index, block_n, block_v,
 
 def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
                   ignore_index: int = -100,
-                  block_n: int = 256, block_v: int = 2048,
+                  block_n: int = 256, block_v=None,
                   interpret: bool = False) -> jnp.ndarray:
     """Shifted LM cross-entropy via the fused kernel — drop-in for
     models.gpt2.chunked_lm_loss (same semantics: position t scored
@@ -291,7 +304,7 @@ def fused_lm_loss(hidden: jnp.ndarray, wte: jnp.ndarray, labels: jnp.ndarray,
 def fused_lm_loss_sharded(hidden: jnp.ndarray, wte: jnp.ndarray,
                           labels: jnp.ndarray, mesh,
                           ignore_index: int = -100,
-                          block_n: int = 256, block_v: int = 2048,
+                          block_n: int = 256, block_v=None,
                           interpret: bool = False,
                           data_axis: str = "data") -> jnp.ndarray:
     """fused_lm_loss under SPMD: shard_map over the mesh data axis.
