@@ -172,6 +172,32 @@ def test_data_parallel_8dev_mesh(data_dir, tmp_path):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_tensor_parallel_8dev_train_step_matches_single_device(
+        data_dir, tmp_path):
+    """Full-degree TP: a (data=1, model=8) mesh training step computes the
+    SAME loss as the single-device step (GSPMD inserts the collectives;
+    the Megatron column/row specs in core/mesh.py only place the data).
+    Catches partition-spec bugs that a 4x2 dryrun's model=2 axis can
+    mask."""
+    assert jax.device_count() == 8
+    from ergm_tpu.data.dataset import batches
+    from ergm_tpu.train.steps import batch_to_device
+
+    tr_tp = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=4,
+                         mesh_shape=(1, 8),
+                         mesh_axis_names=("data", "model"))
+    tr_1d = make_trainer(data_dir, os.path.join(str(tmp_path), "b"),
+                         num_epochs=1, batch_size=4, mesh_shape=(1,))
+    batch = next(batches(tr_tp.train_set, 4, tr_tp.st.eos_id, max_len=64))
+    _, m_tp = tr_tp.train_step(tr_tp.state,
+                               batch_to_device(batch, tr_tp.mesh), tr_tp.rng)
+    _, m_1d = tr_1d.train_step(tr_1d.state,
+                               batch_to_device(batch, tr_1d.mesh), tr_1d.rng)
+    assert np.isfinite(float(m_tp["loss"]))
+    assert float(m_tp["loss"]) == pytest.approx(float(m_1d["loss"]),
+                                                rel=1e-5)
+
+
 def test_throughput_accounting():
     """Trainer._throughput: slowest step (compile) excluded from the
     steady-state rate; MFU uses total mesh peak (VERDICT r2 weak #4)."""
