@@ -16,11 +16,15 @@ Checks, at training shapes (L=512, bf16):
 - full-model forward: attention_impl='pallas' vs 'xla'
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# runnable as `python scripts/tpu_validate.py` from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rel_err(a, b):
@@ -72,9 +76,17 @@ def main():
     print(f"{'OK ' if same == 0 else 'FAIL'} dropout determinism: "
           f"rel_err={same:.2e} (tol 0)")
     ok = ok and same == 0
+    # convergence of the seed-mean is a STATISTICAL property: use the
+    # mean-relative error (the max-norm over 524k elements rides the
+    # extreme-value tail and needs thousands of seeds to tighten)
     mean = np.mean([np.asarray(dj(q, k, v, jax.random.key(s)), np.float32)
-                    for s in range(16)], axis=0)
-    check("dropout mean ~ deterministic", mean, fl(q, k, v), 0.2)
+                    for s in range(64)], axis=0)
+    det = np.asarray(fl(q, k, v), np.float32)
+    mre = float(np.mean(np.abs(mean - det)) / (np.mean(np.abs(det)) + 1e-9))
+    status = "OK " if mre < 0.1 else "FAIL"
+    if mre >= 0.1:
+        ok = False
+    print(f"{status} dropout mean ~ deterministic: mean_rel={mre:.2e} (tol 0.1)")
 
     flm = jax.jit(lambda q, k, v, m: multihead_attention(
         q, k, v, causal=True, kv_mask=m, q_mask=m, impl="pallas"))
