@@ -343,6 +343,17 @@ def main(argv: Optional[list] = None):
 
     enable_compilation_cache()
 
+    # multi-host bootstrap from launcher env (ERGM_COORDINATOR /
+    # ERGM_NUM_PROCESSES / ERGM_PROCESS_ID) — must run before any mesh
+    # or device access so jax.devices() is the GLOBAL list
+    from ergm_tpu.parallel.distributed import initialize_from_env
+
+    dist = initialize_from_env()
+    if dist is not None:
+        print(f"multi-host: process {dist['process_index']}/"
+              f"{dist['process_count']}, {dist['local_devices']} local / "
+              f"{dist['global_devices']} global devices")
+
     if args.mode == "train":
         from ergm_tpu.train.trainer import Trainer
 

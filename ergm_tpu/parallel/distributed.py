@@ -40,6 +40,42 @@ def initialize(
     }
 
 
+def initialize_from_env(environ=None) -> Optional[dict]:
+    """Bootstrap multi-host from launcher environment variables.
+
+    The CLI calls this before building any mesh, so `train.sh` works
+    unchanged under a multi-host launcher that exports:
+
+      ERGM_COORDINATOR    host:port of process 0
+      ERGM_NUM_PROCESSES  total process count
+      ERGM_PROCESS_ID     this process's rank
+
+    All three must be set together (partial configuration is an error —
+    silently training single-host on a misconfigured pod duplicates
+    data). Returns the summary dict when initialized, None when the env
+    carries no multi-host configuration (single-process runs and
+    TPU-pod autodetection, where jax initializes lazily, are no-ops
+    here).
+    """
+    import os
+
+    env = os.environ if environ is None else environ
+    keys = ("ERGM_COORDINATOR", "ERGM_NUM_PROCESSES", "ERGM_PROCESS_ID")
+    present = [k for k in keys if env.get(k)]
+    if not present:
+        return None
+    if len(present) < len(keys):
+        missing = sorted(set(keys) - set(present))
+        raise ValueError(
+            f"Partial multi-host environment: {present} set but {missing} "
+            f"missing; export all of {keys} (or none).")
+    return initialize(
+        coordinator_address=env["ERGM_COORDINATOR"],
+        num_processes=int(env["ERGM_NUM_PROCESSES"]),
+        process_id=int(env["ERGM_PROCESS_ID"]),
+    )
+
+
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0

@@ -42,3 +42,27 @@ def test_distributed_noop_and_primary():
     info = initialize()
     assert info["process_count"] == 1
     assert is_primary()
+
+
+def test_initialize_from_env(monkeypatch):
+    """The CLI's multi-host bootstrap: no env -> no-op; full env ->
+    jax.distributed.initialize with the parsed launcher config; partial
+    env -> loud error (a silently single-host 'pod' duplicates data)."""
+    import pytest
+
+    from ergm_tpu.parallel import distributed
+
+    assert distributed.initialize_from_env({}) is None
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    env = {"ERGM_COORDINATOR": "10.0.0.1:1234",
+           "ERGM_NUM_PROCESSES": "4", "ERGM_PROCESS_ID": "2"}
+    info = distributed.initialize_from_env(env)
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 4, "process_id": 2}]
+    assert info["process_count"] == 1  # single-process jax under the mock
+
+    with pytest.raises(ValueError, match="Partial multi-host"):
+        distributed.initialize_from_env({"ERGM_COORDINATOR": "x:1"})
