@@ -144,11 +144,15 @@ def _resolve_block_v(block_v, d):
     """Tiling swept on v5e at the training shape (scripts/ce_block_sweep.py,
     results/ce_block_sweep.jsonl): block_v=2048 is ~5% faster than 1024
     at D=768 and fits every kernel's 16 MB scoped-VMEM budget, but the
-    dW backward (acc + output blocks scale with block_v*D) exceeds it at
-    D=1024 by 3.84 MB -- wider models keep 1024."""
+    dW backward (acc + output blocks scale with (block_v/2)*D) exceeds
+    it at D=1024 by 3.84 MB -- wider models keep 1024, and past D=1280
+    even that overflows (D=1600 measured 96 KB over), so XL-width
+    models halve again."""
     if block_v is not None:
         return block_v
-    return 2048 if d <= 768 else 1024
+    if d <= 768:
+        return 2048
+    return 1024 if d <= 1280 else 512
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -146,3 +146,19 @@ def test_forward_gate_uses_sharded_fused_on_dp_mesh():
     want = jax.jit(lambda p: gpt2.forward(
         p, cfg_ref, ids, labels=ids, compute_logits=False).loss)(params)
     np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+
+
+def test_block_v_resolution_is_width_aware():
+    """Vocab tiling resolves from the embedding width: the dW backward's
+    scoped-VMEM footprint scales with (block_v/2)*D — measured limits on
+    v5e: 2048 fits at D=768, 1024 at D=1024/1280, 512 at D=1600
+    (results/ce_block_sweep.jsonl; gpt2-xl compile evidence in the
+    round-3 log). Explicit block_v always wins."""
+    from ergm_tpu.ops.fused_ce import _resolve_block_v
+
+    assert _resolve_block_v(None, 768) == 2048   # gpt2
+    assert _resolve_block_v(None, 1024) == 1024  # gpt2-medium
+    assert _resolve_block_v(None, 1280) == 1024  # gpt2-large
+    assert _resolve_block_v(None, 1600) == 512   # gpt2-xl
+    assert _resolve_block_v(None, 32) == 2048    # test-sized models
+    assert _resolve_block_v(4096, 1600) == 4096  # explicit override
