@@ -145,6 +145,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam first-moment storage dtype; bfloat16 halves "
                         "the momentum buffer (HBM headroom for larger "
                         "batches under remat).")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="Average gradients over k micro-batches per "
+                        "optimizer update (effective batch k*batch_size "
+                        "past the single-chip HBM frontier).")
     return p
 
 
@@ -167,6 +171,7 @@ def args_to_config(args) -> TrainConfig:
         attn_pdrop=args.attn_pdrop, resid_pdrop=args.resid_pdrop,
         embd_pdrop=args.embd_pdrop, adam_mu_dtype=args.adam_mu_dtype,
         remat_policy=args.remat_policy,
+        grad_accum_steps=args.grad_accum_steps,
     )
 
 

@@ -235,6 +235,12 @@ class TrainConfig:
     # gpt2 B=48 mlp; gpt2-medium B=12 mlp + bf16 mu; gpt2-large B=12
     # full + bf16 mu.
     remat_policy: Optional[str] = None
+    # Gradient accumulation (optax.MultiSteps): average grads over k
+    # micro-batches before each optimizer update — effective batch
+    # k*batch_size past the single-chip HBM frontier (B=48 on v5e for
+    # gpt2). The LR schedule counts OPTIMIZER steps, so warmup/decay
+    # match an equivalent large-batch run. 1 = off.
+    grad_accum_steps: int = 1
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

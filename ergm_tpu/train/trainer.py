@@ -85,7 +85,10 @@ class Trainer:
                 f"{cfg.batch_size}; training drops partial batches, so no step "
                 f"would ever run — lower --batch_size or add data")
         num_batches = max(len(self.train_set) // cfg.batch_size, 1)
-        self.total_train_steps = cfg.num_epochs * num_batches
+        accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
+        # the schedule advances per OPTIMIZER update (MultiSteps holds
+        # the inner state still between micro-batches), so count updates
+        self.total_train_steps = max(cfg.num_epochs * num_batches // accum, 1)
         self.warmup_steps = int(cfg.warmup_ratio * self.total_train_steps)
         schedule = polynomial_warmup_schedule(
             cfg.lr, self.warmup_steps, self.total_train_steps, power=2.0)
@@ -96,6 +99,8 @@ class Trainer:
             mu_dtype = jnp.dtype(cfg.adam_mu_dtype)
         self.tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
                               weight_decay=0.01, mu_dtype=mu_dtype)
+        if accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=accum)
 
         if params is None:
             params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), self.mcfg)

@@ -245,3 +245,45 @@ def test_bf16_adam_moments_train(data_dir, tmp_path):
     nu_dts = {l.dtype for l in jax.tree_util.tree_leaves(nu)}
     assert mu_dts == {jnp.dtype(jnp.bfloat16)}
     assert nu_dts == {jnp.dtype(jnp.float32)}
+
+
+def test_grad_accumulation_matches_single_step(data_dir, tmp_path):
+    """grad_accum_steps=2 fed the SAME batch twice: params must stay
+    frozen after the first micro-batch (MultiSteps holds the update)
+    and land exactly where one k=1 step with that batch lands (the
+    average of two identical gradients is the gradient)."""
+    from ergm_tpu.data.dataset import batches
+    from ergm_tpu.train.steps import batch_to_device
+
+    tr_acc = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=4,
+                          grad_accum_steps=2)
+    tr_one = make_trainer(data_dir, os.path.join(str(tmp_path), "b"),
+                          num_epochs=1, batch_size=4)
+    batch = batch_to_device(
+        next(batches(tr_acc.train_set, 4, tr_acc.st.eos_id, max_len=64)),
+        tr_acc.mesh)
+
+    # snapshot before the step: train_step donates its input state
+    p_before = np.asarray(jax.tree_util.tree_leaves(tr_acc.state.params)[0])
+    s1, m1 = tr_acc.train_step(tr_acc.state, batch, tr_acc.rng)
+    # micro-step 1 of 2: optimizer held, params unchanged
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s1.params)[0]), p_before)
+    s2, m2 = tr_acc.train_step(s1, batch, tr_acc.rng)
+
+    ref, _ = tr_one.train_step(tr_one.state, batch, tr_one.rng)
+    got = jax.tree_util.tree_leaves(s2.params)
+    want = jax.tree_util.tree_leaves(ref.params)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_grad_accum_schedule_counts_optimizer_steps(data_dir, tmp_path):
+    """The LR schedule horizon counts optimizer updates, not
+    micro-batches, so warmup/decay match an equivalent big-batch run."""
+    tr_acc = make_trainer(data_dir, tmp_path, num_epochs=4, batch_size=4,
+                          grad_accum_steps=2)
+    tr_one = make_trainer(data_dir, os.path.join(str(tmp_path), "b"),
+                          num_epochs=4, batch_size=4)
+    assert tr_acc.total_train_steps * 2 == tr_one.total_train_steps
