@@ -252,9 +252,11 @@ def _vjp_bwd(block_n, block_v, interpret, res, g):
     # the dW kernel carries a [block, D] fp32 accumulator + fp32 output
     # block on top of the double-buffered inputs; at the forward's vocab
     # block it exceeds the 16 MB scoped-VMEM limit (block_v=1024/D=768
-    # measured 88 KB over), so it runs at half the vocab block of the
-    # forward/dh kernels
-    bvw = max(128, block_v // 2)
+    # measured 88 KB over), so it runs at half the forward/dh vocab
+    # block, capped at 512: bvw=1024/D=768 compiles in the plain train
+    # step but tips 344 KB over once the optimizer carries a MultiSteps
+    # grad accumulator (measured) — right at the edge is not a default
+    bvw = max(128, min(block_v // 2, 512))
     Vpw = -(-V // bvw) * bvw
     w_w = _pad_to(wte, Vpw, 0, 0)
     dw = pl.pallas_call(

@@ -70,6 +70,11 @@ def main():
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     mu_env = os.environ.get("TRAIN_BENCH_MU_DTYPE")
     tx = optax.adamw(1e-4, mu_dtype=jnp.dtype(mu_env) if mu_env else None)
+    accum = int(os.environ.get("TRAIN_BENCH_GRAD_ACCUM", 1))
+    if accum > 1:
+        import optax as _optax
+
+        tx = _optax.MultiSteps(tx, every_k_schedule=accum)
     state = create_train_state(params, tx)
     step = make_train_step(cfg, tx)
 
