@@ -290,7 +290,9 @@ class Trainer:
                     self.writer.add_scalar("MFU/train", mfu, epoch)
 
             self.last_epoch = epoch
+            tv = time.time()
             v_loss, v_ppl, v_acc = self.validation()
+            v_dt = time.time() - tv
             if v_ppl < self.best_ppl:
                 self.best_ppl = v_ppl
                 path = ckpt_lib.save_checkpoint(cfg.ckpt_dir, self.state, epoch,
@@ -299,7 +301,7 @@ class Trainer:
             print(f"Best valid PPL: {self.best_ppl:.4f}")
             print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} "
                   f"(token-weighted {self._last_valid_tw_ppl:.4f}) | "
-                  f"Valid Emotion Acc: {v_acc:.2f}%")
+                  f"Valid Emotion Acc: {v_acc:.2f}% | {v_dt:.1f}s")
             self._scalars("valid", epoch, v_loss, v_ppl, v_acc)
             if self.writer is not None:
                 self.writer.add_scalar("PPL_token_weighted/valid",
