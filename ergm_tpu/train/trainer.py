@@ -295,9 +295,11 @@ class Trainer:
             v_dt = time.time() - tv
             if v_ppl < self.best_ppl:
                 self.best_ppl = v_ppl
+                tc = time.time()
                 path = ckpt_lib.save_checkpoint(cfg.ckpt_dir, self.state, epoch,
                                                 v_ppl, keep_best=cfg.keep_best)
-                print(f"Best checkpoint saved: {path}")
+                print(f"Best checkpoint saved: {path} "
+                      f"({time.time() - tc:.1f}s)")
             print(f"Best valid PPL: {self.best_ppl:.4f}")
             print(f"Valid Loss: {v_loss:.4f} | Valid PPL: {v_ppl:.4f} "
                   f"(token-weighted {self._last_valid_tw_ppl:.4f}) | "
