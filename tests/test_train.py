@@ -287,3 +287,17 @@ def test_grad_accum_schedule_counts_optimizer_steps(data_dir, tmp_path):
     tr_one = make_trainer(data_dir, os.path.join(str(tmp_path), "b"),
                           num_epochs=4, batch_size=4)
     assert tr_acc.total_train_steps * 2 == tr_one.total_train_steps
+
+
+def test_resume_with_grad_accum(data_dir, tmp_path):
+    """Checkpoint/resume carries the MultiSteps accumulator: the restore
+    template is built from the same tx, so the orbax tree must match."""
+    tr = make_trainer(data_dir, tmp_path, num_epochs=1, grad_accum_steps=2)
+    tr.train()
+    saved_step = int(tr.state.step)
+    tr2 = make_trainer(data_dir, tmp_path, num_epochs=1, grad_accum_steps=2,
+                       ckpt_name="best")
+    assert int(tr2.state.step) == saved_step
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tr.state.params, tr2.state.params)
