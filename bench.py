@@ -43,6 +43,11 @@ REPS = int(os.environ.get("BENCH_REPS", 3))
 # (37.5k vs 30.2k tok/s measured), >=0.8 greedy token agreement with the
 # bf16 cache in tests. BENCH_KV=auto benchmarks the full-precision cache.
 KV_DTYPE = os.environ.get("BENCH_KV", "int8")
+# Weight dtype for the batch-throughput section. bf16 ("auto") is the
+# default: at B>=128 the decode step is not weight-streaming-bound, so
+# int8 weights were measured a wash there (see results/decode_ablation
+# .jsonl); the B=1 section has its own BENCH_B1_WEIGHT (int8 wins there).
+WEIGHT_DTYPE = os.environ.get("BENCH_WEIGHT", "auto")
 # Each timed rep issues CHAIN back-to-back invocations and fetches once:
 # the tunnel transport has a fixed per-invocation host overhead (~30 ms
 # fetch + an RPC pipeline floor), so single-invocation wall times
@@ -72,7 +77,7 @@ def main():
 
     cfg = ModelConfig.from_model_type(
         MODEL_TYPE, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        kv_cache_dtype=KV_DTYPE)
+        kv_cache_dtype=KV_DTYPE, weight_dtype=WEIGHT_DTYPE)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(gpt2.params_for_inference(params, cfg))
 
@@ -159,7 +164,9 @@ def main():
         "metric": "trimodal_generate_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
         "unit": f"utt/s/chip (B={BATCH}, prompt={PROMPT_LEN}, new={NEW_TOKENS}, "
-                f"{MODEL_TYPE}, kv={KV_DTYPE})",
+                f"{MODEL_TYPE}, kv={KV_DTYPE}"
+                + (f", w={WEIGHT_DTYPE}" if WEIGHT_DTYPE != "auto" else "")
+                + ")",
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
     }))
