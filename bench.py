@@ -157,9 +157,11 @@ def main():
         except Exception as e:  # the decode headline must still print
             print(f"train bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
-    # compile_s records cold-start variance (20.1 s -> 207.6 s -> 452 s for
-    # the SAME program across rounds — remote-compile-path jitter, see
-    # README "B=1 variance, reconciled"); steady-state `value` is the metric
+    # compile_s is STARTUP time: cold compile on a first run (20.1 s ->
+    # 207.6 s -> 452 s for the SAME program across rounds — remote-compile
+    # -path jitter, see README "B=1 variance, reconciled"), persistent-cache
+    # replay (seconds) afterward. Steady-state `value` is the metric; run
+    # with ERGM_NO_COMPILE_CACHE=1 for cold-start honest compile numbers
     print(json.dumps({
         "metric": "trimodal_generate_utterances_per_sec_per_chip",
         "value": round(utt_per_sec, 3),
@@ -227,8 +229,10 @@ def run_b1_latency(base_cfg):
             np.asarray(o.lengths)
         times.append((time.time() - t0) / chain)
     ts = sorted(times)
-    p50 = ts[len(ts) // 2]
-    p90 = ts[min(len(ts) - 1, int(len(ts) * 0.9))]
+    # interpolated percentiles: nearest-rank at N=6 would make "p90" the
+    # sample MAX (index int(5.4)=5), overstating the tail it claims to bound
+    p50 = float(np.percentile(ts, 50))
+    p90 = float(np.percentile(ts, 90))
     payload = {"metric": "trimodal_b1_request_latency_ms",
                "value": round(p50 * 1e3, 2),
                "unit": f"ms/request p50 (B=1, prompt={prompt}, new={new}, "

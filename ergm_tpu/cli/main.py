@@ -217,7 +217,10 @@ def _serving_mesh(cfg: TrainConfig, batch_size: int = 0):
         dp = n
         while dp > 1 and batch_size % dp:
             dp -= 1
-        shape = (dp,)
+        # honor a user-supplied multi-name --mesh_axes (trailing axes get
+        # size 1): shape=(dp,) with axes=('data','model') would otherwise
+        # crash the Mesh constructor with a shape/names mismatch
+        shape = (dp,) + (1,) * (len(axes) - 1)
     mesh = make_mesh(shape, axes)
     if mesh.devices.size <= 1:
         return None

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import warnings
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
@@ -246,17 +247,16 @@ def collate(
         if has_caps and e.caption_ids:
             kc = min(len(e.caption_ids), cap_ids.shape[1])
             if len(e.caption_ids) > cap_ids.shape[1]:
-                # static (multi-host) collation pins caption width to
-                # static_cap_len while single-host buckets up to max_len
-                # — silent truncation would mean the same dataset trains
-                # on different caption content by host count (ADVICE r2)
-                import warnings
-
+                # silent truncation would mean the same dataset trains on
+                # different caption content by host count (ADVICE r2); name
+                # the bound that actually applied on this path
+                bound = ("static_cap_len (static multi-host collation); "
+                         "raise static_cap_len" if static
+                         else "max_len (dynamic caption bucket); raise max_len")
                 warnings.warn(
                     f"caption truncated {len(e.caption_ids)} -> "
-                    f"{cap_ids.shape[1]} tokens by the static collation "
-                    f"cap (static_cap_len); raise static_cap_len to keep "
-                    f"full captions in multi-host runs")
+                    f"{cap_ids.shape[1]} tokens by {bound} to keep full "
+                    f"captions")
             cap_ids[b, :kc] = e.caption_ids[:kc]
             cap_mask[b, :kc] = 1.0
     return Batch(input_ids=ids, token_type_ids=tts, labels=lbl, imgs=imgs,

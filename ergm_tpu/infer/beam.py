@@ -232,9 +232,7 @@ def beam_search_batch(
     continuation ids (eos included when emitted) + emotion logits.
     ``mesh``: SPMD decode (see generate_batch) — batch padded to the
     data-axis multiple, inputs batch-sharded, extra rows dropped."""
-    from contextlib import nullcontext
-
-    from ergm_tpu.infer.generate import pack_ragged_batch
+    from ergm_tpu.infer.generate import _mesh_batch_placement, pack_ragged_batch
 
     ids, mask, tts, cap_ids, cap_mask, buffer_len = pack_ragged_batch(
         prompts, eos_id=eos_id, sp2_id=sp2_id, n_positions=config.n_positions,
@@ -244,32 +242,9 @@ def beam_search_batch(
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
 
-    def dev(x):
-        return None if x is None else jnp.asarray(x)
-
-    ctx = nullcontext()
-    if mesh is not None:
-        from ergm_tpu.core.mesh import batch_sharding
-
-        dp = int(mesh.shape.get("data", 1))
-        padded = ((B + dp - 1) // dp) * dp
-        if padded > B:
-            def pad_rows(x):
-                if x is None:
-                    return None
-                x = np.asarray(x)
-                return np.concatenate([x, np.repeat(x[-1:], padded - B, axis=0)], axis=0)
-
-            ids, mask, tts = pad_rows(ids), pad_rows(mask), pad_rows(tts)
-            cap_ids, cap_mask = pad_rows(cap_ids), pad_rows(cap_mask)
-            imgs, auds = pad_rows(imgs), pad_rows(auds)
-        sh = batch_sharding(mesh)
-
-        def dev(x):  # noqa: F811
-            return None if x is None else jax.device_put(jnp.asarray(x), sh)
-
-        ctx = mesh
-
+    dev, ctx, (ids, mask, tts, cap_ids, cap_mask, imgs, auds) = \
+        _mesh_batch_placement(mesh, (ids, mask, tts, cap_ids, cap_mask,
+                                     imgs, auds))
     with ctx:
         out = beam_search(
             params, config, dev(ids), prompt_mask=dev(mask),

@@ -285,6 +285,38 @@ def pack_ragged_batch(
     return ids, mask, tts, cap_ids, cap_mask, buffer_len
 
 
+def _mesh_batch_placement(mesh, arrays):
+    """Shared SPMD-decode placement for ``generate_batch`` and
+    ``beam.beam_search_batch``: pad each array's leading (batch) dim up
+    to a multiple of the mesh data axis by repeating the final row
+    (callers slice fill rows off with the ORIGINAL batch size), and
+    return ``(dev, ctx, arrays)`` — ``dev`` places host arrays with
+    batch sharding, ``ctx`` is the mesh context. With ``mesh=None``:
+    plain device placement, null context."""
+    from contextlib import nullcontext
+
+    if mesh is None:
+        return (lambda x: None if x is None else jnp.asarray(x),
+                nullcontext(), arrays)
+    from ergm_tpu.core.mesh import batch_sharding
+
+    B = arrays[0].shape[0]
+    dp = int(mesh.shape.get("data", 1))
+    padded = ((B + dp - 1) // dp) * dp
+    if padded > B:
+        def pad_rows(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            return np.concatenate([x, np.repeat(x[-1:], padded - B, axis=0)],
+                                  axis=0)
+
+        arrays = tuple(pad_rows(x) for x in arrays)
+    sh = batch_sharding(mesh)
+    return (lambda x: None if x is None else jax.device_put(jnp.asarray(x), sh),
+            mesh, arrays)
+
+
 def generate_batch(
     params,
     config: ModelConfig,
@@ -362,34 +394,10 @@ def generate_batch(
             f"{' and a mesh' if mesh is not None else ''} — falling back "
             f"to standard batched decode")
 
-    def dev(x):
-        return None if x is None else jnp.asarray(x)
-
-    ctx = None
-    if mesh is not None:
-        from ergm_tpu.core.mesh import batch_sharding
-
-        dp = int(mesh.shape.get("data", 1))
-        padded = ((B + dp - 1) // dp) * dp
-        if padded > B:
-            def pad_rows(x):
-                if x is None:
-                    return None
-                reps = np.repeat(x[-1:], padded - B, axis=0)
-                return np.concatenate([np.asarray(x), reps], axis=0)
-
-            ids, mask, tts = pad_rows(ids), pad_rows(mask), pad_rows(tts)
-            cap_ids, cap_mask = pad_rows(cap_ids), pad_rows(cap_mask)
-            imgs, auds = pad_rows(imgs), pad_rows(auds)
-        sh = batch_sharding(mesh)
-
-        def dev(x):  # noqa: F811 — mesh-sharded placement
-            return None if x is None else jax.device_put(jnp.asarray(x), sh)
-
-        ctx = mesh
-    from contextlib import nullcontext
-
-    with (ctx if ctx is not None else nullcontext()):
+    dev, ctx, (ids, mask, tts, cap_ids, cap_mask, imgs, auds) = \
+        _mesh_batch_placement(mesh, (ids, mask, tts, cap_ids, cap_mask,
+                                     imgs, auds))
+    with ctx:
         out = generate(
             params, config, dev(ids),
             prompt_mask=dev(mask),

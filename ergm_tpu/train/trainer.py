@@ -79,12 +79,21 @@ class Trainer:
         self.train_set = DialogueDataset(cfg.train_prefix, **ds_kw)
         self.valid_set = DialogueDataset(cfg.valid_prefix, **ds_kw)
 
-        if len(self.train_set) < cfg.batch_size:
+        # schedule horizon counts the steps that will actually execute:
+        # both loader paths shard the dataset per host (equal-length
+        # strided shards, dataset.host_shard_order / grain_loader), so
+        # each host — and therefore the synchronized SPMD optimizer —
+        # runs per_host // batch_size steps per epoch, not len(train)
+        # // batch_size. Computing the horizon from the unsharded length
+        # would stretch warmup/decay process_count x past the run's end.
+        per_host = len(self.train_set) // max(jax.process_count(), 1)
+        if per_host < cfg.batch_size:
             raise ValueError(
-                f"train set has {len(self.train_set)} examples < batch_size "
+                f"train set has {len(self.train_set)} examples -> {per_host} "
+                f"per host (process_count={jax.process_count()}) < batch_size "
                 f"{cfg.batch_size}; training drops partial batches, so no step "
                 f"would ever run — lower --batch_size or add data")
-        num_batches = max(len(self.train_set) // cfg.batch_size, 1)
+        num_batches = max(per_host // cfg.batch_size, 1)
         accum = max(int(getattr(cfg, "grad_accum_steps", 1) or 1), 1)
         # the schedule advances per OPTIMIZER update (MultiSteps holds
         # the inner state still between micro-batches), so count updates
@@ -269,6 +278,11 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, dev_batch, self.rng)
                 train_metrics.append(jax.device_get(metrics))
                 b, l = batch.input_ids.shape
+                # batch.input_ids is the HOST-LOCAL shard; the step runs on
+                # the global batch (make_array_from_process_local_data), so
+                # tok/s and MFU — divided by the global device count below —
+                # must count global tokens
+                b *= max(jax.process_count(), 1)
                 step_stats.append((time.time() - ts, b * l,
                                    model_flops_per_token(self.mcfg, l) * b * l))
             loss, ppl, acc = self._epoch_metrics(train_metrics)

@@ -6,9 +6,14 @@ development benchmarks). JAX's persistent cache replays them from disk:
 measured on v5e, the gpt2 train-step startup drops 14.8 s -> 3.3 s on
 the second run (results captured 2026-08-17).
 
-Enabled by the CLI (`ergm_tpu.cli.main`); benchmark scripts deliberately
-do NOT enable it so their reported compile times stay cold-start
-honest. Opt out with ERGM_NO_COMPILE_CACHE=1; point elsewhere with
+Enabled by the CLI (`ergm_tpu.cli.main`) AND by the benchmark scripts
+(bench.py, scripts/train_bench.py, ...): the driver re-runs bench.py
+every round, and a multi-minute cold compile through the tunnel's
+remote-compile helper would dominate its wall clock. Consequence: a
+`compile_s` field in a bench artifact is "startup time" — cold compile
+on a first run, cache replay (seconds) afterward — NOT a guaranteed
+cold-start number. Run with ERGM_NO_COMPILE_CACHE=1 for cold-start
+honest compile timings; point the cache elsewhere with
 JAX_COMPILATION_CACHE_DIR (which JAX also honors natively).
 """
 

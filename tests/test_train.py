@@ -216,6 +216,22 @@ def test_throughput_accounting():
     assert Trainer._throughput([], 1, None)[2] is None
 
 
+def test_multihost_schedule_horizon_counts_per_host_steps(
+        data_dir, tmp_path, monkeypatch):
+    """The LR warmup/decay horizon must count the optimizer steps that
+    actually execute: both loader paths shard the dataset per host, so
+    with process_count hosts each epoch runs per_host // batch_size
+    steps — a horizon from the UNSHARDED length would stretch the
+    schedule process_count x past the end of training (self-review r3)."""
+    tr1 = make_trainer(data_dir, tmp_path)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    tr2 = make_trainer(data_dir, tmp_path)
+    n = len(tr2.train_set)
+    assert tr2.total_train_steps == max(
+        (n // 2) // tr2.cfg.batch_size, 1) * tr2.cfg.num_epochs
+    assert tr2.total_train_steps < tr1.total_train_steps
+
+
 def test_train_log_reports_throughput(data_dir, tmp_path, capsys):
     """A default Trainer run prints tok/s and step p50 in its epoch line
     — perf is observable from the product's own logs, not only the
