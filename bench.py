@@ -275,31 +275,39 @@ def b1_speculative(cfg, params, prompt, new, *, chain=8, reps=3,
     ids = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
     tts = jnp.asarray(rng.integers(0, 50000, (1, prompt)), jnp.int32)
 
-    @jax.jit
-    def run(params, key):
-        out, stats = speculative_stats(
-            params, cfg, ids, prompt, max_len=prompt + new, eos_id=50256,
-            sp2_id=50258, greedy=True, rng=key, token_type_ids=tts,
-            draft_layers=draft_layers, gamma=gamma)
-        return out.lengths, stats
+    def measure(mode, ngram_n):
+        @jax.jit
+        def run(params, key):
+            out, stats = speculative_stats(
+                params, cfg, ids, prompt, max_len=prompt + new, eos_id=50256,
+                sp2_id=50258, greedy=True, rng=key, token_type_ids=tts,
+                draft_layers=draft_layers if mode == "draft" else 0,
+                gamma=gamma, mode=mode, ngram_n=ngram_n)
+            return out.lengths, stats
 
-    (lengths, (acc, steps, _)) = run(params, jax.random.PRNGKey(0))
-    np.asarray(lengths)
-    times = []
-    for i in range(reps):
-        t0 = time.time()
-        rs = [run(params, jax.random.PRNGKey(i * chain + c + 1))
-              for c in range(chain)]
-        for l, _s in rs:
-            np.asarray(l)
-        times.append((time.time() - t0) / chain)
-    best = min(times)
-    steps_f = float(np.asarray(steps))
-    return {"draft_layers": draft_layers, "gamma": gamma,
-            "request_ms_zero_accept": round(best * 1e3, 2),
-            "macro_steps": steps_f,
-            "accepted": float(np.asarray(acc)),
-            "t_macro_ms": round(best / max(steps_f, 1) * 1e3, 3)}
+        (lengths, (acc, steps, _)) = run(params, jax.random.PRNGKey(0))
+        np.asarray(lengths)
+        times = []
+        for i in range(reps):
+            t0 = time.time()
+            rs = [run(params, jax.random.PRNGKey(i * chain + c + 1))
+                  for c in range(chain)]
+            for l, _s in rs:
+                np.asarray(l)
+            times.append((time.time() - t0) / chain)
+        best = min(times)
+        steps_f = float(np.asarray(steps))
+        return {"request_ms_zero_accept": round(best * 1e3, 2),
+                "macro_steps": steps_f,
+                "accepted": float(np.asarray(acc)),
+                "t_macro_ms": round(best / max(steps_f, 1) * 1e3, 3)}
+
+    out = {"draft_layers": draft_layers, "gamma": gamma,
+           **measure("draft", 3)}
+    # prompt-lookup drafting: no draft forwards, so t_macro ~ one verify
+    # step — the break-even acceptance is a fraction of the draft mode's
+    out["ngram"] = {"ngram_n": 3, "gamma": gamma, **measure("ngram", 3)}
+    return out
 
 
 def run_train_bench():

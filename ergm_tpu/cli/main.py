@@ -132,6 +132,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "via rejection sampling).")
     p.add_argument("--spec_gamma", type=int, default=4,
                    help="Speculative proposals per macro step.")
+    p.add_argument("--spec_mode", type=str, default="draft",
+                   choices=["draft", "ngram"],
+                   help="Speculative draft source: 'draft' = first "
+                        "--draft_layers blocks of the model; 'ngram' = "
+                        "prompt-lookup (propose the continuation of the "
+                        "last n-gram's most recent earlier occurrence — "
+                        "zero draft compute, wins whenever dialogue "
+                        "repeats its context). Both are exact.")
+    p.add_argument("--spec_ngram", type=int, default=3,
+                   help="Lookup n-gram length for --spec_mode=ngram.")
     p.add_argument("--attn_pdrop", type=float, default=None,
                    help="Attention-probability dropout (default 0.1, the "
                         "reference's regularization; runs in-kernel on the "
@@ -287,7 +297,9 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         tokenizer=tokenizer, prompt_mode=args.prompt_mode,
         num_beams=args.num_beams, sampler=getattr(args, "sampler", "full_sort"),
         mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
-        spec_gamma=getattr(args, "spec_gamma", 4))
+        spec_gamma=getattr(args, "spec_gamma", 4),
+        spec_mode=getattr(args, "spec_mode", "draft"),
+        spec_ngram=getattr(args, "spec_ngram", 3))
     hyps, refs, true_labels, losses, preds, contexts = (
         res.hypotheses, res.references, res.true_labels, res.losses,
         res.pred_labels, res.contexts)
@@ -330,9 +342,13 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         f.write(f"top_p: {cfg.top_p}\n")
         f.write(f"kv_cache: {getattr(args, 'kv_cache', 'auto')}\n")
         f.write(f"weight_dtype: {getattr(args, 'weight_dtype', 'auto')}\n")
-        if getattr(args, "draft_layers", 0):
+        if getattr(args, "draft_layers", 0) or \
+                getattr(args, "spec_mode", "draft") == "ngram":
+            f.write(f"spec_mode: {getattr(args, 'spec_mode', 'draft')}\n")
             f.write(f"draft_layers: {args.draft_layers}\n")
             f.write(f"spec_gamma: {getattr(args, 'spec_gamma', 4)}\n")
+            if getattr(args, "spec_mode", "draft") == "ngram":
+                f.write(f"spec_ngram: {getattr(args, 'spec_ngram', 3)}\n")
     print(f"Results written to {out_path}")
     return metrics
 
@@ -403,7 +419,9 @@ def run_interact(cfg: TrainConfig, args=None):
     run_repl(params, mcfg, st, tokenizer, max_len=cfg.max_len,
              max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed,
              mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
-             spec_gamma=getattr(args, "spec_gamma", 4))
+             spec_gamma=getattr(args, "spec_gamma", 4),
+             spec_mode=getattr(args, "spec_mode", "draft"),
+             spec_ngram=getattr(args, "spec_ngram", 3))
 
 
 if __name__ == "__main__":

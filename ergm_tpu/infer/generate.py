@@ -340,6 +340,8 @@ def generate_batch(
     mesh=None,
     draft_layers: int = 0,
     spec_gamma: int = 4,
+    spec_mode: str = "draft",
+    spec_ngram: int = 3,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
 
@@ -364,10 +366,12 @@ def generate_batch(
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
 
-    if draft_layers:
-        # B=1 single-device requests route to self-speculative decoding
-        # (multi-token steps; infer/speculative.py). Sampling there is
-        # full-vocab nucleus (the 'full_sort' reference semantics) —
+    if draft_layers or spec_mode == "ngram":
+        # B=1 single-device requests route to speculative decoding
+        # (multi-token steps; infer/speculative.py): self-drafted from
+        # the first draft_layers blocks, or prompt-lookup n-gram drafted
+        # when spec_mode='ngram' (no draft model at all). Sampling there
+        # is full-vocab nucleus (the 'full_sort' reference semantics) —
         # sample_top_k/sample_approx don't apply.
         if B == 1 and mesh is None:
             from ergm_tpu.infer.speculative import speculative_generate
@@ -379,6 +383,7 @@ def generate_batch(
                 max_len=cap, max_new_tokens=buffer_len - Lp,
                 eos_id=eos_id, sp2_id=sp2_id, top_p=top_p, greedy=greedy,
                 draft_layers=draft_layers, gamma=spec_gamma, rng=rng,
+                mode=spec_mode, ngram_n=spec_ngram,
                 imgs=None if imgs is None else jnp.asarray(imgs),
                 auds=None if auds is None else jnp.asarray(auds),
                 caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
@@ -389,8 +394,9 @@ def generate_batch(
         import warnings
 
         warnings.warn(
-            f"speculative decode (draft_layers={draft_layers}) is a B=1 "
-            f"single-device path; this call has B={B}"
+            f"speculative decode (draft_layers={draft_layers}, "
+            f"spec_mode={spec_mode}) is a B=1 single-device path; this "
+            f"call has B={B}"
             f"{' and a mesh' if mesh is not None else ''} — falling back "
             f"to standard batched decode")
 

@@ -88,6 +88,8 @@ def run_test(
     mesh=None,
     draft_layers: int = 0,
     spec_gamma: int = 4,
+    spec_mode: str = "draft",
+    spec_ngram: int = 3,
 ) -> TestResults:
     """``num_beams > 1`` decodes with beam search instead of nucleus
     sampling (the capability src/model.py:739-745 plumbs but the
@@ -171,6 +173,7 @@ def run_test(
                 max_len=max_len, eos_id=eos_id, sp2_id=sp2_id, top_p=top_p,
                 rng=gen_rng, max_new_tokens=max_new_tokens, mesh=mesh,
                 draft_layers=draft_layers, spec_gamma=spec_gamma,
+                spec_mode=spec_mode, spec_ngram=spec_ngram,
                 **sample_kw,
             )
         hyps.extend(_decode(tokenizer, o) for o in outs)

@@ -15,10 +15,24 @@ Speculative decoding (Leviathan et al. 2023) does exactly that:
   plain greedy decode; sampling mode: the standard rejection-sampling
   identity over the nucleus-filtered distributions).
 
-The draft here is SELF-speculative: the first ``draft_layers`` blocks
-of the same model (the scan-stacked block params slice for free —
-``draft_params``), sharing wte/wpe/ln_f — no second model to train,
-load, or keep resident (cf. LayerSkip/Draft&Verify-style early exit).
+Two draft sources (``mode``):
+
+- ``"draft"`` — SELF-speculative: the first ``draft_layers`` blocks of
+  the same model (the scan-stacked param pytree slices for free —
+  ``draft_params``), sharing wte/wpe/ln_f — no second model to train,
+  load, or keep resident (cf. LayerSkip/Draft&Verify-style early exit).
+- ``"ngram"`` — PROMPT-LOOKUP decoding (a.k.a. n-gram drafting): the
+  proposals are the ``gamma`` tokens that followed the most recent
+  earlier occurrence of the last ``ngram_n`` emitted tokens in the
+  prompt+generation buffer. NO draft forwards at all — the macro step
+  is one verify forward plus a tiny vector match — so break-even
+  acceptance is ~0 and every accepted token is pure win. Dialogue
+  continuations repeat their context often (names, entities, phrases),
+  which is exactly when lookups hit. Proposals enter the SAME exact
+  rejection test (as a delta distribution: accept token x with prob
+  p(x), residual = p with x removed, renormalized), so the output
+  distribution is byte-identical greedy / exact-sampling regardless of
+  match quality.
 
 KV-cache bookkeeping: both caches are fixed buffers with a scalar
 ``index``. A verify step writes gamma+1 entries; on rejection the new
@@ -90,6 +104,8 @@ def speculative_generate(
     sp2_id: int,
     draft_layers: int = 3,
     gamma: int = 4,
+    mode: str = "draft",
+    ngram_n: int = 3,
     top_p: float = 0.95,
     greedy: bool = False,
     rng: Optional[jax.Array] = None,
@@ -116,7 +132,8 @@ def speculative_generate(
     """
     out, state = _speculative_run(
         params, config, input_ids, input_len, max_len=max_len, eos_id=eos_id,
-        sp2_id=sp2_id, draft_layers=draft_layers, gamma=gamma, top_p=top_p,
+        sp2_id=sp2_id, draft_layers=draft_layers, gamma=gamma, mode=mode,
+        ngram_n=ngram_n, top_p=top_p,
         greedy=greedy, rng=rng, token_type_ids=token_type_ids,
         prompt_mask=prompt_mask, max_new_tokens=max_new_tokens, imgs=imgs,
         auds=auds, caption_ids=caption_ids, caption_mask=caption_mask)
@@ -132,10 +149,16 @@ def speculative_stats(*args, **kwargs):
 
 def _speculative_run(
     params, config, input_ids, input_len=None, *, max_len, eos_id, sp2_id,
-    draft_layers=3, gamma=4, top_p=0.95, greedy=False, rng=None,
+    draft_layers=3, gamma=4, mode="draft", ngram_n=3, top_p=0.95,
+    greedy=False, rng=None,
     token_type_ids=None, prompt_mask=None, max_new_tokens=None, imgs=None,
     auds=None, caption_ids=None, caption_mask=None,
 ):
+    if mode not in ("draft", "ngram"):
+        raise ValueError(f"mode must be 'draft' or 'ngram', got {mode!r}")
+    ngram = mode == "ngram"
+    if ngram and not 0 < ngram_n <= 8:
+        raise ValueError(f"ngram_n must be in [1, 8], got {ngram_n}")
     if rng is None:
         rng = jax.random.PRNGKey(0)
     B = input_ids.shape[0]
@@ -150,7 +173,8 @@ def _speculative_run(
                          "(the buffer cannot size itself off a traced "
                          "prompt length)")
     c = config
-    dparams, dcfg = draft_params(params, c, draft_layers)
+    dparams, dcfg = (None, None) if ngram \
+        else draft_params(params, c, draft_layers)
     cap = min(max_len, c.n_positions)
 
     if masked:
@@ -172,7 +196,8 @@ def _speculative_run(
 
     caption_len = caption_ids.shape[1] if caption_ids is not None else 0
     t_cache = gpt2.init_kv_cache(c, B, T, caption_len=caption_len)
-    d_cache = gpt2.init_kv_cache(dcfg, B, T, caption_len=caption_len)
+    d_cache = None if ngram \
+        else gpt2.init_kv_cache(dcfg, B, T, caption_len=caption_len)
 
     if masked:
         mask0 = jnp.zeros((B, T), jnp.float32)
@@ -186,8 +211,11 @@ def _speculative_run(
     common = dict(token_type_ids=token_type_ids, imgs=imgs, auds=auds,
                   caption_ids=caption_ids, encoder_attention_mask=caption_mask)
     t_out = gpt2.forward(params, c, input_ids, cache=t_cache, **pre, **common)
-    d_out = gpt2.forward(dparams, dcfg, input_ids, cache=d_cache,
-                         compute_logits=False, **pre, **common)
+    d_cache0 = None
+    if not ngram:
+        d_out = gpt2.forward(dparams, dcfg, input_ids, cache=d_cache,
+                             compute_logits=False, **pre, **common)
+        d_cache0 = d_out.cache
     emotion_logits = t_out.emotion_logits
 
     def sample_from(probs, key):
@@ -208,7 +236,7 @@ def _speculative_run(
     done0 = (first[0] == eos_id) | (row_len + 1 >= cap) | (max_new <= 1)
 
     state = _SpecState(
-        tokens=tokens, mask=mask0, t_cache=t_out.cache, d_cache=d_out.cache,
+        tokens=tokens, mask=mask0, t_cache=t_out.cache, d_cache=d_cache0,
         cur=jnp.asarray(Lp + 1, jnp.int32),
         pending=first[:, None].astype(jnp.int32),
         done=done0, rng=rng,
@@ -246,31 +274,62 @@ def _speculative_run(
             def step_kw(i, width):
                 return {}
 
-        # -- draft phase: gamma proposals + one extra cache-fill step so
-        # the draft cache holds K/V for every proposal (needed when all
-        # gamma are accepted and the next pending is the bonus token)
-        dc = s.d_cache
-        x = s.pending
-        drafts = []
-        qs = []
         rng = s.rng
-        for g in range(gamma + 1):
-            o = gpt2.forward(dparams, dcfg, x, token_type_ids=step_tt,
-                             cache=dc, compute_logits=(g < gamma),
-                             **step_kw(g, 1), **step_common)
-            dc = o.cache
-            if g == gamma:
-                break  # cache-fill only; no proposal from this step
-            if greedy:
-                d = jnp.argmax(o.logits[:, -1], axis=-1)
-                qs.append(None)
-            else:
-                q = _filtered(o.logits[:, -1], top_p)  # [1, V]
-                rng, key = jax.random.split(rng)
-                d = sample_from(q, key)
-                qs.append(q)
-            drafts.append(d.astype(jnp.int32))
-            x = d[:, None].astype(jnp.int32)
+        if ngram:
+            # -- prompt-lookup draft: propose the gamma tokens that
+            # followed the most recent earlier occurrence of the last
+            # ngram_n emitted tokens. Pure vector math on the [T] buffer
+            # — no draft forwards, no draft cache. A miss proposes the
+            # eos fill past `cur`, which the verify step simply rejects
+            # (exactness never depends on proposal quality).
+            dc = None
+            tok = s.tokens[0]
+            ctx = lax.dynamic_slice(tok, (s.cur - ngram_n,), (ngram_n,))
+            nwin = T - ngram_n + 1
+            m = jnp.ones((nwin,), bool)
+            for k in range(ngram_n):
+                m = m & (tok[k:nwin + k] == ctx[k])
+            starts = jnp.arange(nwin)
+            # continuation must begin strictly before cur (this also
+            # excludes the query n-gram itself, whose start is cur-ngram_n)
+            m = m & (starts + ngram_n < s.cur)
+            has = jnp.any(m)
+            j = jnp.argmax(jnp.where(m, starts, -1))
+            src = jnp.where(has, j + ngram_n, s.cur)
+            d_vec = lax.dynamic_slice(tok, (src,), (gamma,)).astype(jnp.int32)
+            drafts = [d_vec[g][None] for g in range(gamma)]
+            # the proposal distribution is a delta at each proposed token:
+            # accept x with prob p(x); residual = p minus x, renormalized
+            qs = (None if greedy
+                  else [jax.nn.one_hot(d_vec[g], c.vocab_size,
+                                       dtype=jnp.float32)[None]
+                        for g in range(gamma)])
+        else:
+            # -- model draft phase: gamma proposals + one extra cache-fill
+            # step so the draft cache holds K/V for every proposal (needed
+            # when all gamma are accepted and the next pending is the
+            # bonus token)
+            dc = s.d_cache
+            x = s.pending
+            drafts = []
+            qs = []
+            for g in range(gamma + 1):
+                o = gpt2.forward(dparams, dcfg, x, token_type_ids=step_tt,
+                                 cache=dc, compute_logits=(g < gamma),
+                                 **step_kw(g, 1), **step_common)
+                dc = o.cache
+                if g == gamma:
+                    break  # cache-fill only; no proposal from this step
+                if greedy:
+                    d = jnp.argmax(o.logits[:, -1], axis=-1)
+                    qs.append(None)
+                else:
+                    q = _filtered(o.logits[:, -1], top_p)  # [1, V]
+                    rng, key = jax.random.split(rng)
+                    d = sample_from(q, key)
+                    qs.append(q)
+                drafts.append(d.astype(jnp.int32))
+                x = d[:, None].astype(jnp.int32)
 
         d_vec = jnp.stack([d[0] for d in drafts])  # [gamma]
 
@@ -332,7 +391,7 @@ def _speculative_run(
             new_mask = s.mask
         # cache rollback: keep entries for [pending, d_1..d_{n_emit-1}]
         t_cache = t_o.cache._replace(index=s.t_cache.index + n_emit)
-        d_cache = dc._replace(index=s.d_cache.index + n_emit)
+        d_cache = None if ngram else dc._replace(index=s.d_cache.index + n_emit)
         pending = lax.dynamic_slice(emit, (n_emit - 1,), (1,))[None]
 
         return _SpecState(tokens=tokens, mask=new_mask, t_cache=t_cache,

@@ -36,9 +36,17 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 PROMPT = int(os.environ.get("SPEC_PROMPT", 128))
 NEW = int(os.environ.get("SPEC_NEW", 32))
 WDT = os.environ.get("SPEC_WEIGHT", "int8")
-GRID = [(int(k), int(g)) for k, g in
-        (kg.split(":") for kg in
-         os.environ.get("SPEC_GRID", "2:2,2:4,3:2,3:4,3:6,4:4").split(","))]
+def _parse_arm(kg):
+    """"k:g" = draft_layers k, gamma g; "nN:g" = prompt-lookup with
+    ngram_n N (zero draft compute — gamma can run much larger)."""
+    k, g = kg.split(":")
+    if k.startswith("n"):
+        return ("ngram", int(k[1:]), int(g))
+    return ("draft", int(k), int(g))
+
+
+GRID = [_parse_arm(kg) for kg in
+        os.environ.get("SPEC_GRID", "2:2,2:4,3:2,3:4,3:6,4:4").split(",")]
 CHAIN = int(os.environ.get("SPEC_CHAIN", 4))
 REPS = int(os.environ.get("SPEC_REPS", 3))
 
@@ -125,20 +133,22 @@ def main():
 
     # --- cost grid: random weights => acceptance ~ 0 => every macro step
     # emits ~1 token, so request_time/NEW ~= t_macro (upper-bound cost)
-    for k, g in GRID:
+    for mode, k, g in GRID:
         @jax.jit
-        def spec(p, i, t, key, k=k, g=g):
+        def spec(p, i, t, key, mode=mode, k=k, g=g):
             out, stats = speculative_stats(
                 p, cfg, i, PROMPT, max_len=total, eos_id=50256, sp2_id=50258,
-                draft_layers=k, gamma=g, greedy=True, rng=key,
-                token_type_ids=t)
+                draft_layers=k if mode == "draft" else 0, gamma=g,
+                mode=mode, ngram_n=k if mode == "ngram" else 3,
+                greedy=True, rng=key, token_type_ids=t)
             return out.lengths, stats
 
         t_spec = timed(lambda: spec(sparams, ids, tts, jax.random.PRNGKey(1)))
         (lengths, (acc, steps, _)) = spec(sparams, ids, tts, jax.random.PRNGKey(1))
         steps_f = float(np.asarray(steps))
         t_macro = t_spec / max(steps_f, 1.0)
-        emit({"config": f"spec_cost_k{k}_g{g}", "prompt": PROMPT, "new": NEW,
+        tag = f"k{k}" if mode == "draft" else f"n{k}"
+        emit({"config": f"spec_cost_{tag}_g{g}", "prompt": PROMPT, "new": NEW,
               "weight": WDT, "request_ms": round(t_spec * 1e3, 2),
               "macro_steps": steps_f,
               "accepted": float(np.asarray(acc)),
@@ -236,12 +246,14 @@ def run_trained_acceptance(cfg):
               (time.time() - t0) / len(base_batch) * 1e3, 2)})
 
     modes = [("greedy", True)] * len(GRID) + [("sampled", False)] * len(GRID)
-    for (k, g), (mode, use_greedy) in zip(GRID * 2, modes):
+    for (dmode, k, g), (mode, use_greedy) in zip(GRID * 2, modes):
         @jax.jit
-        def spec(p, i, t, key, k=k, g=g, use_greedy=use_greedy):
+        def spec(p, i, t, key, dmode=dmode, k=k, g=g, use_greedy=use_greedy):
             out, stats = speculative_stats(
                 p, smcfg, i, plen, max_len=plen + NEW, eos_id=meas_eos,
-                sp2_id=st.sp2_id, draft_layers=k, gamma=g, greedy=use_greedy,
+                sp2_id=st.sp2_id, draft_layers=k if dmode == "draft" else 0,
+                gamma=g, mode=dmode, ngram_n=k if dmode == "ngram" else 3,
+                greedy=use_greedy,
                 top_p=0.8, rng=key, token_type_ids=t)
             return out.lengths, stats
 
@@ -265,7 +277,8 @@ def run_trained_acceptance(cfg):
         np.asarray(last[0])
         mean_ms = (time.time() - t0) / len(batch) * 1e3
         mean_acc = float(np.sum(accs) / max(np.sum(stepss), 1))
-        emit({"config": f"spec_trained_{mode}_k{k}_g{g}", "prompt": plen,
+        tag = f"k{k}" if dmode == "draft" else f"n{k}"
+        emit({"config": f"spec_trained_{mode}_{tag}_g{g}", "prompt": plen,
               "new": NEW, "weight": WDT,
               "mean_accept_per_step": round(mean_acc, 3),
               "tokens_per_macro_step": round(
