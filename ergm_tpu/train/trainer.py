@@ -197,22 +197,27 @@ class Trainer:
 
     @staticmethod
     def _throughput(step_stats, n_dev: int, peak_tflops):
-        """(tok/s, step-p50 ms, MFU or None) from per-step (sec, tokens,
-        flops) tuples. The slowest step is excluded from the rate when
-        more than one ran — epoch 1's first step carries XLA compilation,
-        which belongs to wall-clock (printed separately) but not to the
-        steady-state throughput a user compares against TRAIN_BENCH.json
-        (VERDICT r2 weak #4)."""
+        """(tok/s, step-p50 ms, MFU or None) from per-BLOCK (seconds,
+        tokens, flops[, n_steps]) tuples — the loop barriers once per
+        fetch block (see ``train``), so each entry covers n_steps
+        dispatched steps. The slowest block is excluded from the rate
+        when more than one ran — epoch 1's first block carries XLA
+        compilation, which belongs to wall-clock (printed separately)
+        but not to the steady-state throughput a user compares against
+        TRAIN_BENCH.json (VERDICT r2 weak #4)."""
         if not step_stats:
             return float("nan"), float("nan"), None
-        stats = sorted(step_stats)  # by step time
+        stats = [(s[0], s[1], s[2], s[3] if len(s) > 3 else 1)
+                 for s in step_stats]
+        stats.sort(key=lambda s: s[0] / max(s[3], 1))  # by per-step time
         if len(stats) > 1:
             stats = stats[:-1]
-        secs = sum(s for s, _, _ in stats)
-        toks = sum(t for _, t, _ in stats)
-        flops = sum(f for _, _, f in stats)
+        secs = sum(s for s, _, _, _ in stats)
+        toks = sum(t for _, t, _, _ in stats)
+        flops = sum(f for _, _, f, _ in stats)
         tok_s = toks / secs if secs > 0 else float("nan")
-        p50_ms = 1e3 * stats[len(stats) // 2][0]
+        mid = stats[len(stats) // 2]
+        p50_ms = 1e3 * mid[0] / max(mid[3], 1)
         mfu = None
         if peak_tflops and secs > 0:
             mfu = (flops / 1e12) / secs / (peak_tflops * max(n_dev, 1))
@@ -265,26 +270,43 @@ class Trainer:
         start_epoch = self.last_epoch + 1
         n_dev = int(self.mesh.devices.size)
         peak = device_peak_tflops(jax.devices()[0].device_kind)
+        # Dispatches are async: barriering on every step's metrics costs a
+        # full host round trip per step (+36 ms/step measured through the
+        # axon tunnel — 85.9k -> 98.4k tok/s deferred, r3 probe). Fetch a
+        # completion barrier only once per block and the whole metrics
+        # list once per epoch; the device runs back-to-back steps and
+        # host-side collation overlaps device compute for free.
+        fetch_every = max(int(os.environ.get("ERGM_METRIC_FETCH_EVERY", "8")), 1)
         for epoch in range(start_epoch, start_epoch + cfg.num_epochs):
             t0 = time.time()
-            train_metrics = []
-            # (seconds, tokens, model-flops) per step; the device_get on
-            # the metrics dict is the step's completion barrier
+            metrics_dev = []
+            # (seconds, tokens, model-flops, steps) per FETCH BLOCK; the
+            # device_get on the block's last metrics dict is its barrier
             step_stats = []
+            bt0 = time.time()
+            bn = btok = bflops = 0
             for batch in self._batches(self.train_set, shuffle=True,
                                        seed=cfg.seed + epoch, drop_remainder=True):
                 dev_batch = batch_to_device(batch, self.mesh)
-                ts = time.time()
                 self.state, metrics = self.train_step(self.state, dev_batch, self.rng)
-                train_metrics.append(jax.device_get(metrics))
+                metrics_dev.append(metrics)
                 b, l = batch.input_ids.shape
                 # batch.input_ids is the HOST-LOCAL shard; the step runs on
                 # the global batch (make_array_from_process_local_data), so
                 # tok/s and MFU — divided by the global device count below —
                 # must count global tokens
                 b *= max(jax.process_count(), 1)
-                step_stats.append((time.time() - ts, b * l,
-                                   model_flops_per_token(self.mcfg, l) * b * l))
+                bn += 1
+                btok += b * l
+                bflops += model_flops_per_token(self.mcfg, l) * b * l
+                if bn == fetch_every:
+                    jax.device_get(metrics)  # barrier: queue drained
+                    step_stats.append((time.time() - bt0, btok, bflops, bn))
+                    bt0 = time.time()
+                    bn = btok = bflops = 0
+            train_metrics = jax.device_get(metrics_dev)
+            if bn:  # partial final block, closed by the bulk fetch barrier
+                step_stats.append((time.time() - bt0, btok, bflops, bn))
             loss, ppl, acc = self._epoch_metrics(train_metrics)
             tw_ppl = self._token_weighted_ppl(train_metrics)
             dt = time.time() - t0
@@ -326,9 +348,11 @@ class Trainer:
         return self.best_ppl
 
     def validation(self):
-        metrics = []
+        metrics_dev = []
         for batch in self._batches(self.valid_set, shuffle=False, seed=0):
             dev_batch = batch_to_device(batch, self.mesh)
-            metrics.append(jax.device_get(self.eval_step(self.state.params, dev_batch)))
+            metrics_dev.append(self.eval_step(self.state.params, dev_batch))
+        # one bulk fetch: per-batch barriers cost a host round trip each
+        metrics = jax.device_get(metrics_dev)
         self._last_valid_tw_ppl = self._token_weighted_ppl(metrics)
         return self._epoch_metrics(metrics)

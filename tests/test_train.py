@@ -199,7 +199,7 @@ def test_tensor_parallel_8dev_train_step_matches_single_device(
 
 
 def test_throughput_accounting():
-    """Trainer._throughput: slowest step (compile) excluded from the
+    """Trainer._throughput: slowest block (compile) excluded from the
     steady-state rate; MFU uses total mesh peak (VERDICT r2 weak #4)."""
     from ergm_tpu.train.trainer import Trainer
 
@@ -214,6 +214,16 @@ def test_throughput_accounting():
     tok_s, p50_ms, mfu = Trainer._throughput(stats, n_dev=1, peak_tflops=None)
     assert mfu is None
     assert Trainer._throughput([], 1, None)[2] is None
+
+    # fetch-block tuples: (seconds, tokens, flops, n_steps) — p50 is a
+    # PER-STEP time; rates aggregate block totals. Compile block (8 steps
+    # in 20 s = 2.5 s/step) is the slowest per step and is excluded.
+    blocks = [(20.0, 8000, 32e12, 8), (8.0, 8000, 32e12, 8),
+              (2.0, 2000, 8e12, 2)]
+    tok_s, p50_ms, mfu = Trainer._throughput(blocks, n_dev=1, peak_tflops=4.0)
+    assert tok_s == pytest.approx(1000.0)
+    assert p50_ms == pytest.approx(1000.0)
+    assert mfu == pytest.approx(1.0)
 
 
 def test_multihost_schedule_horizon_counts_per_host_steps(
