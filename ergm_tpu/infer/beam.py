@@ -23,6 +23,7 @@ added score; final ranking by score / length**length_penalty.
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -207,6 +208,22 @@ def beam_search(
                       emotion_logits=emotion_logits)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_beam_search(config, num_beams, max_len, logical_cap, eos_id,
+                        sp2_id, length_penalty):
+    """jit-wrapped ``beam_search`` for the host batch entry point (an
+    eager call executes the prefill op-by-op — ~seconds of host round
+    trips through tunneled transports; see generate._jitted_generate)."""
+    def fn(params, ids, mask, tts, imgs, auds, cap_ids, cap_mask):
+        return beam_search(
+            params, config, ids, prompt_mask=mask, num_beams=num_beams,
+            max_len=max_len, logical_cap=logical_cap, eos_id=eos_id,
+            sp2_id=sp2_id, length_penalty=length_penalty,
+            token_type_ids=tts, imgs=imgs, auds=auds,
+            caption_ids=cap_ids, caption_mask=cap_mask)
+    return jax.jit(fn)
+
+
 def beam_search_batch(
     params,
     config: ModelConfig,
@@ -245,15 +262,12 @@ def beam_search_batch(
     dev, ctx, (ids, mask, tts, cap_ids, cap_mask, imgs, auds) = \
         _mesh_batch_placement(mesh, (ids, mask, tts, cap_ids, cap_mask,
                                      imgs, auds))
+    bs = _jitted_beam_search(config, num_beams, buffer_len, cap, eos_id,
+                             sp2_id, length_penalty)
     with ctx:
-        out = beam_search(
-            params, config, dev(ids), prompt_mask=dev(mask),
-            num_beams=num_beams, max_len=buffer_len, logical_cap=cap,
-            eos_id=eos_id, sp2_id=sp2_id, length_penalty=length_penalty,
-            token_type_ids=dev(tts) if token_types is not None else None,
-            imgs=dev(imgs), auds=dev(auds),
-            caption_ids=dev(cap_ids), caption_mask=dev(cap_mask),
-        )
+        out = bs(params, dev(ids), dev(mask),
+                 dev(tts) if token_types is not None else None,
+                 dev(imgs), dev(auds), dev(cap_ids), dev(cap_mask))
         tokens = np.asarray(out.tokens)
         lengths = np.asarray(out.lengths)
         emo = np.asarray(out.emotion_logits)

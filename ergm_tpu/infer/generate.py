@@ -21,6 +21,7 @@ KV cache, one sample at a time (SURVEY.md §2.4.11). Here:
 
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -285,6 +286,47 @@ def pack_ragged_batch(
     return ids, mask, tts, cap_ids, cap_mask, buffer_len
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_generate(config, max_len, eos_id, sp2_id, top_p, greedy,
+                     logical_cap, sample_top_k, sample_approx):
+    """jit-wrapped ``generate`` for the host-level batch entry points.
+
+    Calling ``generate`` eagerly executes its prefill forward op-by-op —
+    harmless on a local device, but through a tunneled transport every
+    eager op is a host round trip: measured ~2.3 s of pure overhead per
+    ``generate_batch`` call at B=64 (the jitted program itself runs in
+    0.44 s). Keyed on the hashable config + scalar statics; absent
+    optional arrays pass as None (jit treats None as pytree structure,
+    so presence/absence retraces correctly)."""
+    def fn(params, ids, mask, tts, imgs, auds, cap_ids, cap_mask, rng):
+        return generate(
+            params, config, ids, prompt_mask=mask, max_len=max_len,
+            eos_id=eos_id, sp2_id=sp2_id, top_p=top_p, rng=rng,
+            token_type_ids=tts, imgs=imgs, auds=auds,
+            caption_ids=cap_ids, caption_mask=cap_mask, greedy=greedy,
+            logical_cap=logical_cap, sample_top_k=sample_top_k,
+            sample_approx=sample_approx)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_speculative(config, max_len, max_new, eos_id, sp2_id, top_p,
+                        greedy, draft_layers, gamma, mode, ngram_n):
+    """jit-wrapped ``speculative_generate`` (same eager-overhead story
+    as ``_jitted_generate`` — the CLI's B=1 route goes through here)."""
+    from ergm_tpu.infer.speculative import speculative_generate
+
+    def fn(params, ids, mask, tts, imgs, auds, cap_ids, cap_mask, rng):
+        return speculative_generate(
+            params, config, ids, prompt_mask=mask, max_len=max_len,
+            max_new_tokens=max_new, eos_id=eos_id, sp2_id=sp2_id,
+            top_p=top_p, greedy=greedy, draft_layers=draft_layers,
+            gamma=gamma, mode=mode, ngram_n=ngram_n, rng=rng,
+            token_type_ids=tts, imgs=imgs, auds=auds,
+            caption_ids=cap_ids, caption_mask=cap_mask)
+    return jax.jit(fn)
+
+
 def _mesh_batch_placement(mesh, arrays):
     """Shared SPMD-decode placement for ``generate_batch`` and
     ``beam.beam_search_batch``: pad each array's leading (batch) dim up
@@ -374,20 +416,17 @@ def generate_batch(
         # is full-vocab nucleus (the 'full_sort' reference semantics) —
         # sample_top_k/sample_approx don't apply.
         if B == 1 and mesh is None:
-            from ergm_tpu.infer.speculative import speculative_generate
-
-            out = speculative_generate(
-                params, config, jnp.asarray(ids),
-                prompt_mask=jnp.asarray(mask),
-                token_type_ids=jnp.asarray(tts) if token_types is not None else None,
-                max_len=cap, max_new_tokens=buffer_len - Lp,
-                eos_id=eos_id, sp2_id=sp2_id, top_p=top_p, greedy=greedy,
-                draft_layers=draft_layers, gamma=spec_gamma, rng=rng,
-                mode=spec_mode, ngram_n=spec_ngram,
-                imgs=None if imgs is None else jnp.asarray(imgs),
-                auds=None if auds is None else jnp.asarray(auds),
-                caption_ids=None if cap_ids is None else jnp.asarray(cap_ids),
-                caption_mask=None if cap_mask is None else jnp.asarray(cap_mask))
+            spec = _jitted_speculative(
+                config, cap, buffer_len - Lp, eos_id, sp2_id, top_p, greedy,
+                draft_layers, spec_gamma, spec_mode, spec_ngram)
+            out = spec(
+                params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(tts) if token_types is not None else None,
+                None if imgs is None else jnp.asarray(imgs),
+                None if auds is None else jnp.asarray(auds),
+                None if cap_ids is None else jnp.asarray(cap_ids),
+                None if cap_mask is None else jnp.asarray(cap_mask),
+                rng if rng is not None else jax.random.PRNGKey(0))
             tokens = np.asarray(out.tokens)
             length = int(np.asarray(out.lengths)[0])
             return [tokens[0, Lp:length].tolist()], np.asarray(out.emotion_logits)
@@ -403,17 +442,13 @@ def generate_batch(
     dev, ctx, (ids, mask, tts, cap_ids, cap_mask, imgs, auds) = \
         _mesh_batch_placement(mesh, (ids, mask, tts, cap_ids, cap_mask,
                                      imgs, auds))
+    gen = _jitted_generate(config, buffer_len, eos_id, sp2_id, top_p, greedy,
+                           cap, sample_top_k, sample_approx)
     with ctx:
-        out = generate(
-            params, config, dev(ids),
-            prompt_mask=dev(mask),
-            token_type_ids=dev(tts) if token_types is not None else None,
-            max_len=buffer_len, logical_cap=cap, eos_id=eos_id, sp2_id=sp2_id,
-            top_p=top_p,
-            rng=rng, imgs=dev(imgs), auds=dev(auds), greedy=greedy,
-            caption_ids=dev(cap_ids), caption_mask=dev(cap_mask),
-            sample_top_k=sample_top_k, sample_approx=sample_approx,
-        )
+        out = gen(params, dev(ids), dev(mask),
+                  dev(tts) if token_types is not None else None,
+                  dev(imgs), dev(auds), dev(cap_ids), dev(cap_mask),
+                  rng if rng is not None else jax.random.PRNGKey(0))
         tokens = np.asarray(out.tokens)
         lengths = np.asarray(out.lengths)
         emo = np.asarray(out.emotion_logits)

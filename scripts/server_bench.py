@@ -1,0 +1,228 @@
+"""Continuous-batching server benchmark (run on the TPU).
+
+Workload: R requests with random prompt lengths (uniform buckets up to
+MAX_PROMPT) and random per-request output budgets (uniform
+[MIN_NEW, MAX_NEW]) — the variable-length mix where static batching
+head-of-line blocks (every row decodes until the batch MAX budget).
+
+Arms:
+- ``server``: ContinuousServer with S slots, sync_every-step blocks —
+  finished rows are replaced at block boundaries.
+- ``static``: generate_batch over arrival-order batches of S, each
+  running to its own max budget (the reference-style batch path).
+
+Greedy, random weights (eos ~never fires at random init, so each
+request runs exactly its budget — workload is deterministic).
+
+    python scripts/server_bench.py
+    SERVER_SLOTS=128 SERVER_REQUESTS=1024 python scripts/server_bench.py
+
+Appends JSON lines to results/server_bench.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "results", "server_bench.jsonl")
+SLOTS = int(os.environ.get("SERVER_SLOTS", 64))
+REQUESTS = int(os.environ.get("SERVER_REQUESTS", 256))
+MAX_PROMPT = int(os.environ.get("SERVER_MAX_PROMPT", 128))
+MIN_NEW = int(os.environ.get("SERVER_MIN_NEW", 16))
+MAX_NEW = int(os.environ.get("SERVER_MAX_NEW", 128))
+SYNC = int(os.environ.get("SERVER_SYNC", 32))
+CACHE_LEN = int(os.environ.get("SERVER_CACHE_LEN", 0))  # 0 = auto
+MODEL = os.environ.get("SERVER_MODEL", "gpt2")
+# online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
+RATE = float(os.environ.get("SERVER_RATE", 0))
+# dynamic static batching launches when full OR the oldest request has
+# waited WINDOW seconds
+WINDOW = float(os.environ.get("SERVER_WINDOW", 0.5))
+
+
+def emit(row):
+    print(json.dumps(row), flush=True)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def main():
+    import jax
+
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.infer.generate import generate_batch
+    from ergm_tpu.infer.server import ContinuousServer, Request
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+
+    smoke = os.environ.get("SERVER_SMOKE", "0") not in ("0", "false")
+    cfg = ModelConfig.from_model_type(
+        MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
+        use_cross_attention=False)
+    if smoke:
+        cfg = cfg.replace(n_layer=2, n_head=4, n_embd=64, dtype="float32")
+    params = jax.device_put(gpt2.params_for_inference(
+        gpt2.init_params(jax.random.PRNGKey(0), cfg), cfg))
+
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 50000, (int(n),)).tolist()
+               for n in rng.integers(32, MAX_PROMPT + 1, (REQUESTS,))]
+    budgets = rng.integers(MIN_NEW, MAX_NEW + 1, (REQUESTS,)).tolist()
+    total_new = sum(budgets)
+    eos_id = 50256  # ~never sampled at random init -> budgets are exact
+
+    # --- continuous server. Cache sized to the workload (a full
+    # n_positions cache makes every decode step read 2.4 GB of mostly
+    # dead tail; the defrag machinery covers the wrap)
+    cache_len = CACHE_LEN or min(
+        ((MAX_PROMPT + MAX_NEW + 2 * SYNC + 127) // 128 + 1) * 128,
+        cfg.n_positions)
+    srv = ContinuousServer(params, cfg, slots=SLOTS, eos_id=eos_id,
+                           sp2_id=50258, max_prompt=MAX_PROMPT,
+                           prompt_bucket=64, sync_every=SYNC,
+                           cache_len=cache_len)
+    # warmup pass: trace+compile every (prompt-bucket, group) program
+    # (the repo-wide bench convention — compile/startup is reported
+    # separately from steady state everywhere)
+    t0 = time.time()
+    for p, b in zip(prompts, budgets):
+        srv.submit(Request(prompt_ids=p, max_new_tokens=int(b), greedy=True))
+    srv.run_until_drained(max_iters=100_000)
+    warmup_s = time.time() - t0
+    print(f"server warmup (incl. compiles): {warmup_s:.1f}s", file=sys.stderr)
+    srv.reset()
+    for p, b in zip(prompts, budgets):
+        srv.submit(Request(prompt_ids=p, max_new_tokens=int(b), greedy=True))
+    t0 = time.time()
+    results = srv.run_until_drained(max_iters=100_000)
+    wall = time.time() - t0
+    got_new = sum(len(r.tokens) for r in results.values())
+    lats = sorted(r.latency_s for r in results.values())
+    emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}",
+          "requests": REQUESTS,
+          "max_prompt": MAX_PROMPT, "new_range": [MIN_NEW, MAX_NEW],
+          "model": MODEL, "wall_s": round(wall, 2),
+          "utt_per_s": round(REQUESTS / wall, 1),
+          "decode_tok_per_s": round(got_new / wall, 1),
+          "defrags": srv.defrags,
+          "warmup_s": round(warmup_s, 1),
+          "latency_p50_s": round(float(np.percentile(lats, 50)), 2),
+          "latency_p90_s": round(float(np.percentile(lats, 90)), 2),
+          "generated": got_new, "expected": total_new})
+
+    # --- static batches of S (arrival order, head-of-line blocked).
+    # max_new bucketed to MAX_NEW: a per-batch max(buds) would compile a
+    # fresh program per distinct budget (the recompile trap a real
+    # deployment avoids by bucketing, as the server does by design)
+    t0 = time.time()
+    done_new = 0
+    lats_b = []
+    for i in range(0, REQUESTS, SLOTS):
+        chunk = prompts[i:i + SLOTS]
+        buds = budgets[i:i + SLOTS]
+        outs, _ = generate_batch(
+            params, cfg, chunk, max_len=cfg.n_positions, eos_id=eos_id,
+            sp2_id=50258, greedy=True, max_new_tokens=MAX_NEW,
+            rng=jax.random.PRNGKey(0))
+        done_new += sum(min(len(o), b) for o, b in zip(outs, buds))
+        lats_b += [time.time() - t0] * len(chunk)  # all queued at t0
+    wall_b = time.time() - t0
+    emit({"config": f"static_B{SLOTS}", "requests": REQUESTS,
+          "max_prompt": MAX_PROMPT, "new_range": [MIN_NEW, MAX_NEW],
+          "model": MODEL, "wall_s": round(wall_b, 2),
+          "utt_per_s": round(REQUESTS / wall_b, 1),
+          "decode_tok_per_s": round(done_new / wall_b, 1),
+          "latency_p50_s": round(float(np.percentile(lats_b, 50)), 2),
+          "latency_p90_s": round(float(np.percentile(lats_b, 90)), 2),
+          "generated": done_new,
+          "note": "rows idle until the batch max budget finishes"})
+    emit({"config": f"summary_S{SLOTS}",
+          "server_vs_static": round(wall_b / wall, 3)})
+
+    if RATE > 0:
+        online(cfg, params, srv, prompts, budgets, eos_id)
+
+
+def online(cfg, params, srv, prompts, budgets, eos_id):
+    """Online arm: Poisson arrivals at RATE req/s. The server admits at
+    block boundaries; the baseline is DYNAMIC static batching (launch a
+    generate_batch when SLOTS requests accumulated or the oldest has
+    waited WINDOW s) — the strongest static policy for online traffic."""
+    import jax
+
+    from ergm_tpu.infer.generate import generate_batch
+    from ergm_tpu.infer.server import Request
+
+    rng = np.random.default_rng(7)
+    arrivals = np.cumsum(rng.exponential(1.0 / RATE, (REQUESTS,)))
+
+    # --- continuous server (programs already compiled by the offline arm)
+    srv.reset()
+    t0 = time.time()
+    nxt = 0
+    while len(srv.results) < REQUESTS:
+        now = time.time() - t0
+        while nxt < REQUESTS and arrivals[nxt] <= now:
+            srv.submit(Request(prompt_ids=prompts[nxt],
+                               max_new_tokens=int(budgets[nxt]), greedy=True))
+            nxt += 1
+        if not srv.queue and not any(sl.active for sl in srv.slots):
+            time.sleep(0.002)
+            continue
+        srv.step()
+    wall = time.time() - t0
+    lats = sorted(r.latency_s for r in srv.results.values())
+    emit({"config": f"online_server_S{SLOTS}_rate{RATE:g}",
+          "requests": REQUESTS, "rate_req_s": RATE,
+          "wall_s": round(wall, 2),
+          "latency_p50_s": round(float(np.percentile(lats, 50)), 3),
+          "latency_p90_s": round(float(np.percentile(lats, 90)), 3),
+          "latency_max_s": round(lats[-1], 3)})
+
+    # --- dynamic static batching baseline
+    t0 = time.time()
+    nxt = 0
+    pending = []   # (arrival_time, idx)
+    done_lat = []
+    while len(done_lat) < REQUESTS:
+        now = time.time() - t0
+        while nxt < REQUESTS and arrivals[nxt] <= now:
+            pending.append((arrivals[nxt], nxt))
+            nxt += 1
+        launch = len(pending) >= SLOTS or (
+            pending and now - pending[0][0] >= WINDOW)
+        if not launch:
+            time.sleep(0.002)
+            continue
+        batch = pending[:SLOTS]
+        pending = pending[SLOTS:]
+        idxs = [i for _, i in batch]
+        generate_batch(
+            params, cfg, [prompts[i] for i in idxs], max_len=cfg.n_positions,
+            eos_id=eos_id, sp2_id=50258, greedy=True, max_new_tokens=MAX_NEW,
+            rng=jax.random.PRNGKey(0))
+        end = time.time() - t0
+        done_lat += [end - a for a, _ in batch]
+    wall_b = time.time() - t0
+    lats_b = sorted(done_lat)
+    emit({"config": f"online_static_B{SLOTS}_rate{RATE:g}_w{WINDOW:g}",
+          "requests": REQUESTS, "rate_req_s": RATE,
+          "wall_s": round(wall_b, 2),
+          "latency_p50_s": round(float(np.percentile(lats_b, 50)), 3),
+          "latency_p90_s": round(float(np.percentile(lats_b, 90)), 3),
+          "latency_max_s": round(lats_b[-1], 3)})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Continuous-batching server tests (ergm_tpu/infer/server.py).
+
+Load-bearing property: greedy decode THROUGH THE SERVER — requests
+joining mid-stream into slots at arbitrary physical cursor positions,
+surviving defrags — emits byte-identical continuations to plain
+``generate`` on the same prompts. Per-row masks, offset joins, position
+ids, and the defrag re-join are all on that path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.infer.generate import generate
+from ergm_tpu.infer.server import ContinuousServer, Request
+from ergm_tpu.models import gpt2
+
+VOCAB, EOS, SP2 = 64, 60, 61
+
+
+def make_cfg(**kw):
+    base = dict(vocab_size=VOCAB, n_positions=256, n_embd=32, n_layer=2,
+                n_head=4, use_cross_attention=False, dtype="float32",
+                embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = make_cfg()
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def oracle_greedy(params, cfg, prompt, max_new, **kw):
+    """Plain-generate greedy continuation for one prompt."""
+    ids = jnp.asarray(np.asarray(prompt)[None], jnp.int32)
+    tts = jnp.full_like(ids, SP2)
+    out = generate(params, cfg, ids, len(prompt),
+                   max_len=min(len(prompt) + max_new, cfg.n_positions),
+                   eos_id=EOS, sp2_id=SP2, greedy=True,
+                   token_type_ids=tts, rng=jax.random.PRNGKey(0), **kw)
+    toks = np.asarray(out.tokens[0])
+    return toks[len(prompt):int(out.lengths[0])].tolist(), \
+        np.asarray(out.emotion_logits[0])
+
+
+def test_greedy_matches_generate(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 50, (n,)).tolist()
+               for n in (5, 11, 17, 8, 23, 14)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    assert set(results) == set(rids)
+    for rid, p in zip(rids, prompts):
+        want, emo = oracle_greedy(params, cfg, p, 8)
+        got = results[rid].tokens
+        assert got == want, (p, got, want)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-4)
+    # 6 requests through 2 slots: later requests must have queued
+    assert any(results[r].steps_waited > 0 for r in rids)
+
+
+def test_defrag_preserves_greedy(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (7, 13, 9, 19)]
+    # tiny cache: cursor starts at 32, block 4 -> defrag every few blocks
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           cache_len=64)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=16, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    assert srv.defrags > 0, "test must exercise the defrag path"
+    for rid, p in zip(rids, prompts):
+        want, _ = oracle_greedy(params, cfg, p, 16)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
+
+
+def test_trimodal_greedy_matches_generate():
+    cfg = make_cfg(use_cross_attention=True)
+    params = gpt2.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, 50, (9,)).tolist()
+    img = rng.standard_normal(cfg.modality_dim).astype(np.float32)
+    aud = rng.standard_normal(cfg.modality_dim).astype(np.float32)
+    caps = rng.integers(0, 50, (6,)).tolist()
+
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           caption_len=8)
+    rid = srv.submit(Request(prompt_ids=prompt, img=img, aud=aud,
+                             caption_ids=caps, max_new_tokens=8, greedy=True))
+    # a captionless request shares the batch (capless-row gate coverage)
+    rid2 = srv.submit(Request(prompt_ids=prompt, max_new_tokens=8,
+                              greedy=True))
+    results = srv.run_until_drained()
+
+    ids = jnp.asarray(np.asarray(prompt)[None], jnp.int32)
+    tts = jnp.full_like(ids, SP2)
+    cap_ids = np.full((1, 8), EOS, np.int32)
+    cap_ids[0, :6] = caps
+    cap_mask = np.zeros((1, 8), np.float32)
+    cap_mask[0, :6] = 1.0
+    out = generate(params, cfg, ids, len(prompt), max_len=len(prompt) + 8,
+                   eos_id=EOS, sp2_id=SP2, greedy=True, token_type_ids=tts,
+                   imgs=jnp.asarray(img[None]), auds=jnp.asarray(aud[None]),
+                   caption_ids=jnp.asarray(cap_ids),
+                   caption_mask=jnp.asarray(cap_mask),
+                   rng=jax.random.PRNGKey(0))
+    want = np.asarray(out.tokens[0])[len(prompt):int(out.lengths[0])].tolist()
+    assert results[rid].tokens == want
+
+    out2 = generate(params, cfg, ids, len(prompt), max_len=len(prompt) + 8,
+                    eos_id=EOS, sp2_id=SP2, greedy=True, token_type_ids=tts,
+                    rng=jax.random.PRNGKey(0))
+    want2 = np.asarray(out2.tokens[0])[len(prompt):int(out2.lengths[0])].tolist()
+    assert results[rid2].tokens == want2
+
+
+def test_sampling_completes_and_is_in_vocab(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 50, (8,)).tolist() for _ in range(4)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=12,
+                               top_p=0.9, seed=n))
+            for n, p in enumerate(prompts)]
+    results = srv.run_until_drained()
+    for rid in rids:
+        toks = results[rid].tokens
+        assert 1 <= len(toks) <= 12
+        assert all(0 <= t < VOCAB for t in toks)
+        if EOS in toks:
+            assert toks.index(EOS) == len(toks) - 1
+
+
+def test_incremental_submission(setup):
+    """Requests submitted while the server is mid-stream join without
+    disturbing in-flight decodes (the core continuous-batching claim)."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    p1 = rng.integers(0, 50, (10,)).tolist()
+    p2 = rng.integers(0, 50, (15,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=2)
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=12, greedy=True))
+    srv.step()
+    srv.step()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=6, greedy=True))
+    results = srv.run_until_drained()
+    w1, _ = oracle_greedy(params, cfg, p1, 12)
+    w2, _ = oracle_greedy(params, cfg, p2, 6)
+    assert results[r1].tokens == w1
+    assert results[r2].tokens == w2
+
+
+def test_prompt_too_long_rejected(setup):
+    cfg, params = setup
+    srv = ContinuousServer(params, cfg, slots=1, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=16, prompt_bucket=16)
+    with pytest.raises(ValueError, match="max_prompt"):
+        srv.submit(Request(prompt_ids=list(range(40))))
