@@ -13,6 +13,7 @@ available, PPL, emotion accuracy), prints, and writes
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 from typing import Optional
@@ -25,9 +26,11 @@ def build_argparser() -> argparse.ArgumentParser:
     # reference flags (src/main.py:339-361), names and defaults preserved
     p.add_argument("--seed", type=int, default=0, help="The random seed.")
     p.add_argument("--mode", type=str, required=True,
-                   choices=["train", "infer", "interact"],
+                   choices=["train", "infer", "interact", "serve"],
                    help="train/infer match the reference surface; interact "
-                        "adds a live dialogue REPL on a trained checkpoint.")
+                        "adds a live dialogue REPL on a trained checkpoint; "
+                        "serve runs the continuous-batching server over a "
+                        "JSONL requests file (infer/server.py).")
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--train_prefix", type=str, default="train")
     p.add_argument("--valid_prefix", type=str, default="valid")
@@ -142,6 +145,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "repeats its context). Both are exact.")
     p.add_argument("--spec_ngram", type=int, default=3,
                    help="Lookup n-gram length for --spec_mode=ngram.")
+    p.add_argument("--requests_file", type=str, default=None,
+                   help="serve mode: JSONL requests — {'prompt': [ids...]} "
+                        "or {'text': '...'} (text needs --tokenizer_dir); "
+                        "optional max_new_tokens/top_p/greedy/seed/"
+                        "caption_ids/arrival_s per line.")
+    p.add_argument("--serve_output", type=str, default=None,
+                   help="serve mode: output JSONL (default "
+                        "<requests_file>.responses.jsonl).")
+    p.add_argument("--serve_sync", type=int, default=8,
+                   help="serve mode: decode steps per host sync block.")
     p.add_argument("--attn_pdrop", type=float, default=None,
                    help="Attention-probability dropout (default 0.1, the "
                         "reference's regularization; runs in-kernel on the "
@@ -384,10 +397,113 @@ def main(argv: Optional[list] = None):
         Trainer(cfg, limit=args.limit).train()
     elif args.mode == "interact":
         run_interact(cfg, args)
+    elif args.mode == "serve":
+        run_serve(cfg, args)
     else:
         assert cfg.ckpt_name is not None, \
             "Please specify the trained checkpoint using --ckpt_name."
         run_infer(cfg, args)
+
+
+def run_serve(cfg: TrainConfig, args):
+    """--mode=serve: the continuous-batching server (infer/server.py)
+    over a JSONL requests file. Each input line becomes a Request;
+    lines with "arrival_s" are admitted on a real-time clock (online
+    serving), others queue immediately. One JSON line per completed
+    request goes to --serve_output: index, continuation token ids (and
+    text when a tokenizer is available), predicted emotion id, latency.
+    """
+    import time as _t
+
+    import jax
+    import numpy as np
+
+    from ergm_tpu.data.assembly import read_meta
+    from ergm_tpu.infer.server import ContinuousServer, Request
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.train import checkpoint as ckpt_lib
+
+    assert args.requests_file, "serve mode needs --requests_file"
+    st = read_meta(cfg.data_dir)
+    mcfg = ModelConfig.from_model_type(
+        cfg.model_type, vocab_size=st.vocab_size, dtype=cfg.dtype,
+        weight_dtype=getattr(args, "weight_dtype", "auto"),
+        kv_cache_dtype=getattr(args, "kv_cache", "auto"))
+    params = gpt2.init_params(jax.random.PRNGKey(cfg.seed), mcfg)
+    path = ckpt_lib.find_checkpoint(cfg.ckpt_dir, cfg.ckpt_name)         if cfg.ckpt_name else None
+    if path:
+        print(f"Loading checkpoint {path}")
+        params = ckpt_lib.restore_params(path, params)
+    else:
+        print("WARNING: no checkpoint found; responses come from random init")
+    params = jax.device_put(gpt2.params_for_inference(params, mcfg))
+    tokenizer = _load_tokenizer(cfg.tokenizer_dir, st)         if cfg.tokenizer_dir else None
+
+    raw = []
+    with open(args.requests_file) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                raw.append(json.loads(line))
+    reqs = []
+    for r in raw:
+        if "prompt" in r:
+            ids = [int(t) for t in r["prompt"]]
+        elif "text" in r:
+            assert tokenizer is not None,                 "text requests need --tokenizer_dir"
+            ids = tokenizer.encode(r["text"])
+        else:
+            raise ValueError(f"request needs 'prompt' or 'text': {r}")
+        caps = r.get("caption_ids")
+        if caps is None and r.get("caption") and tokenizer is not None:
+            caps = tokenizer.encode(r["caption"])
+        reqs.append((Request(
+            prompt_ids=ids, caption_ids=caps,
+            max_new_tokens=int(r.get("max_new_tokens", 128)),
+            greedy=bool(r.get("greedy", False)),
+            top_p=float(r.get("top_p", cfg.top_p)),
+            seed=int(r.get("seed", cfg.seed))), float(r.get("arrival_s", 0.0))))
+
+    max_prompt = max((len(q.prompt_ids) for q, _ in reqs), default=64)
+    max_prompt = ((max_prompt + 63) // 64) * 64
+    cache_len = min(mcfg.n_positions,
+                    max(min(cfg.max_len, mcfg.n_positions),
+                        max_prompt + 2 * args.serve_sync + 64))
+    srv = ContinuousServer(
+        params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
+        sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
+        sync_every=args.serve_sync)
+
+    order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
+    rid_to_idx = {}
+    t0 = _t.time()
+    nxt = 0
+    while len(srv.results) < len(reqs):
+        now = _t.time() - t0
+        while nxt < len(reqs) and reqs[order[nxt]][1] <= now:
+            idx = order[nxt]
+            rid_to_idx[srv.submit(reqs[idx][0])] = idx
+            nxt += 1
+        if not srv.queue and not any(sl.active for sl in srv.slots):
+            _t.sleep(0.002)
+            continue
+        srv.step()
+    wall = _t.time() - t0
+
+    out_path = args.serve_output or args.requests_file + ".responses.jsonl"
+    with open(out_path, "w") as f:
+        for rid, res in sorted(srv.results.items(),
+                               key=lambda kv: rid_to_idx[kv[0]]):
+            row = {"index": rid_to_idx[rid], "tokens": res.tokens,
+                   "emotion_id": int(np.argmax(res.emotion_logits)),
+                   "latency_s": round(res.latency_s, 3)}
+            if tokenizer is not None:
+                stop = res.tokens[:-1] if (res.tokens and
+                                           res.tokens[-1] == st.eos_id)                     else res.tokens
+                row["text"] = tokenizer.decode(stop)
+            f.write(json.dumps(row) + "\n")
+    print(f"Served {len(reqs)} requests in {wall:.1f}s "
+          f"({len(reqs) / max(wall, 1e-9):.1f} req/s) -> {out_path}")
 
 
 def run_interact(cfg: TrainConfig, args=None):

@@ -150,3 +150,30 @@ def test_remat_policy_and_mu_dtype_reach_the_trainer(tmp_path):
     assert cfg.remat_policy == "full" and cfg.adam_mu_dtype == "bfloat16"
     tr = Trainer(cfg)
     assert tr.mcfg.remat_policy == "full"
+
+
+def test_serve_mode(workspace, monkeypatch):
+    """--mode=serve: the continuous-batching server over a JSONL
+    requests file, through the real CLI entry point."""
+    _patch_tiny_model(monkeypatch)
+    reqs = workspace / "requests.jsonl"
+    out = workspace / "responses.jsonl"
+    rng = np.random.default_rng(0)
+    with open(reqs, "w") as f:
+        for n in (5, 9, 14, 7, 11):
+            f.write(json.dumps({
+                "prompt": rng.integers(0, 50, (n,)).tolist(),
+                "max_new_tokens": 6, "greedy": True}) + "\n")
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=2", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", f"--requests_file={reqs}",
+        f"--serve_output={out}",
+    ])
+    rows = [json.loads(l) for l in open(out) if l.strip()]
+    assert len(rows) == 5
+    assert [r["index"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert 1 <= len(r["tokens"]) <= 6
+        assert 0 <= r["emotion_id"] < 7
+        assert r["latency_s"] >= 0
