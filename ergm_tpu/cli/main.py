@@ -466,9 +466,16 @@ def run_serve(cfg: TrainConfig, args):
 
     max_prompt = max((len(q.prompt_ids) for q, _ in reqs), default=64)
     max_prompt = ((max_prompt + 63) // 64) * 64
+    if max_prompt + args.serve_sync >= mcfg.n_positions:
+        raise ValueError(
+            f"longest request prompt buckets to {max_prompt} tokens, but "
+            f"serving needs prompt + sync_every < n_positions "
+            f"({mcfg.n_positions}); shorten the prompt or the model's "
+            f"context is too small to serve it")
     cache_len = min(mcfg.n_positions,
                     max(min(cfg.max_len, mcfg.n_positions),
                         max_prompt + 2 * args.serve_sync + 64))
+    cache_len = max(cache_len, max_prompt + args.serve_sync + 1)
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,

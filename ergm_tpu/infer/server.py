@@ -147,49 +147,19 @@ class ContinuousServer:
         self.sync_every = sync_every
         self.mod_dim = modality_dim or c.modality_dim
 
-        self.queue: List[tuple] = []   # (request_id, Request, submit_step)
-        self.results: Dict[int, Result] = {}
-        self.slots = [_Slot() for _ in range(slots)]
-        self._next_id = 0
-        self.server_step = 0
-        self.defrags = 0
-
-        # device state (host NEVER fetches outside the per-block harvest).
-        # The cache's write index IS the physical cursor: the decode
-        # program advances it, joins scatter BEHIND it, defrag rewinds
-        # it; self.t is the host-side mirror (deterministic, no fetch).
-        self.cache = gpt2.init_kv_cache(c, slots, self.T,
-                                        caption_len=self.caption_len)
-        self.cache = self.cache._replace(
-            index=jnp.asarray(self.max_prompt, jnp.int32))
-        self.t = self.max_prompt            # python int cursor (mirror)
-        self.last = jnp.full((slots, 1), eos_id, jnp.int32)
-        self.lengths = jnp.zeros((slots,), jnp.int32)   # logical lengths
-        self.mask = jnp.zeros((slots, self.T), jnp.float32)
-        self.cap_mask = jnp.zeros((slots, max(self.caption_len, 1)),
-                                  jnp.float32)
-        # ONE carried rng chain, split once per decode step for the whole
-        # batch (a per-slot key vector forced a vmapped per-row sampler —
-        # 64 tiny approx-top-k + RNG ops per step, measured 17.8 ms/step
-        # vs 3.5 for the batched form). Request.seed feeds the prefill
-        # group key; sampled streams are scheduler-dependent by design.
-        self.rng = jax.random.PRNGKey(0)
-        self.greedy_row = jnp.zeros((slots,), bool)
-        self.top_p_row = jnp.full((slots,), 0.95, jnp.float32)
-        self.first_tok = jnp.full((slots,), eos_id, jnp.int32)
-        self.emo_slot = jnp.zeros((slots, c.num_emotions), jnp.float32)
-
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
         self._decode = None
+        self._init_state(0)
 
     # -- public API -------------------------------------------------------
 
-    def reset(self, seed: int = 0) -> None:
-        """Drain all state (queue, results, slots, device buffers) while
-        KEEPING the compiled prefill/join/decode programs — a warm
-        restart for back-to-back serving sessions (and the honest way
-        to benchmark steady-state serving separately from compiles)."""
+    def _init_state(self, seed: int) -> None:
+        """(Re)initialize queue/result bookkeeping and all device state
+        (host NEVER fetches outside the per-block harvest). The cache's
+        write index IS the physical cursor: the decode program advances
+        it, joins scatter BEHIND it, defrag rewinds it; ``self.t`` is
+        the host-side mirror (deterministic, no fetch)."""
         c = self.cfg
         self.queue = []
         self.results = {}
@@ -201,22 +171,45 @@ class ContinuousServer:
                                         caption_len=self.caption_len)
         self.cache = self.cache._replace(
             index=jnp.asarray(self.max_prompt, jnp.int32))
-        self.t = self.max_prompt
+        self.t = self.max_prompt            # python int cursor (mirror)
         self.last = jnp.full((self.S, 1), self.eos_id, jnp.int32)
-        self.lengths = jnp.zeros((self.S,), jnp.int32)
+        self.lengths = jnp.zeros((self.S,), jnp.int32)  # logical lengths
         self.mask = jnp.zeros((self.S, self.T), jnp.float32)
         self.cap_mask = jnp.zeros((self.S, max(self.caption_len, 1)),
                                   jnp.float32)
+        # ONE carried rng chain, split once per decode step for the whole
+        # batch (a per-slot key vector forced a vmapped per-row sampler —
+        # 64 tiny approx-top-k + RNG ops per step, measured 17.8 ms/step
+        # vs 3.5 for the batched form). Request.seed feeds the prefill
+        # group key; sampled streams are scheduler-dependent by design.
         self.rng = jax.random.PRNGKey(seed)
         self.greedy_row = jnp.zeros((self.S,), bool)
         self.top_p_row = jnp.full((self.S,), 0.95, jnp.float32)
         self.first_tok = jnp.full((self.S,), self.eos_id, jnp.int32)
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
 
+    def reset(self, seed: int = 0) -> None:
+        """Drain all state (queue, results, slots, device buffers) while
+        KEEPING the compiled prefill/join/decode programs — a warm
+        restart for back-to-back serving sessions (and the honest way
+        to benchmark steady-state serving separately from compiles)."""
+        self._init_state(seed)
+
     def submit(self, req: Request) -> int:
         if len(req.prompt_ids) > self.max_prompt:
             raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
                              f"max_prompt {self.max_prompt}")
+        # defrag must be able to re-join the FULL history (prompt +
+        # max_new - 1) right-aligned behind a cursor <= T - sync_every;
+        # a request that can outgrow that crashes mid-run otherwise
+        total = len(req.prompt_ids) + req.max_new_tokens - 1
+        if _bucket(total, self.prompt_bucket) > self.T - self.sync_every:
+            raise ValueError(
+                f"prompt ({len(req.prompt_ids)}) + max_new_tokens "
+                f"({req.max_new_tokens}) cannot fit the serving cache: "
+                f"bucketed history {_bucket(total, self.prompt_bucket)} > "
+                f"cache_len {self.T} - sync_every {self.sync_every}; "
+                f"raise cache_len or lower max_new_tokens")
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, req, self.server_step, _time.time()))
@@ -356,7 +349,12 @@ class ContinuousServer:
                                                      mode="drop")
             topp_all = topp_all.at[slot_idx].set(topp_g, mode="drop")
             first_all = first_all.at[slot_idx].set(first, mode="drop")
-            emo_all = emo_all.at[slot_idx].set(
+            # emotion logits are defined at the PROMPT's last token
+            # (Result contract); a defrag re-prefill ends at the full
+            # history, so re-join rows must NOT overwrite them
+            emo_idx = jnp.where(valid_g & ~use_pending_g, slots_g,
+                                mask.shape[0])
+            emo_all = emo_all.at[emo_idx].set(
                 emotion.astype(emo_all.dtype), mode="drop")
             if cl:
                 cap_mask_all = cap_mask_all.at[slot_idx].set(cap_mask_g,
@@ -443,9 +441,9 @@ class ContinuousServer:
             s.req = req
             s.submitted_step = sub
             s.submitted_wall = wall
-            s.admitted_step = self.server_step
             s.active = True
             if pending is None:     # fresh admission (not a defrag re-join)
+                s.admitted_step = self.server_step
                 s.generated = []
                 s.has_first = False
 

@@ -304,9 +304,15 @@ class Trainer:
                     step_stats.append((time.time() - bt0, btok, bflops, bn))
                     bt0 = time.time()
                     bn = btok = bflops = 0
-            train_metrics = jax.device_get(metrics_dev)
-            if bn:  # partial final block, closed by the bulk fetch barrier
+            if bn:
+                # barrier the partial block on its own LAST metrics dict
+                # before the bulk fetch: attributing the whole epoch's
+                # metrics transfer to one short block could rank it
+                # slower than the compile block and evict the wrong one
+                # from the steady-state rate
+                jax.device_get(metrics)
                 step_stats.append((time.time() - bt0, btok, bflops, bn))
+            train_metrics = jax.device_get(metrics_dev)
             loss, ppl, acc = self._epoch_metrics(train_metrics)
             tw_ppl = self._token_weighted_ppl(train_metrics)
             dt = time.time() - t0
@@ -348,10 +354,16 @@ class Trainer:
         return self.best_ppl
 
     def validation(self):
+        fetch_every = max(int(os.environ.get("ERGM_METRIC_FETCH_EVERY", "8")), 1)
         metrics_dev = []
         for batch in self._batches(self.valid_set, shuffle=False, seed=0):
             dev_batch = batch_to_device(batch, self.mesh)
             metrics_dev.append(self.eval_step(self.state.params, dev_batch))
+            if len(metrics_dev) % fetch_every == 0:
+                # periodic barrier: bounds the dispatch queue (and the
+                # device buffers of in-flight batches) without paying a
+                # host round trip per batch
+                jax.device_get(metrics_dev[-1])
         # one bulk fetch: per-batch barriers cost a host round trip each
         metrics = jax.device_get(metrics_dev)
         self._last_valid_tw_ppl = self._token_weighted_ppl(metrics)

@@ -82,8 +82,13 @@ def test_defrag_preserves_greedy(setup):
     results = srv.run_until_drained()
     assert srv.defrags > 0, "test must exercise the defrag path"
     for rid, p in zip(rids, prompts):
-        want, _ = oracle_greedy(params, cfg, p, 16)
+        want, emo = oracle_greedy(params, cfg, p, 16)
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
+        # emotion logits are the PROMPT's-last-token head output; a
+        # defrag re-prefill must not overwrite them with full-history
+        # logits (self-review r3)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-4)
 
 
 def test_trimodal_greedy_matches_generate():
@@ -171,3 +176,19 @@ def test_prompt_too_long_rejected(setup):
                            max_prompt=16, prompt_bucket=16)
     with pytest.raises(ValueError, match="max_prompt"):
         srv.submit(Request(prompt_ids=list(range(40))))
+
+
+def test_budget_exceeding_cache_rejected(setup):
+    """A request whose prompt + max_new_tokens can outgrow the defrag
+    re-join window must be rejected at submit (it used to crash the
+    whole server mid-run after a few defrags — self-review r3)."""
+    cfg, params = setup
+    srv = ContinuousServer(params, cfg, slots=1, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           cache_len=64)
+    with pytest.raises(ValueError, match="cache"):
+        srv.submit(Request(prompt_ids=[1] * 7, max_new_tokens=60))
+    # the same request with a fitting budget is accepted
+    srv.submit(Request(prompt_ids=[1] * 7, max_new_tokens=16, greedy=True))
+    res = srv.run_until_drained()
+    assert len(res) == 1
