@@ -192,3 +192,21 @@ def test_budget_exceeding_cache_rejected(setup):
     srv.submit(Request(prompt_ids=[1] * 7, max_new_tokens=16, greedy=True))
     res = srv.run_until_drained()
     assert len(res) == 1
+
+
+def test_int8_kv_server_matches_generate(setup):
+    """The server's join scatters the int8 cache's quantization scales
+    too; greedy through the int8 cache must match plain generate on the
+    same int8 cache config."""
+    cfg, params = setup
+    qcfg = cfg.replace(kv_cache_dtype="int8")
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 12, 9)]
+    srv = ContinuousServer(params, qcfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    for rid, p in zip(rids, prompts):
+        want, _ = oracle_greedy(params, qcfg, p, 8)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
