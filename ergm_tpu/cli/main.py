@@ -436,8 +436,13 @@ def run_serve(cfg: TrainConfig, args):
         params = ckpt_lib.restore_params(path, params)
     else:
         print("WARNING: no checkpoint found; responses come from random init")
-    params = jax.device_put(gpt2.params_for_inference(params, mcfg))
-    tokenizer = _load_tokenizer(cfg.tokenizer_dir, st)         if cfg.tokenizer_dir else None
+    params = gpt2.params_for_inference(params, mcfg)
+    mesh = _serving_mesh(cfg, cfg.batch_size)
+    params = _place_params(params, mesh)
+    if mesh is not None:
+        print(f"Serving over mesh {dict(mesh.shape)}")
+    tokenizer = (_load_tokenizer(cfg.tokenizer_dir, st)
+                 if cfg.tokenizer_dir else None)
 
     raw = []
     with open(args.requests_file) as f:
@@ -479,7 +484,7 @@ def run_serve(cfg: TrainConfig, args):
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
-        sync_every=args.serve_sync)
+        sync_every=args.serve_sync, mesh=mesh)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

@@ -130,8 +130,14 @@ class ContinuousServer:
                  eos_id: int, sp2_id: int,
                  max_prompt: int = 256, cache_len: Optional[int] = None,
                  caption_len: int = 32, prompt_bucket: int = 64,
-                 sync_every: int = 8, modality_dim: Optional[int] = None):
+                 sync_every: int = 8, modality_dim: Optional[int] = None,
+                 mesh=None):
         c = config
+        # SPMD serving: pass a jax.sharding.Mesh and params already
+        # placed with the TP partition specs (core/mesh.shard_params);
+        # every program then runs under the mesh so XLA inserts the
+        # tensor-parallel collectives — same route run_infer uses
+        self.mesh = mesh
         self.params = params
         self.cfg = c
         self.S = slots
@@ -235,6 +241,11 @@ class ContinuousServer:
         return self.results
 
     # -- admission / prefill ---------------------------------------------
+
+    def _ctx(self):
+        from contextlib import nullcontext
+
+        return self.mesh if self.mesh is not None else nullcontext()
 
     # packed per-group metadata rows ([_META_ROWS, gb] int32 — ONE host
     # transfer instead of eight; every host->device put is a round trip
@@ -420,20 +431,21 @@ class ContinuousServer:
         meta_dev, topp_dev, cap_mask_dev = (jnp.asarray(meta),
                                             jnp.asarray(topp),
                                             jnp.asarray(cap_mask))
-        temp, greedy_tok, sampled_tok, emotion = prefill(
-            self.params, jnp.asarray(ids), meta_dev, topp_dev,
-            put(tts), put(img), put(aud), put(cap_ids),
-            cap_mask_dev if any_cap else None)
+        with self._ctx():
+            temp, greedy_tok, sampled_tok, emotion = prefill(
+                self.params, jnp.asarray(ids), meta_dev, topp_dev,
+                put(tts), put(img), put(aud), put(cap_ids),
+                cap_mask_dev if any_cap else None)
 
-        join = self._join_fn(pb, gb)
-        (self.cache, self.mask, self.lengths, self.last, self.cap_mask,
-         self.greedy_row, self.top_p_row, self.first_tok,
-         self.emo_slot) = join(
-            self.cache, self.mask, self.lengths, self.last, self.cap_mask,
-            self.greedy_row, self.top_p_row, self.first_tok,
-            self.emo_slot,
-            temp, emotion, greedy_tok, sampled_tok,
-            meta_dev, topp_dev, cap_mask_dev)
+            join = self._join_fn(pb, gb)
+            (self.cache, self.mask, self.lengths, self.last, self.cap_mask,
+             self.greedy_row, self.top_p_row, self.first_tok,
+             self.emo_slot) = join(
+                self.cache, self.mask, self.lengths, self.last, self.cap_mask,
+                self.greedy_row, self.top_p_row, self.first_tok,
+                self.emo_slot,
+                temp, emotion, greedy_tok, sampled_tok,
+                meta_dev, topp_dev, cap_mask_dev)
 
         for slot_idx, rid, req, sub, wall, history, pending in entries:
             s = self.slots[slot_idx]
@@ -507,11 +519,12 @@ class ContinuousServer:
 
     def _decode_block(self) -> List[Result]:
         decode = self._decode_fn()
-        (self.cache, self.last, self.lengths, self.mask, self.rng,
-         toks) = decode(
-            self.params, self.cache, self.last, self.lengths, self.mask,
-            self.cap_mask if self.caption_len else None,
-            self.rng, self.greedy_row, self.top_p_row)
+        with self._ctx():
+            (self.cache, self.last, self.lengths, self.mask, self.rng,
+             toks) = decode(
+                self.params, self.cache, self.last, self.lengths, self.mask,
+                self.cap_mask if self.caption_len else None,
+                self.rng, self.greedy_row, self.top_p_row)
         self.t += self.sync_every   # host mirror of cache.index
         # the block's ONE host round trip
         toks_h, first_h, emo_h = jax.device_get(

@@ -210,3 +210,29 @@ def test_int8_kv_server_matches_generate(setup):
     for rid, p in zip(rids, prompts):
         want, _ = oracle_greedy(params, qcfg, p, 8)
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
+
+
+def test_mesh_tp_server_matches_single_device(setup):
+    """Continuous serving over a data x model mesh (TP partition specs on
+    the params) emits the same greedy continuations as single-device —
+    the multi-chip route for the serving subsystem."""
+    from ergm_tpu.core.mesh import make_mesh, shard_params
+
+    cfg, params = setup
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 13, 9)]
+
+    def serve(mesh, p):
+        srv = ContinuousServer(p, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                               max_prompt=32, prompt_bucket=16, sync_every=4,
+                               mesh=mesh)
+        rids = [srv.submit(Request(prompt_ids=pr, max_new_tokens=8,
+                                   greedy=True)) for pr in prompts]
+        res = srv.run_until_drained()
+        return [res[r].tokens for r in rids]
+
+    single = serve(None, params)
+    mesh = make_mesh((4, 2), ("data", "model"))
+    sharded = shard_params(params, mesh)
+    meshed = serve(mesh, sharded)
+    assert meshed == single
