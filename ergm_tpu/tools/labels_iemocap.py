@@ -9,7 +9,9 @@ utterances by start time, and emits the framework's interchange format
 (docs/DATASETS.md step 3):
 
 - ``{split}_sent_emo.json`` — list of dialogues, each a list of
-  utterance strings (feed to ``ergm_tpu.tools.text2ids``),
+  utterance strings (feed to ``ergm_tpu.tools.text2ids``); splits are
+  named train/dev/test (the MELD convention, so the downstream
+  ``load_data`` defaults — ``--valid_split=dev`` — work unchanged),
 - one label pickle ``{split: {"emotion": [[ids]], "sentiment":
   [[ids]]}}`` with IEMOCAP's 10-category labels mapped onto the
   framework's canonical 7-way set (core/tokens.py EMOTION_LIST):
@@ -31,6 +33,10 @@ sessions; the rest are train.
 
     python -m ergm_tpu.tools.labels_iemocap --data_dir=/data/IEMOCAP \
         --output_dir=prepared/
+    python -m ergm_tpu.tools.text2ids --data_dir=prepared \
+        --prefixes=train,dev,test --tokenizer_dir=<gpt2 vocab dir>
+    python -m ergm_tpu.cli.load_data --source=json --data_dir=prepared \
+        --valid_prefix=dev    # label key 'dev' is already the default
 """
 
 from __future__ import annotations
@@ -99,8 +105,16 @@ def session_of(dialogue_name: str) -> Optional[int]:
 
 def convert(data_dir: str, valid_session: int = 4, test_session: int = 5,
             drop_unmapped: bool = False):
-    """-> ({split: [ [utterance texts] ]}, {split: {"emotion": [[ids]],
-    "sentiment": [[ids]]}}), dialogues ordered by (session, name)."""
+    """-> (dialogues, labels, skipped): ``{split: [ [utterance texts] ]}``,
+    ``{split: {"emotion": [[ids]], "sentiment": [[ids]]}}``, and the count
+    of dropped utterances (unmapped category / missing transcription).
+    Dialogues are ordered by (session, name). Split keys are
+    train/dev/test — the MELD convention the rest of the pipeline
+    defaults to (``load_data --valid_split=dev``)."""
+    if valid_session == test_session:
+        raise ValueError(
+            f"--valid_session and --test_session are both {test_session}; "
+            f"the dev split would be silently empty — pick distinct sessions")
     emo_files = sorted(
         glob.glob(os.path.join(data_dir, "**", "dialog", "EmoEvaluation",
                                "*.txt"), recursive=True))
@@ -108,9 +122,9 @@ def convert(data_dir: str, valid_session: int = 4, test_session: int = 5,
         raise FileNotFoundError(
             f"no dialog/EmoEvaluation/*.txt under {data_dir} — point "
             f"--data_dir at an IEMOCAP release root (Session1..Session5)")
-    dialogues = {s: [] for s in ("train", "valid", "test")}
+    dialogues = {s: [] for s in ("train", "dev", "test")}
     labels = {s: {"emotion": [], "sentiment": []}
-              for s in ("train", "valid", "test")}
+              for s in ("train", "dev", "test")}
     skipped = 0
     for emo_path in emo_files:
         name = os.path.splitext(os.path.basename(emo_path))[0]
@@ -118,7 +132,7 @@ def convert(data_dir: str, valid_session: int = 4, test_session: int = 5,
         if sess is None:
             continue
         split = ("test" if sess == test_session
-                 else "valid" if sess == valid_session else "train")
+                 else "dev" if sess == valid_session else "train")
         trans_path = os.path.join(
             os.path.dirname(os.path.dirname(emo_path)), "transcriptions",
             f"{name}.txt")

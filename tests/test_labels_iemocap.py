@@ -40,8 +40,8 @@ def release(tmp_path):
 
 def test_convert_splits_orders_and_maps(release):
     dialogues, labels, skipped = convert(str(release))
-    # session 1 -> train, 4 -> valid, 5 -> test
-    for split in ("train", "valid", "test"):
+    # session 1 -> train, 4 -> dev, 5 -> test
+    for split in ("train", "dev", "test"):
         assert len(dialogues[split]) == 1
     d = dialogues["train"][0]
     # ordered by START TIME, not file order: hap line (t=2.0) comes first
@@ -69,13 +69,13 @@ def test_drop_unmapped(release):
 def test_cli_writes_interchange_files(release, tmp_path):
     out = tmp_path / "prepared"
     main([f"--data_dir={release}", f"--output_dir={out}"])
-    for split in ("train", "valid", "test"):
+    for split in ("train", "dev", "test"):
         ds = json.loads((out / f"{split}_sent_emo.json").read_text())
         assert len(ds) == 1 and len(ds[0]) == 4
     with open(out / "emotion_sentiment_labels.pkl", "rb") as f:
         labels = pickle.load(f)
-    assert set(labels) == {"train", "valid", "test"}
-    assert labels["valid"]["emotion"][0][0] == EMOTION_TO_ID["joy"]
+    assert set(labels) == {"train", "dev", "test"}
+    assert labels["dev"]["emotion"][0][0] == EMOTION_TO_ID["joy"]
 
 
 def test_session_parse_and_missing_dir(tmp_path):
@@ -83,3 +83,9 @@ def test_session_parse_and_missing_dir(tmp_path):
     assert session_of("garbage") is None
     with pytest.raises(FileNotFoundError, match="EmoEvaluation"):
         convert(str(tmp_path))
+
+
+def test_equal_valid_test_session_rejected(release):
+    # both sessions landing on the same id would empty the dev split
+    with pytest.raises(ValueError, match="distinct sessions"):
+        convert(str(release), valid_session=5, test_session=5)
