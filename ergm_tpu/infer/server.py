@@ -39,6 +39,13 @@ Design (everything static-shaped for XLA):
   carried rng chain is separate state, so sampled streams continue
   unperturbed.
 
+- **SPMD**: given a ``jax.sharding.Mesh``, params carry the TP
+  partition specs (``model`` axis) and every per-slot state array is
+  sharded over the ``data`` axis — each device prefills/decodes S/dp
+  slots, so a data axis scales serving throughput instead of
+  replicating the whole batch per chip. Greedy output is
+  mesh-invariant (tested on data-only and data x model meshes).
+
 Greedy decode through the server is byte-identical to ``generate``
 (tested with staggered admissions and forced defrags); sampling uses
 the same top-k-in-sorted-space nucleus sampler as ``generate``.
@@ -136,7 +143,10 @@ class ContinuousServer:
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
         # every program then runs under the mesh so XLA inserts the
-        # tensor-parallel collectives — same route run_infer uses
+        # tensor-parallel collectives — same route run_infer uses. A
+        # ``data`` axis shards the SLOT dimension of all device state
+        # (each device decodes S/dp slots); without that the data axis
+        # would only replicate the whole batch onto every chip.
         self.mesh = mesh
         self.params = params
         self.cfg = c
@@ -156,9 +166,57 @@ class ContinuousServer:
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
         self._decode = None
+        self._shardings = self._state_shardings()
         self._init_state(0)
 
     # -- public API -------------------------------------------------------
+
+    def _state_shardings(self):
+        """Slot-axis (data-parallel) shardings for the device state.
+        With a mesh whose ``data`` axis is >1, every per-slot array is
+        sharded over it so each device decodes S/dp slots (composing
+        with TP over ``model`` on the head axis when present)."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        dp = int(mesh.shape.get("data", 1))
+        if dp <= 1:
+            return None
+        if self.S % dp:
+            raise ValueError(
+                f"slots={self.S} must be divisible by the mesh data axis "
+                f"({dp}) to shard the serving batch over it; pick "
+                f"divisible slots or a smaller data axis")
+        tp = ("model" if "model" in mesh.axis_names
+              and int(mesh.shape["model"]) > 1 else None)
+        return {
+            "kv": NamedSharding(mesh, P(None, "data", tp)),   # [L,S,H,T,*]
+            "cross": NamedSharding(mesh, P(None, "data", None, tp)),
+            "row": NamedSharding(mesh, P("data")),            # [S, ...]
+            "rep": NamedSharding(mesh, P()),
+        }
+
+    def _place_state(self) -> None:
+        """Commit the device state to the slot-sharded layout (no-op
+        without a data axis); the jitted programs preserve it, so decode
+        genuinely splits the slots across the mesh."""
+        sh = self._shardings
+        if sh is None:
+            return
+        put = jax.device_put
+        c = self.cache
+        kv = {f: put(getattr(c, f), sh["kv"])
+              for f in ("k", "v", "k_scale", "v_scale")
+              if getattr(c, f) is not None}
+        cross = {f: put(getattr(c, f), sh["cross"])
+                 for f in ("ck", "cv") if getattr(c, f) is not None}
+        self.cache = c._replace(index=put(c.index, sh["rep"]), **kv, **cross)
+        for name in ("last", "lengths", "mask", "cap_mask", "greedy_row",
+                     "top_p_row", "first_tok", "emo_slot"):
+            setattr(self, name, put(getattr(self, name), sh["row"]))
+        self.rng = put(self.rng, sh["rep"])
 
     def _init_state(self, seed: int) -> None:
         """(Re)initialize queue/result bookkeeping and all device state
@@ -193,6 +251,7 @@ class ContinuousServer:
         self.top_p_row = jnp.full((self.S,), 0.95, jnp.float32)
         self.first_tok = jnp.full((self.S,), self.eos_id, jnp.int32)
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
+        self._place_state()
 
     def reset(self, seed: int = 0) -> None:
         """Drain all state (queue, results, slots, device buffers) while

@@ -212,27 +212,57 @@ def test_int8_kv_server_matches_generate(setup):
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
 
 
+def _serve_greedy(params, cfg, prompts, mesh, slots=2):
+    srv = ContinuousServer(params, cfg, slots=slots, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           mesh=mesh)
+    rids = [srv.submit(Request(prompt_ids=pr, max_new_tokens=8, greedy=True))
+            for pr in prompts]
+    res = srv.run_until_drained()
+    return srv, [res[r].tokens for r in rids]
+
+
 def test_mesh_tp_server_matches_single_device(setup):
     """Continuous serving over a data x model mesh (TP partition specs on
-    the params) emits the same greedy continuations as single-device —
-    the multi-chip route for the serving subsystem."""
+    the params, slot axis sharded over data) emits the same greedy
+    continuations as single-device — the multi-chip route for the
+    serving subsystem."""
     from ergm_tpu.core.mesh import make_mesh, shard_params
 
     cfg, params = setup
     rng = np.random.default_rng(8)
     prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 13, 9)]
 
-    def serve(mesh, p):
-        srv = ContinuousServer(p, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
-                               max_prompt=32, prompt_bucket=16, sync_every=4,
-                               mesh=mesh)
-        rids = [srv.submit(Request(prompt_ids=pr, max_new_tokens=8,
-                                   greedy=True)) for pr in prompts]
-        res = srv.run_until_drained()
-        return [res[r].tokens for r in rids]
-
-    single = serve(None, params)
-    mesh = make_mesh((4, 2), ("data", "model"))
+    _, single = _serve_greedy(params, cfg, prompts, None)
+    mesh = make_mesh((2, 2), ("data", "model"))
     sharded = shard_params(params, mesh)
-    meshed = serve(mesh, sharded)
+    _, meshed = _serve_greedy(sharded, cfg, prompts, mesh)
     assert meshed == single
+
+
+def test_mesh_dp_server_shards_slots(setup):
+    """A data-only mesh shards the server's slot axis (real DP serving,
+    not per-chip replication): same greedy output, and the KV cache /
+    per-slot state stay sharded over 'data' after admission + decode."""
+    from ergm_tpu.core.mesh import make_mesh
+
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 13, 9, 17, 5)]
+
+    _, single = _serve_greedy(params, cfg, prompts, None, slots=4)
+    mesh = make_mesh((4,), ("data",))
+    rep = jax.device_put(
+        params, jax.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    srv, meshed = _serve_greedy(rep, cfg, prompts, mesh, slots=4)
+    assert meshed == single
+    # state committed AND preserved through prefill/join/decode programs
+    for arr in (srv.cache.k, srv.mask, srv.lengths, srv.emo_slot):
+        spec = arr.sharding.spec
+        assert "data" in str(spec), (arr.shape, spec)
+    shard_rows = {s.data.shape for s in srv.mask.addressable_shards}
+    assert shard_rows == {(1, srv.T)}  # 4 slots / 4 devices
+
+    with pytest.raises(ValueError, match="divisible by the mesh data"):
+        ContinuousServer(rep, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
+                         max_prompt=32, mesh=mesh)
