@@ -172,6 +172,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Average gradients over k micro-batches per "
                         "optimizer update (effective batch k*batch_size "
                         "past the single-chip HBM frontier).")
+    p.add_argument("--length_grouped", type=int, default=0,
+                   help="K > 1: sort examples by length within megabatches "
+                        "of K*batch_size (batch order reshuffled) so "
+                        "similar-length rows share a bucket — ~2x less pad "
+                        "compute on real dialogue data. 0 = reference-like "
+                        "uniform shuffle.")
+    p.add_argument("--pad_multiple", type=int, default=128,
+                   help="Bucket quantum for batch sequence lengths; 64 with "
+                        "--length_grouped recovers more pad waste at the "
+                        "cost of up to 2x compiled shapes.")
     return p
 
 
@@ -195,6 +205,7 @@ def args_to_config(args) -> TrainConfig:
         embd_pdrop=args.embd_pdrop, adam_mu_dtype=args.adam_mu_dtype,
         remat_policy=args.remat_policy,
         grad_accum_steps=args.grad_accum_steps,
+        length_grouped=args.length_grouped, pad_multiple=args.pad_multiple,
     )
 
 

@@ -241,6 +241,18 @@ class TrainConfig:
     # gpt2). The LR schedule counts OPTIMIZER steps, so warmup/decay
     # match an equivalent large-batch run. 1 = off.
     grad_accum_steps: int = 1
+    # Length-grouped batching (K > 1 = on): sort examples by length
+    # within megabatches of K*batch_size after the epoch shuffle, then
+    # shuffle batch order — similar-length rows share a bucket, cutting
+    # the pad compute a uniform shuffle burns (real/padded token ratio
+    # 0.358 -> 0.67 on a MELD-like length mix; see data/dataset.batches).
+    # Applies to the plain loader; no-op under multi-host static shapes.
+    length_grouped: int = 0
+    # Bucket quantum for batch lengths (batches pad to multiples of
+    # this, capped at max_len). 128 keeps <=8 compiled shapes; with
+    # length_grouped on, 64 recovers another ~13% real/padded at <=16
+    # shapes (each shape compiles once, ~20-40 s cold on TPU).
+    pad_multiple: int = 128
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

@@ -276,15 +276,38 @@ def batches(
     drop_remainder: bool = False,
     static: bool = False,
     static_caps: Optional[bool] = None,
+    length_grouped: int = 0,
 ) -> Iterator[Batch]:
     """Host-side batch iterator (the reference's DataLoader role,
-    src/main.py:78-85). Sorting-free; bucketing keeps the number of
-    distinct compiled shapes <= max_len/pad_multiple.
-    ``static``/``static_caps``: see collate (multi-host shape pinning)."""
+    src/main.py:78-85). Sorting-free by default; bucketing keeps the
+    number of distinct compiled shapes <= max_len/pad_multiple.
+    ``static``/``static_caps``: see collate (multi-host shape pinning).
+
+    ``length_grouped=K`` (K > 1): after the epoch shuffle, sort examples
+    by length within megabatches of K*batch_size before slicing into
+    batches, then shuffle the BATCH order (so an epoch is not a
+    short-to-long curriculum). Similar-length rows land in the same
+    bucket, cutting pad compute the reference's uniform shuffle burns:
+    on a MELD-like length mix the real/padded token ratio goes
+    0.358 -> 0.67 at pad_multiple=128 (0.80 at 64) with K=32. Ignored
+    when ``static=True`` — multi-host pins every batch to max_len, so
+    grouping cannot change shapes there."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    for s in range(0, len(order), batch_size):
+    starts = list(range(0, len(order), batch_size))
+    if length_grouped > 1 and not static and len(order) > batch_size:
+        mega = length_grouped * batch_size
+        lens = np.array([len(dataset[i].input_ids) for i in order])
+        order = np.concatenate([
+            order[s:s + mega][np.argsort(lens[s:s + mega], kind="stable")]
+            for s in range(0, len(order), mega)])
+        if shuffle:
+            full = [s for s in starts if s + batch_size <= len(order)]
+            tail = [s for s in starts if s + batch_size > len(order)]
+            np.random.default_rng(seed + 1).shuffle(full)
+            starts = full + tail
+    for s in starts:
         chunk = [dataset[i] for i in order[s:s + batch_size]]
         if drop_remainder and len(chunk) < batch_size:
             return

@@ -239,9 +239,14 @@ class Trainer:
         if cfg.num_workers > 0:
             from ergm_tpu.data.grain_loader import make_grain_loader
 
+            if cfg.length_grouped > 1 and not static:
+                print("WARNING: --length_grouped is not implemented on the "
+                      "Grain path (num_workers > 0); batches keep the "
+                      "uniform shuffle (full pad-bucket cost)")
             return make_grain_loader(
                 dataset, batch_size=cfg.batch_size, eos_id=self.st.eos_id,
                 shuffle=shuffle, seed=seed, max_len=self.max_len,
+                pad_multiple=cfg.pad_multiple,
                 drop_remainder=drop_remainder, num_workers=cfg.num_workers,
                 host_index=jax.process_index(), host_count=jax.process_count(),
                 static=static, static_caps=static_caps)
@@ -259,8 +264,10 @@ class Trainer:
             dataset, shuffle = Subset(dataset, idx), False
         return batches(dataset, cfg.batch_size, self.st.eos_id, shuffle=shuffle,
                        seed=seed, max_len=self.max_len,
+                       pad_multiple=cfg.pad_multiple,
                        drop_remainder=drop_remainder,
-                       static=static, static_caps=static_caps)
+                       static=static, static_caps=static_caps,
+                       length_grouped=cfg.length_grouped)
 
     # -- loops -----------------------------------------------------------
 
@@ -285,6 +292,7 @@ class Trainer:
             step_stats = []
             bt0 = time.time()
             bn = btok = bflops = 0
+            real_tok = padded_tok = 0  # pad efficiency (length_grouped win)
             for batch in self._batches(self.train_set, shuffle=True,
                                        seed=cfg.seed + epoch, drop_remainder=True):
                 dev_batch = batch_to_device(batch, self.mesh)
@@ -298,6 +306,8 @@ class Trainer:
                 b *= max(jax.process_count(), 1)
                 bn += 1
                 btok += b * l
+                real_tok += int(batch.attention_mask.sum())
+                padded_tok += batch.input_ids.size
                 bflops += model_flops_per_token(self.mcfg, l) * b * l
                 if bn == fetch_every:
                     jax.device_get(metrics)  # barrier: queue drained
@@ -320,6 +330,11 @@ class Trainer:
             perf = f"{tok_s:,.0f} tok/s | step p50 {p50_ms:.0f} ms"
             if mfu is not None:
                 perf += f" | MFU {100 * mfu:.1f}%"
+            if padded_tok:
+                # tok/s counts PADDED (batch-shape) tokens; pad eff is the
+                # real fraction — what --length_grouped raises (epoch
+                # wall-clock drops, tok/s stays the kernel-rate number)
+                perf += f" | pad eff {100 * real_tok / padded_tok:.0f}%"
             print(f"Epoch {epoch}: Train Loss: {loss:.4f} | Train PPL: {ppl:.4f} "
                   f"(token-weighted {tw_ppl:.4f}) | "
                   f"Train Emotion Acc: {acc:.2f}% | {dt:.1f}s | {perf}")

@@ -121,6 +121,35 @@ def test_batches_iterator(tmp_path, st):
         assert b.input_ids.shape[0] == 5
 
 
+def test_length_grouped_batches(tmp_path, st):
+    """length_grouped=K: exact cover of the dataset, fewer padded tokens
+    than the uniform shuffle, deterministic under the seed, and a no-op
+    under static (multi-host) shape pinning."""
+    ds = _dataset(tmp_path, st, num_dialogues=8, turns_per_dialogue=6)
+
+    def run(**kw):
+        return list(batches(ds, batch_size=4, eos_id=st.eos_id, shuffle=True,
+                            seed=0, pad_multiple=32, **kw))
+
+    plain, grouped = run(), run(length_grouped=4)
+    # exact cover: same example-length multiset over the valid rows
+    def real_lens(out):
+        return sorted(int(b.attention_mask[i].sum())
+                      for b in out for i in range(len(b.valid)) if b.valid[i])
+    assert real_lens(grouped) == real_lens(plain)
+    assert real_lens(grouped) == sorted(len(e.input_ids) for e in ds.examples)
+    # the point: grouping pads less
+    padded = lambda out: sum(b.input_ids.size for b in out)
+    assert padded(grouped) < padded(plain)
+    # deterministic under the seed
+    again = run(length_grouped=4)
+    assert all(np.array_equal(a.input_ids, b.input_ids)
+               for a, b in zip(grouped, again))
+    # static mode pins every batch to max_len: grouping must not change it
+    static = run(length_grouped=4, static=True, max_len=256)
+    assert all(b.input_ids.shape[1] == 256 for b in static)
+
+
 def test_write_synthetic_dataset_two_splits(tmp_path):
     st = write_synthetic_dataset(str(tmp_path), prefixes=("train", "valid"),
                                  num_dialogues=2, turns_per_dialogue=3)

@@ -63,6 +63,18 @@ def test_training_reduces_loss_and_checkpoints(data_dir, tmp_path):
     assert any(n.startswith("best_ckpt_epoch=") for n in names)
 
 
+def test_training_with_length_grouped_batches(data_dir, tmp_path):
+    """--length_grouped plumbs through the Trainer: training still
+    converges (finite, improving valid PPL) with grouped batches and a
+    finer pad_multiple."""
+    tr = make_trainer(data_dir, tmp_path, num_epochs=2,
+                      length_grouped=2, pad_multiple=32)
+    v0 = tr.validation()
+    tr.train()
+    v1 = tr.validation()
+    assert math.isfinite(v1[1]) and v1[1] < v0[1]
+
+
 def test_resume_restores_state(data_dir, tmp_path):
     tr = make_trainer(data_dir, tmp_path, num_epochs=1)
     tr.train()
