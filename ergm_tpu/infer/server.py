@@ -38,6 +38,15 @@ Design (everything static-shaped for XLA):
   re-prefilled at a bucketed length) and the cursor rewinds. The
   carried rng chain is separate state, so sampled streams continue
   unperturbed.
+- **Bucketed physical capacity**: decode reads the WHOLE KV buffer
+  every step (at S=64 slots x T=512 that is ~5x the weight bytes), but
+  the cursor spends most of its life far below T. The cache is
+  physically allocated at the smallest rung of a ``cache_grow_step``
+  ladder covering the cursor, pad-copied up a rung as the cursor
+  approaches it, and re-allocated small again at defrag — so the
+  per-step KV read tracks occupancy instead of always paying T. One
+  decode/join specialization compiles per rung (ladder is 3-4 rungs at
+  the default shapes).
 
 - **SPMD**: given a ``jax.sharding.Mesh``, params carry the TP
   partition specs (``model`` axis) and every per-slot state array is
@@ -138,7 +147,7 @@ class ContinuousServer:
                  max_prompt: int = 256, cache_len: Optional[int] = None,
                  caption_len: int = 32, prompt_bucket: int = 64,
                  sync_every: int = 8, modality_dim: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, cache_grow_step: int = 128):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -162,12 +171,67 @@ class ContinuousServer:
         self.caption_len = caption_len if c.use_cross_attention else 0
         self.sync_every = sync_every
         self.mod_dim = modality_dim or c.modality_dim
+        # Bucketed PHYSICAL cache capacity: decode reads the whole KV
+        # buffer every step (at S=64, T=512 the cache is ~5x the weight
+        # bytes — the dominant read), but the cursor spends most of its
+        # life far below T. The cache is allocated at the smallest rung
+        # of a grow_step ladder covering the cursor, grown by a one-off
+        # pad-copy when the cursor approaches the rung, and re-allocated
+        # at the small rung again on defrag (whose re-join rewrites all
+        # live content anyway). Each rung compiles its own decode/join
+        # specialization — bounded by len(ladder) programs. 0 disables
+        # (single rung at cache_len, the round-3 original behavior).
+        self.grow_step = cache_grow_step
 
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
         self._decode = None
         self._shardings = self._state_shardings()
         self._init_state(0)
+
+    # -- physical cache capacity -------------------------------------------
+
+    def _phys_for(self, need: int) -> int:
+        """Smallest capacity rung >= ``need``: a multiple of
+        ``grow_step``, capped at the logical cache length ``T``."""
+        if not self.grow_step or self.grow_step >= self.T:
+            return self.T
+        return min(_bucket(need, self.grow_step), self.T)
+
+    def _grow_cache(self, new_phys: int) -> None:
+        """Pad-copy the KV cache (and mask) up to the next rung. One
+        device copy of the live prefix — O(S * Tphys) bytes, amortized
+        over the grow_step decode steps the new headroom buys."""
+        delta = new_phys - self.Tphys
+        if delta <= 0:
+            return
+        self.grows += 1
+
+        def pad_t(a):  # k/v/scales: [L, S, H, T, *] — T is axis 3
+            return jnp.pad(a, [(0, 0)] * 3 + [(0, delta), (0, 0)])
+
+        c = self.cache
+        repl = {"k": pad_t(c.k), "v": pad_t(c.v)}
+        if c.k_scale is not None:
+            repl["k_scale"] = pad_t(c.k_scale)
+            repl["v_scale"] = pad_t(c.v_scale)
+        self.cache = c._replace(**repl)
+        self.mask = jnp.pad(self.mask, [(0, 0), (0, delta)])
+        self.Tphys = new_phys
+        self._place_state()
+
+    def _fresh_cache(self, phys: int) -> None:
+        """Zero KV cache + mask at capacity ``phys`` with the write
+        index at the (already rewound) cursor. Used by defrag: the
+        re-join rewrites every active row's KV window, mask row, and
+        cross-attention cache, so nothing live is lost — and masked
+        positions read exact zeros instead of stale occupants."""
+        self.Tphys = phys
+        self.cache = gpt2.init_kv_cache(
+            self.cfg, self.S, phys, caption_len=self.caption_len)._replace(
+                index=jnp.asarray(self.t, jnp.int32))
+        self.mask = jnp.zeros((self.S, phys), jnp.float32)
+        self._place_state()
 
     # -- public API -------------------------------------------------------
 
@@ -231,14 +295,16 @@ class ContinuousServer:
         self._next_id = 0
         self.server_step = 0
         self.defrags = 0
-        self.cache = gpt2.init_kv_cache(c, self.S, self.T,
+        self.grows = 0
+        self.Tphys = self._phys_for(self.max_prompt + self.sync_every)
+        self.cache = gpt2.init_kv_cache(c, self.S, self.Tphys,
                                         caption_len=self.caption_len)
         self.cache = self.cache._replace(
             index=jnp.asarray(self.max_prompt, jnp.int32))
         self.t = self.max_prompt            # python int cursor (mirror)
         self.last = jnp.full((self.S, 1), self.eos_id, jnp.int32)
         self.lengths = jnp.zeros((self.S,), jnp.int32)  # logical lengths
-        self.mask = jnp.zeros((self.S, self.T), jnp.float32)
+        self.mask = jnp.zeros((self.S, self.Tphys), jnp.float32)
         self.cap_mask = jnp.zeros((self.S, max(self.caption_len, 1)),
                                   jnp.float32)
         # ONE carried rng chain, split once per decode step for the whole
@@ -286,8 +352,11 @@ class ContinuousServer:
         self._admit()
         if not any(s.active for s in self.slots):
             return []
-        if self.t + self.sync_every >= self.T:
-            self._defrag()
+        if self.t + self.sync_every >= self.Tphys:
+            if self.Tphys < self.T:
+                self._grow_cache(self._phys_for(self.t + self.sync_every + 1))
+            else:
+                self._defrag()
         finished = self._decode_block()
         self.server_step += 1
         return finished
@@ -364,7 +433,7 @@ class ContinuousServer:
         seconds per (pb, gb) combo."""
         if (pb, gb) in self._join_cache:
             return self._join_cache[(pb, gb)]
-        cl, T = self.caption_len, self.T
+        cl = self.caption_len
 
         @jax.jit
         def join(cache, mask, lengths, last, cap_mask_all,
@@ -410,7 +479,9 @@ class ContinuousServer:
                     cv=cache.cv.at[:, slot_idx].set(temp.cv, mode="drop"))
 
             # mask rows: zeros except the real prompt span at the cursor
-            rows = jnp.zeros((gb, T), jnp.float32)
+            # (width = the CURRENT physical capacity — jit re-specializes
+            # this program per capacity rung)
+            rows = jnp.zeros((gb, mask.shape[1]), jnp.float32)
             rows = lax.dynamic_update_slice(rows, pmask_g, (z, start_t))
             mask = mask.at[slot_idx].set(rows, mode="drop")
             lengths = lengths.at[slot_idx].set(length_g, mode="drop")
@@ -633,8 +704,7 @@ class ContinuousServer:
         active = [(i, s) for i, s in enumerate(self.slots) if s.active]
         self.t = self.max_prompt
         if not active:
-            self.cache = self.cache._replace(
-                index=jnp.asarray(self.t, jnp.int32))
+            self._fresh_cache(self._phys_for(self.t + self.sync_every))
             return
         # harvest first tokens for rows that never saw a block fetch
         pending_first = [i for i, s in active if not s.has_first]
@@ -648,8 +718,11 @@ class ContinuousServer:
                       for _, s in active)
         self.t = min(_bucket(longest, self.prompt_bucket) + self.prompt_bucket,
                      self.T - self.sync_every)
-        self.cache = self.cache._replace(
-            index=jnp.asarray(self.t, jnp.int32))   # rewind the cursor
+        # shrink the physical cache back to the rung covering the
+        # rewound cursor: the re-join below rewrites every live row's
+        # KV/mask, so a fresh zero allocation is both correct and the
+        # cheapest shrink (no slice-copy of stale content)
+        self._fresh_cache(self._phys_for(self.t + self.sync_every))
         by_pb: Dict[int, List[tuple]] = {}
         for i, s in active:
             hist = list(s.req.prompt_ids) + s.generated[:-1]

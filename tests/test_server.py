@@ -91,6 +91,36 @@ def test_defrag_preserves_greedy(setup):
                                    atol=1e-4)
 
 
+def test_cache_growth_preserves_greedy(setup):
+    """Bucketed physical cache capacity: the server starts at the
+    smallest rung of the cache_grow_step ladder, pad-copies up as the
+    cursor approaches each rung, and re-allocates small again at
+    defrag — all invisible in the emitted tokens (greedy byte-identical
+    to plain generate)."""
+    cfg, params = setup
+    rng = np.random.default_rng(10)
+    prompts = [rng.integers(0, 50, (n,)).tolist()
+               for n in (7, 12, 9, 15, 6, 11, 13, 8)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           cache_len=96, cache_grow_step=32)
+    # smallest rung covering max_prompt + sync_every, not the full T
+    assert srv.Tphys == 64 and srv.T == 96
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=16, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    assert srv.grows > 0, "test must exercise the grow path"
+    assert srv.defrags > 0, "test must exercise the shrink-at-defrag path"
+    for rid, p in zip(rids, prompts):
+        want, emo = oracle_greedy(params, cfg, p, 16)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-4)
+    # an idle defrag re-allocates at the bottom rung
+    srv._defrag()
+    assert srv.Tphys == 64
+
+
 def test_trimodal_greedy_matches_generate():
     cfg = make_cfg(use_cross_attention=True)
     params = gpt2.init_params(jax.random.PRNGKey(1), cfg)
@@ -261,7 +291,7 @@ def test_mesh_dp_server_shards_slots(setup):
         spec = arr.sharding.spec
         assert "data" in str(spec), (arr.shape, spec)
     shard_rows = {s.data.shape for s in srv.mask.addressable_shards}
-    assert shard_rows == {(1, srv.T)}  # 4 slots / 4 devices
+    assert shard_rows == {(1, srv.Tphys)}  # 4 slots / 4 devices
 
     with pytest.raises(ValueError, match="divisible by the mesh data"):
         ContinuousServer(rep, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
