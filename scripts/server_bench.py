@@ -40,6 +40,7 @@ MIN_NEW = int(os.environ.get("SERVER_MIN_NEW", 16))
 MAX_NEW = int(os.environ.get("SERVER_MAX_NEW", 128))
 SYNC = int(os.environ.get("SERVER_SYNC", 32))
 CACHE_LEN = int(os.environ.get("SERVER_CACHE_LEN", 0))  # 0 = auto
+GROW = int(os.environ.get("SERVER_GROW", 128))  # cache_grow_step; 0 = off
 MODEL = os.environ.get("SERVER_MODEL", "gpt2")
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
@@ -91,7 +92,7 @@ def main():
     srv = ContinuousServer(params, cfg, slots=SLOTS, eos_id=eos_id,
                            sp2_id=50258, max_prompt=MAX_PROMPT,
                            prompt_bucket=64, sync_every=SYNC,
-                           cache_len=cache_len)
+                           cache_len=cache_len, cache_grow_step=GROW)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -115,7 +116,8 @@ def main():
           "model": MODEL, "wall_s": round(wall, 2),
           "utt_per_s": round(REQUESTS / wall, 1),
           "decode_tok_per_s": round(got_new / wall, 1),
-          "defrags": srv.defrags,
+          "defrags": srv.defrags, "grows": srv.grows,
+          "grow_step": srv.grow_step,
           "warmup_s": round(warmup_s, 1),
           "latency_p50_s": round(float(np.percentile(lats, 50)), 2),
           "latency_p90_s": round(float(np.percentile(lats, 90)), 2),
