@@ -11,42 +11,44 @@ boundaries).
 
 Design (everything static-shaped for XLA):
 
-- ONE shared KV cache ``[L, S, H, T, Dh]`` over ``S`` slots and ONE
-  scalar write cursor ``t``: every decode step writes all slots' K/V at
-  physical position ``t``. A request occupies one slot; its tokens live
-  at physical positions ``[t_join - Pb, t_join) ++ [t_join, ...)`` and
-  its per-row attention mask hides everything else (junk from previous
-  occupants, its own left-pad, other idle periods). Logical position
-  ids (wpe) are per-row and independent of physical position.
+- ONE shared KV cache ``[L, S, H, T, Dh]`` over ``S`` slots with
+  **per-slot write cursors** (``cache.index`` is an [S] vector): slot
+  i's tokens live contiguously at physical positions ``[0, index[i])``
+  — physical position == logical position. Every decode step scatters
+  each row's new K/V at its own cursor; causality/visibility is just
+  ``kpos <= index[i]``, so no attention-mask array is carried at all.
+  (The round-3 original used one shared scalar cursor — all slots
+  writing at the same physical position — which burned KV reads
+  proportional to GLOBAL elapsed steps plus a ``max_prompt`` offset,
+  needed a [S, T] mask array to hide inter-request junk, and had to
+  stop-the-world "defrag" whenever the cursor hit the cache end.
+  Measured at the reference serving shapes the per-step KV read is the
+  entire serving cost — phases_s in results/server_bench.jsonl — so
+  cursor-proportional reads were the throughput gap vs static batching.)
 - **Grouped admission**: queued prompts are prefilled TOGETHER (one
   batched left-padded prefill per (prompt-bucket, group-bucket) — the
-  same trick real serving systems use) and scattered into their slots
-  right-aligned at the cursor by ONE ``join`` program per group.
-  Requires ``t >= Pb`` — the cursor simply starts at
-  ``max_prompt_bucket``.
+  same trick real serving systems use), then ONE ``join`` program per
+  group left-aligns each row (gather) and scatters it into its slot at
+  ``[0, len)``.
 - **Decode**: one jitted program advances ALL slots ``sync_every``
   steps per host round trip. The host fetches exactly once per block
   (block tokens + per-slot first tokens + emotion logits as one
   device_get): per-call fetches cost ~30 ms through tunneled
   transports — the same measurement that drives the Trainer's deferred
   metric fetch — so admission/bookkeeping NEVER fetches. Finished rows
-  keep decoding junk until the next sync; the host discards tokens
+  keep decoding junk until the next sync (their cursor writes past
+  their content; out-of-capacity writes drop); the host discards tokens
   past eos and frees the slot. Idle slots burn compute — the
   static-slot trade.
-- **Defrag**: the cursor only moves forward, so when it nears the cache
-  end every active request is re-joined right-aligned (its full history
-  re-prefilled at a bucketed length) and the cursor rewinds. The
-  carried rng chain is separate state, so sampled streams continue
-  unperturbed.
 - **Bucketed physical capacity**: decode reads the WHOLE KV buffer
-  every step (at S=64 slots x T=512 that is ~5x the weight bytes), but
-  the cursor spends most of its life far below T. The cache is
-  physically allocated at the smallest rung of a ``cache_grow_step``
-  ladder covering the cursor, pad-copied up a rung as the cursor
-  approaches it, and re-allocated small again at defrag — so the
-  per-step KV read tracks occupancy instead of always paying T. One
-  decode/join specialization compiles per rung (ladder is 3-4 rungs at
-  the default shapes).
+  every step (at S=64 slots x T=512 that is ~5x the weight bytes), so
+  capacity is allocated on a ``cache_grow_step`` ladder tracking
+  ``max(active row length) + sync_every``: pad-copied UP a rung as the
+  longest row approaches it, slice-copied DOWN when the need drops to
+  half the current rung (hysteresis against thrash). Per-slot cursors
+  make the need independent of elapsed time — a drained or short-row
+  server reads a small cache forever, with no defrag events at all.
+  One decode/join specialization compiles per rung.
 
 - **SPMD**: given a ``jax.sharding.Mesh``, params carry the TP
   partition specs (``model`` axis) and every per-slot state array is
@@ -56,8 +58,9 @@ Design (everything static-shaped for XLA):
   mesh-invariant (tested on data-only and data x model meshes).
 
 Greedy decode through the server is byte-identical to ``generate``
-(tested with staggered admissions and forced defrags); sampling uses
-the same top-k-in-sorted-space nucleus sampler as ``generate``.
+(tested with staggered admissions and forced capacity grows/shrinks);
+sampling uses the same top-k-in-sorted-space nucleus sampler as
+``generate``.
 
 Reference anchor: serves the capability of src/main.py:253-282 at
 production request rates; no reference counterpart exists.
@@ -67,7 +70,7 @@ from __future__ import annotations
 
 import time as _time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +115,7 @@ class _Slot:
     submitted_wall: float = 0.0
     admitted_step: int = 0
     active: bool = False
+    phys_len: int = 0            # host mirror of the device cursor
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -147,7 +151,7 @@ class ContinuousServer:
                  max_prompt: int = 256, cache_len: Optional[int] = None,
                  caption_len: int = 32, prompt_bucket: int = 64,
                  sync_every: int = 8, modality_dim: Optional[int] = None,
-                 mesh=None, cache_grow_step: int = 128):
+                 mesh=None, cache_grow_step: int = 32):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -173,21 +177,29 @@ class ContinuousServer:
         self.mod_dim = modality_dim or c.modality_dim
         # Bucketed PHYSICAL cache capacity: decode reads the whole KV
         # buffer every step (at S=64, T=512 the cache is ~5x the weight
-        # bytes — the dominant read), but the cursor spends most of its
-        # life far below T. The cache is allocated at the smallest rung
-        # of a grow_step ladder covering the cursor, grown by a one-off
-        # pad-copy when the cursor approaches the rung, and re-allocated
-        # at the small rung again on defrag (whose re-join rewrites all
-        # live content anyway). Each rung compiles its own decode/join
-        # specialization — bounded by len(ladder) programs. 0 disables
-        # (single rung at cache_len, the round-3 original behavior).
+        # bytes — the dominant read). With per-slot cursors the needed
+        # capacity is max(active length) + sync_every, so the cache is
+        # allocated at the smallest rung of a grow_step ladder covering
+        # that, pad-copied up a rung when the longest row approaches it,
+        # and slice-copied down when the need falls to half the rung.
+        # Each rung compiles its own decode/join specialization —
+        # bounded by len(ladder) programs. 0 disables (single rung at
+        # cache_len).
         self.grow_step = cache_grow_step
 
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
-        self._decode = None
+        self._decode_cache: Dict[int, object] = {}
         self._shardings = self._state_shardings()
         self._init_state(0)
+
+    @property
+    def phase_seconds(self) -> Dict[str, float]:
+        """Accumulated wall time per server phase since the last reset
+        (host-side timers only; ``block_wait`` is the decode block's
+        compute + result-transfer wait, the rest are host/dispatch
+        costs). Zeroed by ``reset`` so benches read steady state."""
+        return dict(self._phase)
 
     # -- physical cache capacity -------------------------------------------
 
@@ -199,39 +211,51 @@ class ContinuousServer:
         return min(_bucket(need, self.grow_step), self.T)
 
     def _grow_cache(self, new_phys: int) -> None:
-        """Pad-copy the KV cache (and mask) up to the next rung. One
-        device copy of the live prefix — O(S * Tphys) bytes, amortized
-        over the grow_step decode steps the new headroom buys."""
+        """Pad-copy the KV cache up to the next rung. One device copy of
+        the live prefix — O(S * Tphys) bytes, amortized over the decode
+        steps the new headroom buys."""
         delta = new_phys - self.Tphys
         if delta <= 0:
             return
         self.grows += 1
+        t0 = _time.time()
 
         def pad_t(a):  # k/v/scales: [L, S, H, T, *] — T is axis 3
             return jnp.pad(a, [(0, 0)] * 3 + [(0, delta), (0, 0)])
 
+        self._resize(pad_t, new_phys)
+        self._tick("grow", t0)
+
+    def _shrink_cache(self, new_phys: int) -> None:
+        """Slice-copy the KV cache down to a smaller rung once the
+        longest active row no longer needs the headroom (per-slot
+        cursors: every active row's content lives in [0, its length)).
+        Idle/finished rows may carry stale cursors past the new
+        capacity — their junk writes drop and their state is fully
+        rewritten at the next join."""
+        if new_phys >= self.Tphys:
+            return
+        self.shrinks += 1
+        t0 = _time.time()
+        self._resize(lambda a: a[:, :, :, :new_phys, :], new_phys)
+        self._tick("shrink", t0)
+
+    def _resize(self, fn, new_phys: int) -> None:
         c = self.cache
-        repl = {"k": pad_t(c.k), "v": pad_t(c.v)}
+        repl = {"k": fn(c.k), "v": fn(c.v)}
         if c.k_scale is not None:
-            repl["k_scale"] = pad_t(c.k_scale)
-            repl["v_scale"] = pad_t(c.v_scale)
+            repl["k_scale"] = fn(c.k_scale)
+            repl["v_scale"] = fn(c.v_scale)
         self.cache = c._replace(**repl)
-        self.mask = jnp.pad(self.mask, [(0, 0), (0, delta)])
         self.Tphys = new_phys
         self._place_state()
 
-    def _fresh_cache(self, phys: int) -> None:
-        """Zero KV cache + mask at capacity ``phys`` with the write
-        index at the (already rewound) cursor. Used by defrag: the
-        re-join rewrites every active row's KV window, mask row, and
-        cross-attention cache, so nothing live is lost — and masked
-        positions read exact zeros instead of stale occupants."""
-        self.Tphys = phys
-        self.cache = gpt2.init_kv_cache(
-            self.cfg, self.S, phys, caption_len=self.caption_len)._replace(
-                index=jnp.asarray(self.t, jnp.int32))
-        self.mask = jnp.zeros((self.S, phys), jnp.float32)
-        self._place_state()
+    def _capacity_need(self) -> int:
+        """Physical capacity this block needs: the longest active row's
+        cursor (host mirror, exact at block boundaries) plus one block
+        of writes."""
+        lens = [s.phys_len for s in self.slots if s.active]
+        return (max(lens) if lens else 0) + self.sync_every + 1
 
     # -- public API -------------------------------------------------------
 
@@ -276,8 +300,9 @@ class ContinuousServer:
               if getattr(c, f) is not None}
         cross = {f: put(getattr(c, f), sh["cross"])
                  for f in ("ck", "cv") if getattr(c, f) is not None}
-        self.cache = c._replace(index=put(c.index, sh["rep"]), **kv, **cross)
-        for name in ("last", "lengths", "mask", "cap_mask", "greedy_row",
+        # the per-slot cursor vector shards over the data axis too
+        self.cache = c._replace(index=put(c.index, sh["row"]), **kv, **cross)
+        for name in ("last", "cap_mask", "greedy_row",
                      "top_p_row", "first_tok", "emo_slot"):
             setattr(self, name, put(getattr(self, name), sh["row"]))
         self.rng = put(self.rng, sh["rep"])
@@ -285,26 +310,22 @@ class ContinuousServer:
     def _init_state(self, seed: int) -> None:
         """(Re)initialize queue/result bookkeeping and all device state
         (host NEVER fetches outside the per-block harvest). The cache's
-        write index IS the physical cursor: the decode program advances
-        it, joins scatter BEHIND it, defrag rewinds it; ``self.t`` is
-        the host-side mirror (deterministic, no fetch)."""
+        [S] index vector holds each slot's write cursor == its logical
+        length; joins reset a slot's cursor, decode advances all."""
         c = self.cfg
         self.queue = []
         self.results = {}
+        self._phase: Dict[str, float] = {}
         self.slots = [_Slot() for _ in range(self.S)]
         self._next_id = 0
         self.server_step = 0
-        self.defrags = 0
         self.grows = 0
-        self.Tphys = self._phys_for(self.max_prompt + self.sync_every)
+        self.shrinks = 0
+        self.Tphys = self._phys_for(self.prompt_bucket + self.sync_every + 1)
         self.cache = gpt2.init_kv_cache(c, self.S, self.Tphys,
-                                        caption_len=self.caption_len)
-        self.cache = self.cache._replace(
-            index=jnp.asarray(self.max_prompt, jnp.int32))
-        self.t = self.max_prompt            # python int cursor (mirror)
+                                        caption_len=self.caption_len,
+                                        per_row_index=True)
         self.last = jnp.full((self.S, 1), self.eos_id, jnp.int32)
-        self.lengths = jnp.zeros((self.S,), jnp.int32)  # logical lengths
-        self.mask = jnp.zeros((self.S, self.Tphys), jnp.float32)
         self.cap_mask = jnp.zeros((self.S, max(self.caption_len, 1)),
                                   jnp.float32)
         # ONE carried rng chain, split once per decode step for the whole
@@ -319,6 +340,11 @@ class ContinuousServer:
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
         self._place_state()
 
+    def _tick(self, name: str, t0: float) -> float:
+        now = _time.time()
+        self._phase[name] = self._phase.get(name, 0.0) + (now - t0)
+        return now
+
     def reset(self, seed: int = 0) -> None:
         """Drain all state (queue, results, slots, device buffers) while
         KEEPING the compiled prefill/join/decode programs — a warm
@@ -330,33 +356,33 @@ class ContinuousServer:
         if len(req.prompt_ids) > self.max_prompt:
             raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
                              f"max_prompt {self.max_prompt}")
-        # defrag must be able to re-join the FULL history (prompt +
-        # max_new - 1) right-aligned behind a cursor <= T - sync_every;
-        # a request that can outgrow that crashes mid-run otherwise
-        total = len(req.prompt_ids) + req.max_new_tokens - 1
-        if _bucket(total, self.prompt_bucket) > self.T - self.sync_every:
+        # the row occupies [0, prompt + max_new - 1) of its slot (the
+        # final sampled token is never written back)
+        if len(req.prompt_ids) + req.max_new_tokens - 1 > self.T:
             raise ValueError(
                 f"prompt ({len(req.prompt_ids)}) + max_new_tokens "
-                f"({req.max_new_tokens}) cannot fit the serving cache: "
-                f"bucketed history {_bucket(total, self.prompt_bucket)} > "
-                f"cache_len {self.T} - sync_every {self.sync_every}; "
-                f"raise cache_len or lower max_new_tokens")
+                f"({req.max_new_tokens}) cannot fit the serving cache "
+                f"(cache_len {self.T}); raise cache_len or lower "
+                f"max_new_tokens")
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, req, self.server_step, _time.time()))
         return rid
 
     def step(self) -> List[Result]:
-        """One server iteration: admit into free slots, run a decode
-        block, harvest completions. Returns results finished this call."""
+        """One server iteration: admit into free slots, fit the capacity
+        rung, run a decode block, harvest completions. Returns results
+        finished this call."""
         self._admit()
         if not any(s.active for s in self.slots):
             return []
-        if self.t + self.sync_every >= self.Tphys:
-            if self.Tphys < self.T:
-                self._grow_cache(self._phys_for(self.t + self.sync_every + 1))
-            else:
-                self._defrag()
+        need = self._phys_for(self._capacity_need())
+        if need > self.Tphys:
+            self._grow_cache(need)
+        elif need * 2 <= self.Tphys:
+            # hysteresis: only reclaim once the need drops to half the
+            # rung, so a long row finishing doesn't thrash grow/shrink
+            self._shrink_cache(need)
         finished = self._decode_block()
         self.server_step += 1
         return finished
@@ -376,10 +402,9 @@ class ContinuousServer:
         return self.mesh if self.mesh is not None else nullcontext()
 
     # packed per-group metadata rows ([_META_ROWS, gb] int32 — ONE host
-    # transfer instead of eight; every host->device put is a round trip
+    # transfer instead of several; every host->device put is a round trip
     # on tunneled transports)
-    _META = ("slot", "valid", "length", "greedy", "pending",
-             "use_pending", "seed", "ctr")
+    _META = ("slot", "valid", "length", "greedy", "seed", "ctr")
 
     @staticmethod
     def _pmask_from_len(length, pb):
@@ -400,7 +425,7 @@ class ContinuousServer:
             # group sampler key from the lead request's seed + admission
             # counter (derived in-jit; host-side key math costs a fetch)
             key = jax.random.fold_in(
-                jax.random.PRNGKey(meta[6, 0]), meta[7, 0])
+                jax.random.PRNGKey(meta[4, 0]), meta[5, 0])
             cache = gpt2.init_kv_cache(c, gb, pb, caption_len=cl)
             pmask = self._pmask_from_len(length, pb)
             pos = jnp.maximum(jnp.cumsum(pmask, axis=-1) - 1, 0).astype(jnp.int32)
@@ -424,8 +449,10 @@ class ContinuousServer:
 
     def _join_fn(self, pb: int, gb: int):
         """ONE program scattering a gb-row prefilled cache into gb slots
-        (each right-aligned at the cursor) and updating every per-slot
-        state row — admission costs two device calls per group total.
+        — each row LEFT-ALIGNED into [0, len) of its slot (a
+        take_along_axis gather undoes the prefill bucket's left-pad) —
+        and updating every per-slot state row, including the slot's
+        write cursor. Admission costs two device calls per group total.
 
         All updates are VECTORIZED scatters over the slot axis (pad rows
         carry slot index S, dropped by ``mode="drop"``): an unrolled
@@ -436,39 +463,38 @@ class ContinuousServer:
         cl = self.caption_len
 
         @jax.jit
-        def join(cache, mask, lengths, last, cap_mask_all,
+        def join(cache, last, cap_mask_all,
                  greedy_all, topp_all, first_all, emo_all,
                  temp, emotion, greedy_tok, sampled_tok,
                  meta, topp_g, cap_mask_g):
-            (slots_g, valid_i, length_g, greedy_i, pending_g,
-             use_pending_i, _seeds_g, _ctr_g) = meta
+            (slots_g, valid_i, length_g, greedy_i, _seeds_g, _ctr_g) = meta
             valid_g = valid_i.astype(bool)
             greedy_flags_g = greedy_i.astype(bool)
-            use_pending_g = use_pending_i.astype(bool)
-            pmask_g = self._pmask_from_len(length_g, pb)
-            z = jnp.zeros((), jnp.int32)
             first = jnp.where(greedy_flags_g, greedy_tok, sampled_tok)
-            # defrag re-joins pass the true pending token instead of the
-            # re-prefill's (re-sampled) first token
-            first = jnp.where(use_pending_g, pending_g, first)
-            # the cache's write index is the physical cursor (decode
-            # advances it; defrag rewinds it) — joins scatter behind it
-            start_t = cache.index - pb
             # pad/invalid rows scatter to slot S (out of bounds -> drop)
-            slot_idx = jnp.where(valid_g, slots_g, mask.shape[0])
+            slot_idx = jnp.where(valid_g, slots_g, cache.k.shape[1])
+
+            # left-align: temp row g holds its prompt right-aligned at
+            # [pb - len, pb); gather it to [0, len) (positions >= len
+            # duplicate the last key — junk beyond the cursor, masked)
+            src = jnp.clip(
+                (pb - length_g)[:, None]
+                + jax.lax.broadcasted_iota(jnp.int32, (gb, pb), 1),
+                0, pb - 1)
 
             def scat_window(big, small):
-                # big [L, S, H, T, D] <- small [L, gb, H, pb, D] rows,
-                # right-aligned at the cursor
-                sizes = (big.shape[0], big.shape[1], big.shape[2], pb,
-                         big.shape[4])
-                win = lax.dynamic_slice(big, (z, z, z, start_t, z), sizes)
+                # big [L, S, H, T, Dm] <- small [L, gb, H, pb, Dm] rows,
+                # left-aligned into the static [0, pb) window
+                small = jnp.take_along_axis(
+                    small, src[None, :, None, :, None], axis=3)
+                win = big[:, :, :, :pb, :]
                 win = win.at[:, slot_idx].set(small, mode="drop")
-                return lax.dynamic_update_slice(big, win, (z, z, z, start_t, z))
+                return big.at[:, :, :, :pb, :].set(win)
 
             cache = cache._replace(
                 k=scat_window(cache.k, temp.k),
-                v=scat_window(cache.v, temp.v))
+                v=scat_window(cache.v, temp.v),
+                index=cache.index.at[slot_idx].set(length_g, mode="drop"))
             if temp.k_scale is not None:
                 cache = cache._replace(
                     k_scale=scat_window(cache.k_scale, temp.k_scale),
@@ -478,48 +504,37 @@ class ContinuousServer:
                     ck=cache.ck.at[:, slot_idx].set(temp.ck, mode="drop"),
                     cv=cache.cv.at[:, slot_idx].set(temp.cv, mode="drop"))
 
-            # mask rows: zeros except the real prompt span at the cursor
-            # (width = the CURRENT physical capacity — jit re-specializes
-            # this program per capacity rung)
-            rows = jnp.zeros((gb, mask.shape[1]), jnp.float32)
-            rows = lax.dynamic_update_slice(rows, pmask_g, (z, start_t))
-            mask = mask.at[slot_idx].set(rows, mode="drop")
-            lengths = lengths.at[slot_idx].set(length_g, mode="drop")
             last = last.at[slot_idx, 0].set(first, mode="drop")
             greedy_all = greedy_all.at[slot_idx].set(greedy_flags_g,
                                                      mode="drop")
             topp_all = topp_all.at[slot_idx].set(topp_g, mode="drop")
             first_all = first_all.at[slot_idx].set(first, mode="drop")
             # emotion logits are defined at the PROMPT's last token
-            # (Result contract); a defrag re-prefill ends at the full
-            # history, so re-join rows must NOT overwrite them
-            emo_idx = jnp.where(valid_g & ~use_pending_g, slots_g,
-                                mask.shape[0])
-            emo_all = emo_all.at[emo_idx].set(
+            # (Result contract)
+            emo_all = emo_all.at[slot_idx].set(
                 emotion.astype(emo_all.dtype), mode="drop")
             if cl:
                 cap_mask_all = cap_mask_all.at[slot_idx].set(cap_mask_g,
                                                              mode="drop")
-            return (cache, mask, lengths, last, cap_mask_all,
+            return (cache, last, cap_mask_all,
                     greedy_all, topp_all, first_all, emo_all)
 
         self._join_cache[(pb, gb)] = join
         return join
 
     def _admit_group(self, entries: List[tuple], pb: int):
-        """entries: (slot_idx, rid, req, submit_step, submit_wall,
-        history|None, pending|None). One prefill + one join for the
-        whole group; host
-        transfers: ids + packed meta + top_p (+ optional tts/modality/
-        caption arrays only when some request carries them)."""
+        """entries: (slot_idx, rid, req, submit_step, submit_wall). One
+        prefill + one join for the whole group; host transfers: ids +
+        packed meta + top_p (+ optional tts/modality/caption arrays only
+        when some request carries them)."""
+        t0 = _time.time()
         G = len(entries)
         gb = _group_bucket(G, self.GROUP_CAP)
         cl = self.caption_len
         ids = np.full((gb, pb), self.eos_id, np.int32)
         meta = np.zeros((len(self._META), gb), np.int32)
-        meta[4] = self.eos_id   # pending default
         self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
-        meta[7] = self._admit_ctr
+        meta[5] = self._admit_ctr
         topp = np.full((gb,), 0.95, np.float32)
         any_tts = any(e[2].token_type_ids is not None for e in entries)
         any_mod = any(e[2].img is not None or e[2].aud is not None
@@ -531,8 +546,8 @@ class ContinuousServer:
         cap_ids = np.full((gb, cl), self.eos_id, np.int32) if any_cap else None
         cap_mask = np.zeros((gb, max(cl, 1)), np.float32)
 
-        for g, (slot_idx, rid, req, sub, wall, history, pending) in enumerate(entries):
-            ids_list = list(history if history is not None else req.prompt_ids)
+        for g, (slot_idx, rid, req, sub, wall) in enumerate(entries):
+            ids_list = list(req.prompt_ids)
             Lp = len(ids_list)
             ids[g, pb - Lp:] = ids_list
             if req.token_type_ids is not None:
@@ -547,10 +562,8 @@ class ContinuousServer:
                 n = min(len(req.caption_ids), cl)
                 cap_ids[g, :n] = req.caption_ids[:n]
                 cap_mask[g, :n] = 1.0
-            meta[:6, g] = (slot_idx, 1, Lp, int(bool(req.greedy)),
-                           pending if pending is not None else self.eos_id,
-                           int(pending is not None))
-            meta[6, g] = req.seed
+            meta[:4, g] = (slot_idx, 1, Lp, int(bool(req.greedy)))
+            meta[4, g] = req.seed
             topp[g] = float(req.top_p)
         # pad rows duplicate zeros with valid=0
 
@@ -568,26 +581,27 @@ class ContinuousServer:
                 cap_mask_dev if any_cap else None)
 
             join = self._join_fn(pb, gb)
-            (self.cache, self.mask, self.lengths, self.last, self.cap_mask,
+            (self.cache, self.last, self.cap_mask,
              self.greedy_row, self.top_p_row, self.first_tok,
              self.emo_slot) = join(
-                self.cache, self.mask, self.lengths, self.last, self.cap_mask,
+                self.cache, self.last, self.cap_mask,
                 self.greedy_row, self.top_p_row, self.first_tok,
                 self.emo_slot,
                 temp, emotion, greedy_tok, sampled_tok,
                 meta_dev, topp_dev, cap_mask_dev)
 
-        for slot_idx, rid, req, sub, wall, history, pending in entries:
+        for slot_idx, rid, req, sub, wall in entries:
             s = self.slots[slot_idx]
             s.request_id = rid
             s.req = req
             s.submitted_step = sub
             s.submitted_wall = wall
             s.active = True
-            if pending is None:     # fresh admission (not a defrag re-join)
-                s.admitted_step = self.server_step
-                s.generated = []
-                s.has_first = False
+            s.admitted_step = self.server_step
+            s.generated = []
+            s.has_first = False
+            s.phys_len = len(req.prompt_ids)
+        self._tick("admit", t0)
 
     def _admit(self):
         free = [i for i, s in enumerate(self.slots) if not s.active]
@@ -598,71 +612,90 @@ class ContinuousServer:
         while free and self.queue:
             slot_idx = free.pop(0)
             rid, req, sub, wall = self.queue.pop(0)
-            pb = min(_bucket(len(req.prompt_ids), self.prompt_bucket), self.t)
-            by_pb.setdefault(pb, []).append(
-                (slot_idx, rid, req, sub, wall, None, None))
+            pb = _bucket(len(req.prompt_ids), self.prompt_bucket)
+            by_pb.setdefault(pb, []).append((slot_idx, rid, req, sub, wall))
+        # joins write the static [0, pb) window — capacity must cover
+        # the largest bucket BEFORE the first join runs
+        need = self._phys_for(max(max(by_pb) + self.sync_every + 1,
+                                  self._capacity_need()))
+        if need > self.Tphys:
+            self._grow_cache(need)
         for pb, entries in by_pb.items():
             for i in range(0, len(entries), self.GROUP_CAP):
                 self._admit_group(entries[i:i + self.GROUP_CAP], pb)
 
     # -- decode -----------------------------------------------------------
 
-    def _decode_fn(self):
-        if self._decode is not None:
-            return self._decode
+    def _decode_fn(self, all_greedy: bool):
+        # one specialization per (capacity rung, all-greedy) pair: when
+        # every active row is greedy the block skips the nucleus sampler
+        # entirely (an approx-top-k + full-vocab logsumexp per step —
+        # measured ~20% of the all-greedy step; ``generate`` has the
+        # same greedy specialization, so benches were asymmetric).
+        # The rng chain is not consumed by greedy blocks; sampled
+        # streams are scheduler-dependent by design either way.
+        key = (self.Tphys, all_greedy)
+        if key in self._decode_cache:
+            return self._decode_cache[key]
         c, S, cl = self.cfg, self.S, self.caption_len
         K = self.sync_every
         step_tt = jnp.full((S, 1), self.sp2_id, jnp.int32)
 
         @jax.jit
-        def decode_block(params, cache, last, lengths, mask, cap_mask,
+        def decode_block(params, cache, last, cap_mask,
                          rng, greedy_row, top_p_row):
             def body(i, st):
-                cache, last, lengths, mask, rng, toks = st
-                # the cache's own write index is the physical cursor
-                # (forward advances it by 1 per step)
-                t = cache.index
-                mask = lax.dynamic_update_slice(
-                    mask, jnp.ones((S, 1), jnp.float32), (0, t))
-                pos = jnp.minimum(lengths, c.n_positions - 1)[:, None]
+                cache, last, rng, toks = st
+                # per-slot cursors: cache.index[i] IS slot i's logical
+                # length; visibility (kpos <= index) is enforced inside
+                # the cached attention — no mask array at all
+                pos = jnp.minimum(cache.index, c.n_positions - 1)[:, None]
                 out = gpt2.forward(
                     params, c, last, token_type_ids=step_tt,
-                    position_ids=pos, attention_mask=mask, cache=cache,
+                    position_ids=pos, cache=cache,
                     encoder_attention_mask=cap_mask if cl else None)
                 logits = out.logits[:, -1, :]
-                rng, sub = jax.random.split(rng)
-                # ONE batched sampler call with per-row top_p (vmapping
-                # per-slot keys ran 64 tiny top-k/RNG ops per step)
-                sampled = sample_top_p(logits, sub, top_p_row[:, None])
-                nxt = jnp.where(greedy_row, jnp.argmax(logits, -1), sampled)
+                if all_greedy:
+                    nxt = jnp.argmax(logits, -1)
+                else:
+                    rng, sub = jax.random.split(rng)
+                    # ONE batched sampler call with per-row top_p
+                    # (vmapping per-slot keys ran 64 tiny top-k/RNG ops
+                    # per step)
+                    sampled = sample_top_p(logits, sub, top_p_row[:, None])
+                    nxt = jnp.where(greedy_row, jnp.argmax(logits, -1),
+                                    sampled)
                 nxt = nxt.astype(jnp.int32)
                 toks = toks.at[i].set(nxt)
-                return (out.cache, nxt[:, None], lengths + 1, mask, rng, toks)
+                return (out.cache, nxt[:, None], rng, toks)
 
             toks = jnp.zeros((K, S), jnp.int32)
-            st = (cache, last, lengths, mask, rng, toks)
+            st = (cache, last, rng, toks)
             st = lax.fori_loop(0, K, body, st)
             return st
 
-        self._decode = decode_block
+        self._decode_cache[key] = decode_block
         return decode_block
 
     def _decode_block(self) -> List[Result]:
-        decode = self._decode_fn()
+        all_greedy = all(s.req.greedy for s in self.slots if s.active)
+        decode = self._decode_fn(all_greedy)
+        t0 = _time.time()
         with self._ctx():
-            (self.cache, self.last, self.lengths, self.mask, self.rng,
-             toks) = decode(
-                self.params, self.cache, self.last, self.lengths, self.mask,
+            (self.cache, self.last, self.rng, toks) = decode(
+                self.params, self.cache, self.last,
                 self.cap_mask if self.caption_len else None,
                 self.rng, self.greedy_row, self.top_p_row)
-        self.t += self.sync_every   # host mirror of cache.index
+        t0 = self._tick("block_dispatch", t0)
         # the block's ONE host round trip
         toks_h, first_h, emo_h = jax.device_get(
             (toks, self.first_tok, self.emo_slot))
+        t0 = self._tick("block_wait", t0)
         finished = []
         for i, s in enumerate(self.slots):
             if not s.active:
                 continue
+            s.phys_len += self.sync_every   # mirror of the device cursor
             if not s.has_first:
                 s.generated = [int(first_h[i])]
                 s.has_first = True
@@ -672,6 +705,7 @@ class ContinuousServer:
                 s.generated.append(int(toks_h[k, i]))
             if self._done(s):
                 finished.append(self._finish(i, emo_h[i]))
+        self._tick("harvest", t0)
         return finished
 
     def _done(self, s: _Slot) -> bool:
@@ -692,44 +726,3 @@ class ContinuousServer:
         s.generated = []
         s.has_first = False
         return res
-
-    # -- defrag -----------------------------------------------------------
-
-    def _defrag(self):
-        """Rewind the physical cursor: re-join every active request
-        right-aligned with its full history (prompt + generated so far,
-        minus the still-pending last token). The carried rng chain is
-        separate state, so sampled streams continue unperturbed."""
-        self.defrags += 1
-        active = [(i, s) for i, s in enumerate(self.slots) if s.active]
-        self.t = self.max_prompt
-        if not active:
-            self._fresh_cache(self._phys_for(self.t + self.sync_every))
-            return
-        # harvest first tokens for rows that never saw a block fetch
-        pending_first = [i for i, s in active if not s.has_first]
-        if pending_first:
-            first_h = jax.device_get(self.first_tok)
-            for i in pending_first:
-                s = self.slots[i]
-                s.generated = [int(first_h[i])]
-                s.has_first = True
-        longest = max(len(s.req.prompt_ids) + len(s.generated)
-                      for _, s in active)
-        self.t = min(_bucket(longest, self.prompt_bucket) + self.prompt_bucket,
-                     self.T - self.sync_every)
-        # shrink the physical cache back to the rung covering the
-        # rewound cursor: the re-join below rewrites every live row's
-        # KV/mask, so a fresh zero allocation is both correct and the
-        # cheapest shrink (no slice-copy of stale content)
-        self._fresh_cache(self._phys_for(self.t + self.sync_every))
-        by_pb: Dict[int, List[tuple]] = {}
-        for i, s in active:
-            hist = list(s.req.prompt_ids) + s.generated[:-1]
-            pb = min(_bucket(len(hist), self.prompt_bucket), self.t)
-            by_pb.setdefault(pb, []).append(
-                (i, s.request_id, s.req, s.submitted_step, s.submitted_wall,
-                 hist, s.generated[-1]))
-        for pb, entries in by_pb.items():
-            for i in range(0, len(entries), self.GROUP_CAP):
-                self._admit_group(entries[i:i + self.GROUP_CAP], pb)

@@ -347,7 +347,11 @@ def _merge_heads(x):
 
 class KVCache(NamedTuple):
     """Fixed-size decode cache. ``k``/``v``: [L, B, H, T, Dh]; ``index``:
-    scalar int32 count of filled positions. Cross-attention K/V are
+    int32 count of filled positions — a scalar (all rows aligned, the
+    generate/beam layout) or a [B] vector (per-row write cursors: each
+    row's K/V lives contiguously at [0, index[b]), single-token decode
+    only — the continuous server's layout, where rows join and leave at
+    different lengths). Cross-attention K/V are
     computed once per sequence and stored in ``ck``/``cv`` in merged-head
     layout [L, B, Lc, H*Dh] (tile-aligned minor dims — see init_kv_cache)
     — the reference recomputed them every step via its uncached loop.
@@ -374,7 +378,8 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
-                  caption_len: int = 0, dtype=None) -> KVCache:
+                  caption_len: int = 0, dtype=None,
+                  per_row_index: bool = False) -> KVCache:
     c = config
     quant = c.kv_cache_dtype == "int8"
     dtype = dtype or (jnp.int8 if quant else c.compute_dtype)
@@ -396,7 +401,8 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         cshape = (c.n_layer, batch, caption_len, c.n_head * c.head_dim)
         ck = jnp.zeros(cshape, c.compute_dtype)
         cv = jnp.zeros(cshape, c.compute_dtype)
-    return KVCache(k=k, v=v, index=jnp.zeros((), jnp.int32), ck=ck, cv=cv,
+    index = jnp.zeros((batch,) if per_row_index else (), jnp.int32)
+    return KVCache(k=k, v=v, index=index, ck=ck, cv=cv,
                    k_scale=ks, v_scale=vs)
 
 
@@ -472,27 +478,55 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     layer-step) — then reads the layer slice once for attention. With an
     int8 cache (ks_full/vs_full scales present) new tokens quantize on
     write and the slice dequantizes on read.
+
+    With a VECTOR ``cache_index`` ([B] per-row cursors, single-token
+    only) each row's K/V is written at its own position via one scatter
+    (out-of-range cursors drop — finished serving slots write nowhere),
+    and causality is enforced purely by the per-row tail mask
+    ``kpos <= index[b]`` — physical position == logical position, no
+    shared-cursor junk window.
     Returns (out, k_full, v_full, ks_full, vs_full)."""
     c = config
     L = h.shape[1]
     q, k, v = _qkv_heads(h, p, c)
+    vec = cache_index.ndim == 1 if hasattr(cache_index, "ndim") else False
+    if vec and L != 1:
+        raise ValueError("per-row cache cursors support single-token decode "
+                         f"only (got L={L})")
     zero = jnp.zeros((), jnp.int32)
-    idx5 = (li_int, zero, zero, cache_index, zero)
     dt = c.compute_dtype
     T = k_full.shape[-2]
+    B, H = k.shape[0], k.shape[1]
     scale = _attn_scale(c, li)
     # Mask the unwritten cache tail; combined with any caller key mask.
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    tail = (kpos < (cache_index + L)).astype(jnp.float32)
+    if vec:
+        tail = (kpos < (cache_index[:, None] + 1)).astype(jnp.float32)
+        b_ix = jnp.arange(B)
+
+        def _write(full, new):  # new [B, H, 1, Dm] at (li, b, :, idx[b], :)
+            # 1D advanced indices around the sliced H axis: measured
+            # 2.2x cheaper than the equivalent 2D [B, H] scatter on v5e
+            # (1.16 vs 2.54 ms per 12-layer step at S=64, T=256), within
+            # 15% of a scalar dynamic_update_slice
+            return full.at[li_int, b_ix, :, cache_index, :].set(
+                new[:, :, 0, :].astype(full.dtype), mode="drop")
+    else:
+        tail = (kpos < (cache_index + L)).astype(jnp.float32)
+        idx5 = (li_int, zero, zero, cache_index, zero)
+
+        def _write(full, new):
+            return lax.dynamic_update_slice(full, new[None].astype(full.dtype),
+                                            idx5)
     kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
 
     if ks_full is not None:
         kq, ksc = _quantize_kv(k)
         vq, vsc = _quantize_kv(v)
-        k_full = lax.dynamic_update_slice(k_full, kq[None], idx5)
-        v_full = lax.dynamic_update_slice(v_full, vq[None], idx5)
-        ks_full = lax.dynamic_update_slice(ks_full, ksc[None], idx5)
-        vs_full = lax.dynamic_update_slice(vs_full, vsc[None], idx5)
+        k_full = _write(k_full, kq)
+        v_full = _write(v_full, vq)
+        ks_full = _write(ks_full, ksc)
+        vs_full = _write(vs_full, vsc)
         if L == 1 and T >= 512:
             # Scale-factored int8 attention: the per-(token, head) scales
             # factor OUT of both dots, so the einsums read the RAW int8
@@ -525,8 +559,8 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         v_all = (lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False).astype(dt)
                  * lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False).astype(dt))
     else:
-        k_full = lax.dynamic_update_slice(k_full, k[None].astype(k_full.dtype), idx5)
-        v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
+        k_full = _write(k_full, k)
+        v_full = _write(v_full, v)
         k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
         v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
 
@@ -540,9 +574,9 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     # measurements in results/decode_kernel_bench.jsonl, git history has
     # the kernel).
     out = multihead_attention(
-        q, k_all, v_all, causal=True, kv_mask=kv_mask,
+        q, k_all, v_all, causal=not vec, kv_mask=kv_mask,
         q_mask=None if attn_mask is None else attn_mask[:, :L],
-        scale=scale, causal_offset=cache_index,
+        scale=scale, causal_offset=0 if vec else cache_index,
         impl=c.attention_impl,
     )
     return (_attn_project(out, p, c, deterministic, rng),
@@ -650,7 +684,9 @@ def transformer(
 
     past_len = cache.index if cache is not None else 0
     if position_ids is None:
-        position_ids = past_len + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+        base = (past_len[:, None]
+                if getattr(past_len, "ndim", 0) == 1 else past_len)
+        position_ids = base + jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
 
     h = embed_rows(params["wte"], input_ids, dtype)
 

@@ -40,7 +40,7 @@ MIN_NEW = int(os.environ.get("SERVER_MIN_NEW", 16))
 MAX_NEW = int(os.environ.get("SERVER_MAX_NEW", 128))
 SYNC = int(os.environ.get("SERVER_SYNC", 32))
 CACHE_LEN = int(os.environ.get("SERVER_CACHE_LEN", 0))  # 0 = auto
-GROW = int(os.environ.get("SERVER_GROW", 128))  # cache_grow_step; 0 = off
+GROW = int(os.environ.get("SERVER_GROW", 32))  # cache_grow_step; 0 = off
 MODEL = os.environ.get("SERVER_MODEL", "gpt2")
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
@@ -83,12 +83,10 @@ def main():
     total_new = sum(budgets)
     eos_id = 50256  # ~never sampled at random init -> budgets are exact
 
-    # --- continuous server. Cache sized to the workload (a full
-    # n_positions cache makes every decode step read 2.4 GB of mostly
-    # dead tail; the defrag machinery covers the wrap)
-    cache_len = CACHE_LEN or min(
-        ((MAX_PROMPT + MAX_NEW + 2 * SYNC + 127) // 128 + 1) * 128,
-        cfg.n_positions)
+    # --- continuous server. With per-slot cursors the physical rung
+    # tracks max(active length) + sync on its own, so the untuned
+    # logical default (full n_positions) costs nothing extra.
+    cache_len = CACHE_LEN or cfg.n_positions
     srv = ContinuousServer(params, cfg, slots=SLOTS, eos_id=eos_id,
                            sp2_id=50258, max_prompt=MAX_PROMPT,
                            prompt_bucket=64, sync_every=SYNC,
@@ -116,8 +114,11 @@ def main():
           "model": MODEL, "wall_s": round(wall, 2),
           "utt_per_s": round(REQUESTS / wall, 1),
           "decode_tok_per_s": round(got_new / wall, 1),
-          "defrags": srv.defrags, "grows": srv.grows,
-          "grow_step": srv.grow_step,
+          "grows": srv.grows, "shrinks": srv.shrinks,
+          "grow_step": srv.grow_step, "blocks": srv.server_step,
+          "slot_util": round(got_new / max(srv.server_step * SYNC * SLOTS, 1), 3),
+          "phases_s": {k: round(v, 2)
+                       for k, v in sorted(srv.phase_seconds.items())},
           "warmup_s": round(warmup_s, 1),
           "latency_p50_s": round(float(np.percentile(lats, 50)), 2),
           "latency_p90_s": round(float(np.percentile(lats, 90)), 2),

@@ -306,3 +306,64 @@ def test_model_family_presets():
         assert out.logits.shape == (1, 4, 128)
     with pytest.raises(ValueError):
         ModelConfig.from_model_type("gpt3")
+
+
+@pytest.mark.parametrize("kv_dtype", ["auto", "int8"])
+def test_per_row_cache_index_matches_per_sample_decode(kv_dtype):
+    """Vector cache.index (per-row write cursors — the continuous
+    server's layout, models/gpt2.py KVCache): rows at DIFFERENT lengths
+    decoding in one batch produce the same logits as per-sample
+    scalar-index decode. Covers the per-row scatter write, the in-kernel
+    tail-mask visibility (kpos <= index[b]), and the int8 scale
+    scatter."""
+    cfg = ModelConfig(n_layer=2, n_head=2, n_embd=32, vocab_size=97,
+                      n_positions=64, use_cross_attention=False,
+                      dtype="float32", kv_cache_dtype=kv_dtype,
+                      embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    prompts = [[5, 7, 11, 13], [3, 2]]
+    feed = [[17, 23, 31, 41, 43, 47], [53, 59, 61, 67, 71, 73]]
+    T = 32
+
+    ref_logits = []
+    for b, pr in enumerate(prompts):
+        cache = gpt2.init_kv_cache(cfg, 1, T)
+        out = gpt2.forward(params, cfg, jnp.asarray([pr], jnp.int32),
+                           cache=cache)
+        cache = out.cache
+        ls = []
+        for s, tok in enumerate(feed[b]):
+            out = gpt2.forward(params, cfg, jnp.asarray([[tok]], jnp.int32),
+                               position_ids=jnp.asarray([[len(pr) + s]]),
+                               cache=cache)
+            cache = out.cache
+            ls.append(np.asarray(out.logits[0, -1]))
+        ref_logits.append(ls)
+
+    # shared big cache, each row's prompt K/V left-aligned at [0, len)
+    big = gpt2.init_kv_cache(cfg, 2, T, per_row_index=True)
+    repl = {}
+    for b, pr in enumerate(prompts):
+        tmp = gpt2.init_kv_cache(cfg, 1, len(pr))
+        out = gpt2.forward(params, cfg, jnp.asarray([pr], jnp.int32),
+                           cache=tmp)
+        for f in ("k", "v", "k_scale", "v_scale"):
+            src = getattr(out.cache, f)
+            if src is None:
+                continue
+            dst = repl.get(f, getattr(big, f))
+            repl[f] = dst.at[:, b, :, :len(pr), :].set(src[:, 0])
+    lens = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    big = big._replace(index=lens, **repl)
+    idx = lens
+    for s in range(6):
+        toks = jnp.asarray([[feed[0][s]], [feed[1][s]]], jnp.int32)
+        out = gpt2.forward(params, cfg, toks, position_ids=idx[:, None],
+                           cache=big)
+        big = out.cache
+        idx = idx + 1
+        for b in range(2):
+            np.testing.assert_allclose(np.asarray(out.logits[b, -1]),
+                                       ref_logits[b][s], atol=1e-4)
+    # forward advanced every row's cursor
+    np.testing.assert_array_equal(np.asarray(big.index), np.asarray(lens) + 6)

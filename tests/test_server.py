@@ -1,10 +1,11 @@
 """Continuous-batching server tests (ergm_tpu/infer/server.py).
 
 Load-bearing property: greedy decode THROUGH THE SERVER — requests
-joining mid-stream into slots at arbitrary physical cursor positions,
-surviving defrags — emits byte-identical continuations to plain
-``generate`` on the same prompts. Per-row masks, offset joins, position
-ids, and the defrag re-join are all on that path.
+joining mid-stream into slots with per-slot write cursors, across
+capacity-rung grows and shrinks — emits byte-identical continuations to
+plain ``generate`` on the same prompts. The left-aligning join gather,
+per-row cursor scatter writes, tail-mask visibility, and position ids
+are all on that path.
 """
 
 import jax
@@ -69,24 +70,24 @@ def test_greedy_matches_generate(setup):
     assert any(results[r].steps_waited > 0 for r in rids)
 
 
-def test_defrag_preserves_greedy(setup):
+def test_tight_cache_preserves_greedy(setup):
+    """Rows running close to the cache capacity (prompt + budget near
+    cache_len, finished rows junk-writing past their content) stay
+    byte-identical to plain generate — the per-slot-cursor analogue of
+    the old defrag-survival test (there is no defrag anymore: each
+    row's content lives contiguously at [0, len))."""
     cfg, params = setup
     rng = np.random.default_rng(1)
     prompts = [rng.integers(0, 50, (n,)).tolist() for n in (7, 13, 9, 19)]
-    # tiny cache: cursor starts at 32, block 4 -> defrag every few blocks
     srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
                            max_prompt=32, prompt_bucket=16, sync_every=4,
-                           cache_len=64)
+                           cache_len=40)
     rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=16, greedy=True))
             for p in prompts]
     results = srv.run_until_drained()
-    assert srv.defrags > 0, "test must exercise the defrag path"
     for rid, p in zip(rids, prompts):
         want, emo = oracle_greedy(params, cfg, p, 16)
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
-        # emotion logits are the PROMPT's-last-token head output; a
-        # defrag re-prefill must not overwrite them with full-history
-        # logits (self-review r3)
         np.testing.assert_allclose(results[rid].emotion_logits, emo,
                                    atol=1e-4)
 
@@ -94,31 +95,29 @@ def test_defrag_preserves_greedy(setup):
 def test_cache_growth_preserves_greedy(setup):
     """Bucketed physical cache capacity: the server starts at the
     smallest rung of the cache_grow_step ladder, pad-copies up as the
-    cursor approaches each rung, and re-allocates small again at
-    defrag — all invisible in the emitted tokens (greedy byte-identical
-    to plain generate)."""
+    longest active row approaches each rung, and slice-copies back down
+    once the need halves — all invisible in the emitted tokens (greedy
+    byte-identical to plain generate)."""
     cfg, params = setup
     rng = np.random.default_rng(10)
     prompts = [rng.integers(0, 50, (n,)).tolist()
-               for n in (7, 12, 9, 15, 6, 11, 13, 8)]
+               for n in (7, 12, 9, 31, 6, 11, 13, 8)]
     srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
                            max_prompt=32, prompt_bucket=16, sync_every=4,
-                           cache_len=96, cache_grow_step=32)
-    # smallest rung covering max_prompt + sync_every, not the full T
-    assert srv.Tphys == 64 and srv.T == 96
-    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=16, greedy=True))
-            for p in prompts]
+                           cache_len=96, cache_grow_step=16)
+    # smallest rung covering prompt_bucket + one block, not the full T
+    assert srv.Tphys == 32 and srv.T == 96
+    budgets = [16, 16, 16, 48, 16, 16, 16, 16]
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=b, greedy=True))
+            for p, b in zip(prompts, budgets)]
     results = srv.run_until_drained()
     assert srv.grows > 0, "test must exercise the grow path"
-    assert srv.defrags > 0, "test must exercise the shrink-at-defrag path"
-    for rid, p in zip(rids, prompts):
-        want, emo = oracle_greedy(params, cfg, p, 16)
+    assert srv.shrinks > 0, "test must exercise the shrink path"
+    for rid, p, b in zip(rids, prompts, budgets):
+        want, emo = oracle_greedy(params, cfg, p, b)
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
         np.testing.assert_allclose(results[rid].emotion_logits, emo,
                                    atol=1e-4)
-    # an idle defrag re-allocates at the bottom rung
-    srv._defrag()
-    assert srv.Tphys == 64
 
 
 def test_trimodal_greedy_matches_generate():
@@ -209,9 +208,8 @@ def test_prompt_too_long_rejected(setup):
 
 
 def test_budget_exceeding_cache_rejected(setup):
-    """A request whose prompt + max_new_tokens can outgrow the defrag
-    re-join window must be rejected at submit (it used to crash the
-    whole server mid-run after a few defrags — self-review r3)."""
+    """A request whose prompt + max_new_tokens cannot fit the cache
+    must be rejected at submit, not discovered mid-run."""
     cfg, params = setup
     srv = ContinuousServer(params, cfg, slots=1, eos_id=EOS, sp2_id=SP2,
                            max_prompt=32, prompt_bucket=16, sync_every=4,
@@ -287,11 +285,11 @@ def test_mesh_dp_server_shards_slots(setup):
     srv, meshed = _serve_greedy(rep, cfg, prompts, mesh, slots=4)
     assert meshed == single
     # state committed AND preserved through prefill/join/decode programs
-    for arr in (srv.cache.k, srv.mask, srv.lengths, srv.emo_slot):
+    for arr in (srv.cache.k, srv.cache.index, srv.emo_slot):
         spec = arr.sharding.spec
         assert "data" in str(spec), (arr.shape, spec)
-    shard_rows = {s.data.shape for s in srv.mask.addressable_shards}
-    assert shard_rows == {(1, srv.Tphys)}  # 4 slots / 4 devices
+    shard_rows = {s.data.shape for s in srv.cache.index.addressable_shards}
+    assert shard_rows == {(1,)}  # 4 slots / 4 devices
 
     with pytest.raises(ValueError, match="divisible by the mesh data"):
         ContinuousServer(rep, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
