@@ -563,6 +563,19 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         v_full = _write(v_full, v)
         k_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
         v_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+        # Decode-attention perf note (profiled on v5e, round 3): the
+        # slice+dot pair compiles to VPU loop fusions at ~196 (QK) /
+        # ~284 (PV) GB/s — the D=64 minor dim makes every cache read a
+        # half-tile, and an Lq=1 matvec is never routed to the MXU.
+        # Measured alternatives, all WORSE at S=64/T=384 (baseline
+        # 5.0 ms/step): optimization_barrier to split copy+fast-dot
+        # 10.2; broadcast q to 8 rows for MXU eligibility 7.7 (f32
+        # softmax chain x8 on the VPU); decode_scan_unroll=12 to make
+        # the layer index static 5.8. A bespoke Pallas decode kernel is
+        # blocked by per-pallas_call overhead on this runtime (a
+        # trivial kernel costs ~0.25-2.6 ms/call; 12 layer calls exceed
+        # the whole XLA step), and the library paged kernels reject
+        # H=12/D=64 geometry (results/decode_ablation.jsonl).
 
     # Single-token decode attention runs on XLA's fused path. A bespoke
     # block-skipping Pallas decode kernel (clamped BlockSpec index maps so
