@@ -171,3 +171,39 @@ def test_default_training_config_selects_block_kernel_on_tpu(monkeypatch):
     assert calls, "training step never reached the block-attention path"
     assert any(rate > 0 and seeded for _, rate, seeded in calls), (
         "attention dropout was not routed in-kernel", calls)
+
+
+def test_xl_head_geometry_tp_matches_single_device():
+    """gpt2-xl's 25 heads don't divide any model-axis degree, but the
+    Megatron specs shard FEATURE dims (4800 qkv columns / 8 = 600), and
+    GSPMD reshards around the [.., 25, 64] head split — the xl
+    "mesh territory" claim (single-chip xl training OOMs, README) rests
+    on this compiling AND agreeing exactly with single-device. Run at
+    xl head geometry (25 x 64 = 1600) with test depth."""
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.core.mesh import shard_params
+    from ergm_tpu.models import gpt2
+
+    assert jax.device_count() == 8
+    cfg = ModelConfig.from_model_type(
+        "gpt2-xl", n_layer=2, vocab_size=128, n_positions=64,
+        dtype="float32", embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        use_cross_attention=True)
+    assert (cfg.n_head, cfg.n_embd) == (25, 1600)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 128, (4, 32)), jnp.int32)
+    emo = jnp.asarray(rng.integers(0, 7, (4,)), jnp.int32)
+
+    def loss_fn(p):
+        return gpt2.forward(p, cfg, ids, labels=ids, emotion_labels=emo).loss
+
+    single = float(jax.jit(loss_fn)(params))
+    mesh = make_mesh((1, 8), ("data", "model"))
+    sp = shard_params(params, mesh)
+    with mesh:
+        meshed = float(jax.jit(loss_fn)(sp))
+        grads = jax.jit(jax.grad(loss_fn))(sp)
+    assert np.isfinite(single)
+    assert meshed == pytest.approx(single, rel=1e-6)
+    assert all(np.all(np.isfinite(g)) for g in jax.tree_util.tree_leaves(grads))
