@@ -488,10 +488,13 @@ def run_serve(cfg: TrainConfig, args):
             f"serving needs prompt + sync_every < n_positions "
             f"({mcfg.n_positions}); shorten the prompt or the model's "
             f"context is too small to serve it")
+    # logical cache length: with per-slot cursors the physical rung
+    # tracks max(active length), so a full-context cache costs nothing
+    # until requests actually grow into it — no workload tuning needed.
+    # --max_len below n_positions still caps it (submit rejects
+    # requests that cannot fit, loudly).
     cache_len = min(mcfg.n_positions,
-                    max(min(cfg.max_len, mcfg.n_positions),
-                        max_prompt + 2 * args.serve_sync + 64))
-    cache_len = max(cache_len, max_prompt + args.serve_sync + 1)
+                    max(cfg.max_len, max_prompt + args.serve_sync + 1))
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,

@@ -175,6 +175,14 @@ class ContinuousServer:
         self.caption_len = caption_len if c.use_cross_attention else 0
         self.sync_every = sync_every
         self.mod_dim = modality_dim or c.modality_dim
+        if c.kv_cache_dtype == "int8" and jax.default_backend() == "tpu":
+            import warnings
+            warnings.warn(
+                "int8 KV with per-slot serving cursors measured ~80x the "
+                "bfloat16 decode step on v5e (the int8 per-row write/layout "
+                "machinery, results/decode_ablation.jsonl server_int8_kv); "
+                "it stays available for memory-bound configurations, but "
+                "the serving default is the bf16 cache")
         # Bucketed PHYSICAL cache capacity: decode reads the whole KV
         # buffer every step (at S=64, T=512 the cache is ~5x the weight
         # bytes — the dominant read). With per-slot cursors the needed

@@ -509,8 +509,23 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             # 2.2x cheaper than the equivalent 2D [B, H] scatter on v5e
             # (1.16 vs 2.54 ms per 12-layer step at S=64, T=256), within
             # 15% of a scalar dynamic_update_slice
+            row = new[:, :, 0, :].astype(full.dtype)
+            Dm = full.shape[-1]
+            if full.dtype == jnp.int8 and Dm % 4 == 0:
+                # an int8 scatter compiles PATHOLOGICALLY on v5e (315 s
+                # for this one op vs 0.5 s for the f32 twin); pack 4
+                # int8 lanes into int32, scatter, bitcast back (1.2 s
+                # compile, byte-identical)
+                shp = full.shape
+                f32 = lax.bitcast_convert_type(
+                    full.reshape(*shp[:-1], Dm // 4, 4), jnp.int32)
+                n32 = lax.bitcast_convert_type(
+                    row.reshape(*row.shape[:-1], Dm // 4, 4), jnp.int32)
+                f32 = f32.at[li_int, b_ix, :, cache_index, :].set(
+                    n32, mode="drop")
+                return lax.bitcast_convert_type(f32, jnp.int8).reshape(shp)
             return full.at[li_int, b_ix, :, cache_index, :].set(
-                new[:, :, 0, :].astype(full.dtype), mode="drop")
+                row, mode="drop")
     else:
         tail = (kpos < (cache_index + L)).astype(jnp.float32)
         idx5 = (li_int, zero, zero, cache_index, zero)
@@ -527,7 +542,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         v_full = _write(v_full, vq)
         ks_full = _write(ks_full, ksc)
         vs_full = _write(vs_full, vsc)
-        if L == 1 and T >= 512:
+        if L == 1 and T >= 512 and not vec:
             # Scale-factored int8 attention: the per-(token, head) scales
             # factor OUT of both dots, so the einsums read the RAW int8
             # cache (a plain convert fuses into the dot's operand read;

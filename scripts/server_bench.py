@@ -42,6 +42,7 @@ SYNC = int(os.environ.get("SERVER_SYNC", 32))
 CACHE_LEN = int(os.environ.get("SERVER_CACHE_LEN", 0))  # 0 = auto
 GROW = int(os.environ.get("SERVER_GROW", 32))  # cache_grow_step; 0 = off
 MODEL = os.environ.get("SERVER_MODEL", "gpt2")
+KV = os.environ.get("SERVER_KV", "auto")  # kv_cache_dtype for both arms
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
 # dynamic static batching launches when full OR the oldest request has
@@ -70,7 +71,7 @@ def main():
     smoke = os.environ.get("SERVER_SMOKE", "0") not in ("0", "false")
     cfg = ModelConfig.from_model_type(
         MODEL, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        use_cross_attention=False)
+        use_cross_attention=False, kv_cache_dtype=KV)
     if smoke:
         cfg = cfg.replace(n_layer=2, n_head=4, n_embd=64, dtype="float32")
     params = jax.device_put(gpt2.params_for_inference(
