@@ -155,6 +155,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "<requests_file>.responses.jsonl).")
     p.add_argument("--serve_sync", type=int, default=8,
                    help="serve mode: decode steps per host sync block.")
+    p.add_argument("--serve_pipeline", action="store_true",
+                   help="serve mode: throughput mode — dispatch each decode "
+                        "block before harvesting the previous one, hiding "
+                        "the per-block host round trip behind device "
+                        "compute (costs one block of finish-detection lag; "
+                        "default synchronous order is the latency mode).")
     p.add_argument("--attn_pdrop", type=float, default=None,
                    help="Attention-probability dropout (default 0.1, the "
                         "reference's regularization; runs in-kernel on the "
@@ -498,7 +504,8 @@ def run_serve(cfg: TrainConfig, args):
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
-        sync_every=args.serve_sync, mesh=mesh)
+        sync_every=args.serve_sync, mesh=mesh,
+        pipeline=args.serve_pipeline)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

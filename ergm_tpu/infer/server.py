@@ -116,6 +116,7 @@ class _Slot:
     admitted_step: int = 0
     active: bool = False
     phys_len: int = 0            # host mirror of the device cursor
+    admitted_block: int = 0      # first decode block this row rides in
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -151,7 +152,8 @@ class ContinuousServer:
                  max_prompt: int = 256, cache_len: Optional[int] = None,
                  caption_len: int = 32, prompt_bucket: int = 64,
                  sync_every: int = 8, modality_dim: Optional[int] = None,
-                 mesh=None, cache_grow_step: int = 32):
+                 mesh=None, cache_grow_step: int = 32,
+                 pipeline: bool = False):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -194,6 +196,9 @@ class ContinuousServer:
         # bounded by len(ladder) programs. 0 disables (single rung at
         # cache_len).
         self.grow_step = cache_grow_step
+        # throughput mode: overlap each block's host round trip with the
+        # next block's device compute (see step())
+        self.pipeline = pipeline
 
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
@@ -329,6 +334,8 @@ class ContinuousServer:
         self.server_step = 0
         self.grows = 0
         self.shrinks = 0
+        self._inflight = None
+        self._block_ctr = 0
         self.Tphys = self._phys_for(self.prompt_bucket + self.sync_every + 1)
         self.cache = gpt2.init_kv_cache(c, self.S, self.Tphys,
                                         caption_len=self.caption_len,
@@ -377,13 +384,7 @@ class ContinuousServer:
         self.queue.append((rid, req, self.server_step, _time.time()))
         return rid
 
-    def step(self) -> List[Result]:
-        """One server iteration: admit into free slots, fit the capacity
-        rung, run a decode block, harvest completions. Returns results
-        finished this call."""
-        self._admit()
-        if not any(s.active for s in self.slots):
-            return []
+    def _fit_capacity(self) -> None:
         need = self._phys_for(self._capacity_need())
         if need > self.Tphys:
             self._grow_cache(need)
@@ -391,15 +392,58 @@ class ContinuousServer:
             # hysteresis: only reclaim once the need drops to half the
             # rung, so a long row finishing doesn't thrash grow/shrink
             self._shrink_cache(need)
-        finished = self._decode_block()
-        self.server_step += 1
+
+    def step(self) -> List[Result]:
+        """One server iteration: admit into free slots, fit the capacity
+        rung, run a decode block, harvest completions. Returns results
+        finished this call.
+
+        With ``pipeline=True`` the order changes to dispatch-first: the
+        block runs on device WHILE the host fetches the PREVIOUS
+        block's tokens, does its bookkeeping, and stages admissions for
+        the next block — hiding the per-block host round trip (~30 ms
+        on tunneled transports) behind device compute. The cost is one
+        block of finish-detection lag (a finished row junk-decodes one
+        extra block before its slot frees), so it is the THROUGHPUT
+        mode; the default synchronous order is the latency mode."""
+        if not self.pipeline:
+            self._admit()
+            if not any(s.active for s in self.slots):
+                return []
+            self._fit_capacity()
+            inflight = self._dispatch_block()
+            return self._harvest(inflight)
+
+        # pipelined: dispatch over the state staged last iteration
+        nxt = (self._dispatch_block()
+               if any(s.active for s in self.slots) else None)
+        finished = []
+        if self._inflight is not None:
+            # transfer + host bookkeeping overlap the dispatched block
+            finished = self._harvest(self._inflight)
+        self._inflight = nxt
+        # admissions (and capacity ops) enqueue AFTER the in-flight
+        # block: the new rows join the NEXT dispatch
+        self._admit()
+        if any(s.active for s in self.slots):
+            self._fit_capacity()
+        return finished
+
+    def flush(self) -> List[Result]:
+        """Harvest a still-in-flight pipelined block (no-op otherwise)."""
+        if self._inflight is None:
+            return []
+        finished = self._harvest(self._inflight)
+        self._inflight = None
         return finished
 
     def run_until_drained(self, max_iters: int = 10_000) -> Dict[int, Result]:
         for _ in range(max_iters):
-            if not self.queue and not any(s.active for s in self.slots):
+            if (not self.queue and not any(s.active for s in self.slots)
+                    and self._inflight is None):
                 break
             self.step()
+        self.flush()
         return self.results
 
     # -- admission / prefill ---------------------------------------------
@@ -606,6 +650,7 @@ class ContinuousServer:
             s.submitted_wall = wall
             s.active = True
             s.admitted_step = self.server_step
+            s.admitted_block = self._block_ctr
             s.generated = []
             s.has_first = False
             s.phys_len = len(req.prompt_ids)
@@ -685,7 +730,11 @@ class ContinuousServer:
         self._decode_cache[key] = decode_block
         return decode_block
 
-    def _decode_block(self) -> List[Result]:
+    def _dispatch_block(self):
+        """Enqueue one decode block; returns the in-flight handle
+        (block id + device arrays). Advances the per-slot cursor
+        mirrors — the device cursors move whether or not the host has
+        harvested yet."""
         all_greedy = all(s.req.greedy for s in self.slots if s.active)
         decode = self._decode_fn(all_greedy)
         t0 = _time.time()
@@ -694,16 +743,28 @@ class ContinuousServer:
                 self.params, self.cache, self.last,
                 self.cap_mask if self.caption_len else None,
                 self.rng, self.greedy_row, self.top_p_row)
-        t0 = self._tick("block_dispatch", t0)
-        # the block's ONE host round trip
-        toks_h, first_h, emo_h = jax.device_get(
-            (toks, self.first_tok, self.emo_slot))
+        self._tick("block_dispatch", t0)
+        block_id = self._block_ctr
+        self._block_ctr += 1
+        self.server_step += 1
+        for s in self.slots:
+            if s.active:
+                s.phys_len += self.sync_every
+        return (block_id, toks, self.first_tok, self.emo_slot)
+
+    def _harvest(self, inflight) -> List[Result]:
+        """Fetch one block's outputs (the block's ONE host round trip)
+        and do the token bookkeeping. Skips slots admitted after the
+        block was dispatched (pipelined mode: their tokens start in the
+        NEXT block)."""
+        block_id, toks, first_tok, emo_slot = inflight
+        t0 = _time.time()
+        toks_h, first_h, emo_h = jax.device_get((toks, first_tok, emo_slot))
         t0 = self._tick("block_wait", t0)
         finished = []
         for i, s in enumerate(self.slots):
-            if not s.active:
+            if not s.active or s.admitted_block > block_id:
                 continue
-            s.phys_len += self.sync_every   # mirror of the device cursor
             if not s.has_first:
                 s.generated = [int(first_h[i])]
                 s.has_first = True

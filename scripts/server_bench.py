@@ -43,6 +43,7 @@ CACHE_LEN = int(os.environ.get("SERVER_CACHE_LEN", 0))  # 0 = auto
 GROW = int(os.environ.get("SERVER_GROW", 32))  # cache_grow_step; 0 = off
 MODEL = os.environ.get("SERVER_MODEL", "gpt2")
 KV = os.environ.get("SERVER_KV", "auto")  # kv_cache_dtype for both arms
+PIPE = os.environ.get("SERVER_PIPELINE", "0") not in ("0", "false")
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
 # dynamic static batching launches when full OR the oldest request has
@@ -91,7 +92,8 @@ def main():
     srv = ContinuousServer(params, cfg, slots=SLOTS, eos_id=eos_id,
                            sp2_id=50258, max_prompt=MAX_PROMPT,
                            prompt_bucket=64, sync_every=SYNC,
-                           cache_len=cache_len, cache_grow_step=GROW)
+                           cache_len=cache_len, cache_grow_step=GROW,
+                           pipeline=PIPE)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -109,7 +111,8 @@ def main():
     wall = time.time() - t0
     got_new = sum(len(r.tokens) for r in results.values())
     lats = sorted(r.latency_s for r in results.values())
-    emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}",
+    emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}"
+                    + ("_pipe" if PIPE else ""),
           "requests": REQUESTS,
           "max_prompt": MAX_PROMPT, "new_range": [MIN_NEW, MAX_NEW],
           "model": MODEL, "wall_s": round(wall, 2),

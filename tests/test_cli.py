@@ -177,3 +177,16 @@ def test_serve_mode(workspace, monkeypatch):
         assert 1 <= len(r["tokens"]) <= 6
         assert 0 <= r["emotion_id"] < 7
         assert r["latency_s"] >= 0
+
+    # --serve_pipeline (throughput mode) must produce identical greedy
+    # output through the same CLI surface
+    out_pipe = workspace / "responses_pipe.jsonl"
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=2", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", "--serve_pipeline", f"--requests_file={reqs}",
+        f"--serve_output={out_pipe}",
+    ])
+    rows_pipe = [json.loads(l) for l in open(out_pipe) if l.strip()]
+    assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_pipe] \
+        == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]

@@ -294,3 +294,30 @@ def test_mesh_dp_server_shards_slots(setup):
     with pytest.raises(ValueError, match="divisible by the mesh data"):
         ContinuousServer(rep, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
                          max_prompt=32, mesh=mesh)
+
+
+def test_pipelined_mode_matches_generate(setup):
+    """pipeline=True (throughput mode: dispatch block N+1 before
+    harvesting block N) must stay byte-identical to plain generate —
+    including requests submitted mid-stream, which join one block later
+    than in synchronous mode."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 50, (n,)).tolist()
+               for n in (5, 11, 17, 8, 23, 14)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           pipeline=True)
+    r0 = srv.submit(Request(prompt_ids=prompts[0], max_new_tokens=8,
+                            greedy=True))
+    srv.step()
+    srv.step()
+    rids = [r0] + [srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                      greedy=True)) for p in prompts[1:]]
+    results = srv.run_until_drained()
+    assert set(results) == set(rids)
+    for rid, p in zip(rids, prompts):
+        want, emo = oracle_greedy(params, cfg, p, 8)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-4)
