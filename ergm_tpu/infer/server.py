@@ -70,7 +70,7 @@ from __future__ import annotations
 
 import time as _time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,15 @@ class Request:
     greedy: bool = False
     top_p: float = 0.95
     seed: int = 0
+    # streaming: called once per harvested block with
+    # (request_id, new_tokens, done) — new_tokens are the tokens this
+    # block added (eos included if emitted; junk past eos already
+    # discarded). Granularity is the block (sync_every tokens), the
+    # server's one host round trip per block — per-token callbacks
+    # would force a fetch per step, the exact cost the block design
+    # removes. In pipelined mode callbacks run one block late (the
+    # finish-detection lag documented on step()).
+    stream_cb: Optional[Callable[[int, List[int], bool], None]] = None
 
 
 @dataclass
@@ -765,6 +774,7 @@ class ContinuousServer:
         for i, s in enumerate(self.slots):
             if not s.active or s.admitted_block > block_id:
                 continue
+            n_before = len(s.generated)
             if not s.has_first:
                 s.generated = [int(first_h[i])]
                 s.has_first = True
@@ -772,7 +782,12 @@ class ContinuousServer:
                 if self._done(s):
                     break
                 s.generated.append(int(toks_h[k, i]))
-            if self._done(s):
+            done = self._done(s)
+            if s.req.stream_cb is not None:
+                new = s.generated[n_before:]
+                if new or done:
+                    s.req.stream_cb(s.request_id, new, done)
+            if done:
                 finished.append(self._finish(i, emo_h[i]))
         self._tick("harvest", t0)
         return finished

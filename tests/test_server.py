@@ -321,3 +321,34 @@ def test_pipelined_mode_matches_generate(setup):
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
         np.testing.assert_allclose(results[rid].emotion_logits, emo,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("pipeline", [False, True])
+def test_stream_callback(setup, pipeline):
+    """Request.stream_cb receives block-granular chunks that concatenate
+    exactly to the final Result.tokens, with done=True exactly once, in
+    both the synchronous and pipelined orders."""
+    cfg, params = setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 13, 21)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           pipeline=pipeline)
+    chunks: dict = {}
+
+    def cb(rid, new, done):
+        chunks.setdefault(rid, []).append((list(new), done))
+
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=7, greedy=True,
+                               stream_cb=cb))
+            for p in prompts]
+    results = srv.run_until_drained()
+    assert set(chunks) == set(rids)
+    for rid in rids:
+        streamed = [t for new, _ in chunks[rid] for t in new]
+        assert streamed == results[rid].tokens
+        dones = [done for _, done in chunks[rid]]
+        assert dones[-1] and not any(dones[:-1])
+        # block granularity: every chunk but the last is <= sync_every
+        # and only the first may carry the extra prefill token
+        assert all(len(new) <= 4 + 1 for new, _ in chunks[rid])
