@@ -155,6 +155,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "<requests_file>.responses.jsonl).")
     p.add_argument("--serve_sync", type=int, default=8,
                    help="serve mode: decode steps per host sync block.")
+    p.add_argument("--serve_spec_gamma", type=int, default=0,
+                   help="serve mode: speculative serving — draft this many "
+                        "tokens per macro step via device prompt-lookup "
+                        "(n-gram) and verify them in one forward; per-slot "
+                        "cursors advance by the accepted prefix + 1. Exact "
+                        "greedy output; blocks with sampled rows fall back "
+                        "to plain decode. 0 disables.")
+    p.add_argument("--serve_spec_ngram", type=int, default=3,
+                   help="serve mode: lookup n-gram length for "
+                        "--serve_spec_gamma.")
     p.add_argument("--serve_pipeline", action="store_true",
                    help="serve mode: throughput mode — dispatch each decode "
                         "block before harvesting the previous one, hiding "
@@ -505,7 +515,9 @@ def run_serve(cfg: TrainConfig, args):
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
         sync_every=args.serve_sync, mesh=mesh,
-        pipeline=args.serve_pipeline)
+        pipeline=args.serve_pipeline,
+        spec_gamma=args.serve_spec_gamma,
+        spec_ngram=args.serve_spec_ngram)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}
@@ -537,6 +549,9 @@ def run_serve(cfg: TrainConfig, args):
             f.write(json.dumps(row) + "\n")
     print(f"Served {len(reqs)} requests in {wall:.1f}s "
           f"({len(reqs) / max(wall, 1e-9):.1f} req/s) -> {out_path}")
+    if srv.spec_proposed:
+        print(f"speculative: {srv.spec_accepted}/{srv.spec_proposed} drafts "
+              f"accepted ({srv.spec_accepted / srv.spec_proposed:.0%})")
 
 
 def run_interact(cfg: TrainConfig, args=None):

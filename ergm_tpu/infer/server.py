@@ -162,7 +162,8 @@ class ContinuousServer:
                  caption_len: int = 32, prompt_bucket: int = 64,
                  sync_every: int = 8, modality_dim: Optional[int] = None,
                  mesh=None, cache_grow_step: int = 32,
-                 pipeline: bool = False):
+                 pipeline: bool = False,
+                 spec_gamma: int = 0, spec_ngram: int = 3):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -208,6 +209,30 @@ class ContinuousServer:
         # throughput mode: overlap each block's host round trip with the
         # next block's device compute (see step())
         self.pipeline = pipeline
+        # speculative serving (prompt-lookup drafting, greedy blocks
+        # only): each of the block's sync_every MACRO steps drafts
+        # spec_gamma tokens per slot from the most recent earlier
+        # occurrence of the last spec_ngram emitted tokens (a device
+        # token buffer [S, T]), verifies all gamma+1 positions in ONE
+        # forward, and advances each slot's cursor by its accepted
+        # prefix + 1 — per-slot variable advance, 1..gamma+1 tokens per
+        # macro step from the EXACT greedy distribution (the same
+        # rejection identity infer/speculative.py uses at B=1). Blocks
+        # with any sampled row fall back to the plain decode program
+        # (the token buffer then goes stale for those steps — exactness
+        # is unaffected, only lookup acceptance degrades).
+        self.spec_gamma = int(spec_gamma)
+        self.spec_ngram = int(spec_ngram)
+        if self.spec_gamma:
+            if pipeline:
+                raise ValueError(
+                    "spec_gamma with pipeline=True is unsupported: the "
+                    "host cursor mirror is only exact after a harvest, "
+                    "which pipelining defers past the next dispatch")
+            if self.spec_ngram < 1:
+                raise ValueError("spec_ngram must be >= 1")
+            if self.spec_ngram + self.spec_gamma >= self.T:
+                raise ValueError("spec_ngram + spec_gamma must be < cache_len")
 
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
@@ -275,9 +300,17 @@ class ContinuousServer:
     def _capacity_need(self) -> int:
         """Physical capacity this block needs: the longest active row's
         cursor (host mirror, exact at block boundaries) plus one block
-        of writes."""
+        of writes. A speculative block writes up to gamma+1 positions
+        per macro step (verify windows of rejected proposals included —
+        a dropped write that later turned out accepted would leave the
+        cursor pointing at zeros, so the rung must cover the worst
+        case)."""
         lens = [s.phys_len for s in self.slots if s.active]
-        return (max(lens) if lens else 0) + self.sync_every + 1
+        return (max(lens) if lens else 0) + self._per_block_writes() + 1
+
+    def _per_block_writes(self) -> int:
+        return self.sync_every * ((self.spec_gamma + 1) if self.spec_gamma
+                                  else 1)
 
     # -- public API -------------------------------------------------------
 
@@ -325,8 +358,9 @@ class ContinuousServer:
         # the per-slot cursor vector shards over the data axis too
         self.cache = c._replace(index=put(c.index, sh["row"]), **kv, **cross)
         for name in ("last", "cap_mask", "greedy_row",
-                     "top_p_row", "first_tok", "emo_slot"):
-            setattr(self, name, put(getattr(self, name), sh["row"]))
+                     "top_p_row", "first_tok", "emo_slot", "tokens"):
+            if getattr(self, name, None) is not None:
+                setattr(self, name, put(getattr(self, name), sh["row"]))
         self.rng = put(self.rng, sh["rep"])
 
     def _init_state(self, seed: int) -> None:
@@ -345,7 +379,8 @@ class ContinuousServer:
         self.shrinks = 0
         self._inflight = None
         self._block_ctr = 0
-        self.Tphys = self._phys_for(self.prompt_bucket + self.sync_every + 1)
+        self.Tphys = self._phys_for(self.prompt_bucket
+                                    + self._per_block_writes() + 1)
         self.cache = gpt2.init_kv_cache(c, self.S, self.Tphys,
                                         caption_len=self.caption_len,
                                         per_row_index=True)
@@ -362,6 +397,15 @@ class ContinuousServer:
         self.top_p_row = jnp.full((self.S,), 0.95, jnp.float32)
         self.first_tok = jnp.full((self.S,), self.eos_id, jnp.int32)
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
+        # speculative serving: device token buffer — tokens[s, p] is the
+        # token CONSUMED at logical position p of slot s (prompt written
+        # by the join; decode macro steps write the pending token +
+        # proposals at the cursor). Sized at the LOGICAL cap (static
+        # across capacity rungs; S x T int32 is tiny).
+        self.tokens = (jnp.full((self.S, self.T), self.eos_id, jnp.int32)
+                       if self.spec_gamma else None)
+        self.spec_proposed = 0
+        self.spec_accepted = 0
         self._place_state()
 
     def _tick(self, name: str, t0: float) -> float:
@@ -522,12 +566,13 @@ class ContinuousServer:
         if (pb, gb) in self._join_cache:
             return self._join_cache[(pb, gb)]
         cl = self.caption_len
+        spec = bool(self.spec_gamma)
 
         @jax.jit
         def join(cache, last, cap_mask_all,
                  greedy_all, topp_all, first_all, emo_all,
                  temp, emotion, greedy_tok, sampled_tok,
-                 meta, topp_g, cap_mask_g):
+                 meta, topp_g, cap_mask_g, tokens_all, ids_g):
             (slots_g, valid_i, length_g, greedy_i, _seeds_g, _ctr_g) = meta
             valid_g = valid_i.astype(bool)
             greedy_flags_g = greedy_i.astype(bool)
@@ -565,6 +610,15 @@ class ContinuousServer:
                     ck=cache.ck.at[:, slot_idx].set(temp.ck, mode="drop"),
                     cv=cache.cv.at[:, slot_idx].set(temp.cv, mode="drop"))
 
+            if spec:
+                # token buffer: left-aligned prompt ids at [0, len)
+                # (clip-duplicated tail junk is never read: lookups only
+                # match windows strictly below the cursor)
+                ids_aligned = jnp.take_along_axis(ids_g, src, axis=1)
+                twin = tokens_all[:, :pb]
+                twin = twin.at[slot_idx].set(ids_aligned, mode="drop")
+                tokens_all = tokens_all.at[:, :pb].set(twin)
+
             last = last.at[slot_idx, 0].set(first, mode="drop")
             greedy_all = greedy_all.at[slot_idx].set(greedy_flags_g,
                                                      mode="drop")
@@ -578,7 +632,7 @@ class ContinuousServer:
                 cap_mask_all = cap_mask_all.at[slot_idx].set(cap_mask_g,
                                                              mode="drop")
             return (cache, last, cap_mask_all,
-                    greedy_all, topp_all, first_all, emo_all)
+                    greedy_all, topp_all, first_all, emo_all, tokens_all)
 
         self._join_cache[(pb, gb)] = join
         return join
@@ -632,24 +686,26 @@ class ContinuousServer:
             return None if x is None else jnp.asarray(x)
 
         prefill = self._prefill_fn(pb, gb)
+        ids_dev = jnp.asarray(ids)
         meta_dev, topp_dev, cap_mask_dev = (jnp.asarray(meta),
                                             jnp.asarray(topp),
                                             jnp.asarray(cap_mask))
         with self._ctx():
             temp, greedy_tok, sampled_tok, emotion = prefill(
-                self.params, jnp.asarray(ids), meta_dev, topp_dev,
+                self.params, ids_dev, meta_dev, topp_dev,
                 put(tts), put(img), put(aud), put(cap_ids),
                 cap_mask_dev if any_cap else None)
 
             join = self._join_fn(pb, gb)
             (self.cache, self.last, self.cap_mask,
              self.greedy_row, self.top_p_row, self.first_tok,
-             self.emo_slot) = join(
+             self.emo_slot, self.tokens) = join(
                 self.cache, self.last, self.cap_mask,
                 self.greedy_row, self.top_p_row, self.first_tok,
                 self.emo_slot,
                 temp, emotion, greedy_tok, sampled_tok,
-                meta_dev, topp_dev, cap_mask_dev)
+                meta_dev, topp_dev, cap_mask_dev,
+                self.tokens, ids_dev if self.spec_gamma else None)
 
         for slot_idx, rid, req, sub, wall in entries:
             s = self.slots[slot_idx]
@@ -678,7 +734,7 @@ class ContinuousServer:
             by_pb.setdefault(pb, []).append((slot_idx, rid, req, sub, wall))
         # joins write the static [0, pb) window — capacity must cover
         # the largest bucket BEFORE the first join runs
-        need = self._phys_for(max(max(by_pb) + self.sync_every + 1,
+        need = self._phys_for(max(max(by_pb) + self._per_block_writes() + 1,
                                   self._capacity_need()))
         if need > self.Tphys:
             self._grow_cache(need)
@@ -739,36 +795,130 @@ class ContinuousServer:
         self._decode_cache[key] = decode_block
         return decode_block
 
+    def _spec_decode_fn(self):
+        """One specialization per capacity rung: sync_every MACRO steps,
+        each = device prompt-lookup draft (gamma proposals per slot from
+        the most recent earlier occurrence of the last spec_ngram
+        tokens) + ONE verify forward over gamma+1 positions + exact
+        greedy acceptance. Per-slot cursors advance by the accepted
+        prefix + 1 (1..gamma+1), so emitted tokens are ALWAYS a prefix
+        of the verify argmaxes y — the host just takes cnt[m, s] tokens
+        of y[m, s]."""
+        key = (self.Tphys, "spec")
+        if key in self._decode_cache:
+            return self._decode_cache[key]
+        c, S, cl = self.cfg, self.S, self.caption_len
+        M, G, N = self.sync_every, self.spec_gamma, self.spec_ngram
+        Tcap = self.T
+        W = Tcap - N - G  # candidate window starts (static)
+        step_tt = jnp.full((S, G + 1), self.sp2_id, jnp.int32)
+        b_ix = jnp.arange(S)
+
+        @jax.jit
+        def spec_block(params, cache, last, tokens, cap_mask):
+            def macro(m, st):
+                cache, last, tokens, out_toks, out_cnt = st
+                idx = cache.index  # [S]
+                # record the pending token at its position
+                tokens = tokens.at[b_ix, jnp.clip(idx, 0, Tcap - 1)].set(
+                    last[:, 0])
+                # lookup key: the last N consumed tokens (ends at idx)
+                key_pos = jnp.clip(
+                    idx[:, None] - (N - 1) + jnp.arange(N)[None, :],
+                    0, Tcap - 1)
+                kkey = tokens[b_ix[:, None], key_pos]  # [S, N]
+                eq = jnp.ones((S, W), bool)
+                for j in range(N):
+                    eq &= tokens[:, j:j + W] == kkey[:, j:j + 1]
+                tpos = jnp.arange(W)[None, :]
+                # window must END strictly before the current occurrence
+                eq &= tpos + N - 1 < idx[:, None]
+                eq &= (idx >= N)[:, None]
+                found = jnp.any(eq, axis=1)
+                t_star = jnp.where(
+                    found, W - 1 - jnp.argmax(eq[:, ::-1], axis=1), 0)
+                prop_pos = t_star[:, None] + N + jnp.arange(G)[None, :]
+                props = tokens[b_ix[:, None], prop_pos]  # [S, G]
+                # no match: propose the pending token repeated (free to
+                # verify; rejection keeps exactness)
+                props = jnp.where(found[:, None], props, last)
+                tokens = tokens.at[
+                    b_ix[:, None],
+                    jnp.clip(idx[:, None] + 1 + jnp.arange(G)[None, :],
+                             0, Tcap - 1)].set(props)
+                # ONE verify forward over [pending, props]
+                inp = jnp.concatenate([last, props], axis=1)  # [S, G+1]
+                pos = jnp.minimum(idx[:, None] + jnp.arange(G + 1)[None, :],
+                                  c.n_positions - 1)
+                out = gpt2.forward(
+                    params, c, inp, token_type_ids=step_tt,
+                    position_ids=pos, cache=cache,
+                    encoder_attention_mask=cap_mask if cl else None)
+                y = jnp.argmax(out.logits, -1).astype(jnp.int32)  # [S, G+1]
+                match = props == y[:, :G]
+                a = jnp.where(jnp.all(match, axis=1), G,
+                              jnp.argmin(match.astype(jnp.int32), axis=1))
+                cnt = a + 1  # emitted = y[:, :cnt]
+                new_last = jnp.take_along_axis(y, a[:, None], axis=1)
+                # roll the cursor back to the accepted prefix (the junk
+                # K/V above it is invisible and overwritten later)
+                cache = out.cache._replace(index=idx + cnt)
+                out_toks = out_toks.at[m].set(y)
+                out_cnt = out_cnt.at[m].set(cnt.astype(jnp.int32))
+                return (cache, new_last, tokens, out_toks, out_cnt)
+
+            out_toks = jnp.zeros((M, S, G + 1), jnp.int32)
+            out_cnt = jnp.zeros((M, S), jnp.int32)
+            st = (cache, last, tokens, out_toks, out_cnt)
+            return lax.fori_loop(0, M, macro, st)
+
+        self._decode_cache[key] = spec_block
+        return spec_block
+
     def _dispatch_block(self):
         """Enqueue one decode block; returns the in-flight handle
-        (block id + device arrays). Advances the per-slot cursor
-        mirrors — the device cursors move whether or not the host has
-        harvested yet."""
+        (block id + kind + device arrays). For plain blocks the per-slot
+        cursor mirrors advance here (the device cursors move whether or
+        not the host has harvested yet); speculative blocks advance a
+        VARIABLE per-slot amount, so their mirrors update at harvest
+        from the fetched counts (spec mode is synchronous-only, so the
+        mirror is exact again before the next dispatch)."""
         all_greedy = all(s.req.greedy for s in self.slots if s.active)
-        decode = self._decode_fn(all_greedy)
+        spec = bool(self.spec_gamma) and all_greedy
         t0 = _time.time()
-        with self._ctx():
-            (self.cache, self.last, self.rng, toks) = decode(
-                self.params, self.cache, self.last,
-                self.cap_mask if self.caption_len else None,
-                self.rng, self.greedy_row, self.top_p_row)
+        if spec:
+            decode = self._spec_decode_fn()
+            with self._ctx():
+                (self.cache, self.last, self.tokens, toks, cnts) = decode(
+                    self.params, self.cache, self.last, self.tokens,
+                    self.cap_mask if self.caption_len else None)
+        else:
+            decode = self._decode_fn(all_greedy)
+            with self._ctx():
+                (self.cache, self.last, self.rng, toks) = decode(
+                    self.params, self.cache, self.last,
+                    self.cap_mask if self.caption_len else None,
+                    self.rng, self.greedy_row, self.top_p_row)
+            cnts = None
         self._tick("block_dispatch", t0)
         block_id = self._block_ctr
         self._block_ctr += 1
         self.server_step += 1
-        for s in self.slots:
-            if s.active:
-                s.phys_len += self.sync_every
-        return (block_id, toks, self.first_tok, self.emo_slot)
+        if not spec:
+            for s in self.slots:
+                if s.active:
+                    s.phys_len += self.sync_every
+        return (block_id, spec, toks, cnts, self.first_tok, self.emo_slot)
 
     def _harvest(self, inflight) -> List[Result]:
         """Fetch one block's outputs (the block's ONE host round trip)
         and do the token bookkeeping. Skips slots admitted after the
         block was dispatched (pipelined mode: their tokens start in the
         NEXT block)."""
-        block_id, toks, first_tok, emo_slot = inflight
+        block_id, spec, toks, cnts, first_tok, emo_slot = inflight
         t0 = _time.time()
-        toks_h, first_h, emo_h = jax.device_get((toks, first_tok, emo_slot))
+        toks_h, cnts_h, first_h, emo_h = jax.device_get(
+            (toks, cnts, first_tok, emo_slot))
         t0 = self._tick("block_wait", t0)
         finished = []
         for i, s in enumerate(self.slots):
@@ -778,10 +928,21 @@ class ContinuousServer:
             if not s.has_first:
                 s.generated = [int(first_h[i])]
                 s.has_first = True
-            for k in range(self.sync_every):
-                if self._done(s):
-                    break
-                s.generated.append(int(toks_h[k, i]))
+            if spec:
+                for m in range(self.sync_every):
+                    c = int(cnts_h[m, i])
+                    s.phys_len += c
+                    self.spec_proposed += self.spec_gamma
+                    self.spec_accepted += c - 1
+                    for k in range(c):
+                        if self._done(s):
+                            break
+                        s.generated.append(int(toks_h[m, i, k]))
+            else:
+                for k in range(self.sync_every):
+                    if self._done(s):
+                        break
+                    s.generated.append(int(toks_h[k, i]))
             done = self._done(s)
             if s.req.stream_cb is not None:
                 new = s.generated[n_before:]

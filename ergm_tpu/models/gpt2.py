@@ -479,20 +479,21 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     int8 cache (ks_full/vs_full scales present) new tokens quantize on
     write and the slice dequantizes on read.
 
-    With a VECTOR ``cache_index`` ([B] per-row cursors, single-token
-    only) each row's K/V is written at its own position via one scatter
-    (out-of-range cursors drop — finished serving slots write nowhere),
-    and causality is enforced purely by the per-row tail mask
-    ``kpos <= index[b]`` — physical position == logical position, no
-    shared-cursor junk window.
+    With a VECTOR ``cache_index`` ([B] per-row cursors) each row's K/V
+    is written at its own position via one scatter (out-of-range
+    cursors drop — finished serving slots write nowhere), and causality
+    is enforced purely by the per-row tail mask ``kpos <= index[b]`` —
+    physical position == logical position, no shared-cursor junk
+    window. ``L > 1`` under per-row cursors is the speculative VERIFY
+    step (the server's prompt-lookup drafting): row b's window of L new
+    tokens is written at [index[b], index[b] + L) and query j may see
+    keys at kpos <= index[b] + j (a per-row shifted causal bias — the
+    caller rolls the cursor back to the accepted prefix afterwards).
     Returns (out, k_full, v_full, ks_full, vs_full)."""
     c = config
     L = h.shape[1]
     q, k, v = _qkv_heads(h, p, c)
     vec = cache_index.ndim == 1 if hasattr(cache_index, "ndim") else False
-    if vec and L != 1:
-        raise ValueError("per-row cache cursors support single-token decode "
-                         f"only (got L={L})")
     zero = jnp.zeros((), jnp.int32)
     dt = c.compute_dtype
     T = k_full.shape[-2]
@@ -500,17 +501,33 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     scale = _attn_scale(c, li)
     # Mask the unwritten cache tail; combined with any caller key mask.
     kpos = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    vec_bias = None
     if vec:
-        tail = (kpos < (cache_index[:, None] + 1)).astype(jnp.float32)
+        if L == 1:
+            tail = (kpos < (cache_index[:, None] + 1)).astype(jnp.float32)
+        else:
+            # verify window: query j of row b sees kpos <= index[b] + j
+            # — a [B, 1, L, T] additive bias (XLA decode path)
+            qoff = jnp.arange(L, dtype=jnp.int32)
+            allowed = (kpos[None, :, :]
+                       <= cache_index[:, None, None] + qoff[None, :, None])
+            vec_bias = jnp.where(allowed, 0.0, -1e9)[:, None, :, :]
+            tail = jnp.ones((1, T), jnp.float32)  # bias carries the mask
         b_ix = jnp.arange(B)
 
-        def _write(full, new):  # new [B, H, 1, Dm] at (li, b, :, idx[b], :)
+        def _write(full, new):  # new [B, H, L, Dm] at (li, b, :, idx[b]+j, :)
             # 1D advanced indices around the sliced H axis: measured
             # 2.2x cheaper than the equivalent 2D [B, H] scatter on v5e
             # (1.16 vs 2.54 ms per 12-layer step at S=64, T=256), within
             # 15% of a scalar dynamic_update_slice
-            row = new[:, :, 0, :].astype(full.dtype)
             Dm = full.shape[-1]
+            if L == 1:
+                row = new[:, :, 0, :].astype(full.dtype)  # [B, H, Dm]
+                ixs = (li_int, b_ix, slice(None), cache_index)
+            else:
+                row = new.transpose(0, 2, 1, 3).astype(full.dtype)  # [B,L,H,Dm]
+                t_ix = cache_index[:, None] + jnp.arange(L)[None, :]
+                ixs = (li_int, b_ix[:, None], slice(None), t_ix)
             if full.dtype == jnp.int8 and Dm % 4 == 0:
                 # an int8 scatter compiles PATHOLOGICALLY on v5e (315 s
                 # for this one op vs 0.5 s for the f32 twin); pack 4
@@ -521,11 +538,9 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
                     full.reshape(*shp[:-1], Dm // 4, 4), jnp.int32)
                 n32 = lax.bitcast_convert_type(
                     row.reshape(*row.shape[:-1], Dm // 4, 4), jnp.int32)
-                f32 = f32.at[li_int, b_ix, :, cache_index, :].set(
-                    n32, mode="drop")
+                f32 = f32.at[(*ixs, slice(None))].set(n32, mode="drop")
                 return lax.bitcast_convert_type(f32, jnp.int8).reshape(shp)
-            return full.at[li_int, b_ix, :, cache_index, :].set(
-                row, mode="drop")
+            return full.at[(*ixs, slice(None))].set(row, mode="drop")
     else:
         tail = (kpos < (cache_index + L)).astype(jnp.float32)
         idx5 = (li_int, zero, zero, cache_index, zero)
@@ -604,6 +619,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     out = multihead_attention(
         q, k_all, v_all, causal=not vec, kv_mask=kv_mask,
         q_mask=None if attn_mask is None else attn_mask[:, :L],
+        extra_bias=vec_bias if vec else None,
         scale=scale, causal_offset=0 if vec else cache_index,
         impl=c.attention_impl,
     )

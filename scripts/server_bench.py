@@ -44,6 +44,11 @@ GROW = int(os.environ.get("SERVER_GROW", 32))  # cache_grow_step; 0 = off
 MODEL = os.environ.get("SERVER_MODEL", "gpt2")
 KV = os.environ.get("SERVER_KV", "auto")  # kv_cache_dtype for both arms
 PIPE = os.environ.get("SERVER_PIPELINE", "0") not in ("0", "false")
+# speculative serving: draft length (0 = off) / lookup n-gram. NOTE the
+# acceptance rate — and thus any win — is workload-dependent: lookup
+# drafting only accepts when the continuation repeats earlier context.
+SPEC = int(os.environ.get("SERVER_SPEC", 0))
+SPEC_N = int(os.environ.get("SERVER_SPEC_NGRAM", 3))
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
 # dynamic static batching launches when full OR the oldest request has
@@ -93,7 +98,8 @@ def main():
                            sp2_id=50258, max_prompt=MAX_PROMPT,
                            prompt_bucket=64, sync_every=SYNC,
                            cache_len=cache_len, cache_grow_step=GROW,
-                           pipeline=PIPE)
+                           pipeline=PIPE, spec_gamma=SPEC,
+                           spec_ngram=SPEC_N)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -112,8 +118,12 @@ def main():
     got_new = sum(len(r.tokens) for r in results.values())
     lats = sorted(r.latency_s for r in results.values())
     emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}"
-                    + ("_pipe" if PIPE else ""),
+                    + ("_pipe" if PIPE else "")
+                    + (f"_spec{SPEC}n{SPEC_N}" if SPEC else ""),
           "requests": REQUESTS,
+          **({"spec_accept": round(srv.spec_accepted
+                                   / max(srv.spec_proposed, 1), 3)}
+             if SPEC else {}),
           "max_prompt": MAX_PROMPT, "new_range": [MIN_NEW, MAX_NEW],
           "model": MODEL, "wall_s": round(wall, 2),
           "utt_per_s": round(REQUESTS / wall, 1),

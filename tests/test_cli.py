@@ -190,3 +190,15 @@ def test_serve_mode(workspace, monkeypatch):
     rows_pipe = [json.loads(l) for l in open(out_pipe) if l.strip()]
     assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_pipe] \
         == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
+
+    # --serve_spec_gamma (speculative serving): same exact greedy output
+    out_spec = workspace / "responses_spec.jsonl"
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=2", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", "--serve_spec_gamma=3", "--serve_spec_ngram=2",
+        f"--requests_file={reqs}", f"--serve_output={out_spec}",
+    ])
+    rows_spec = [json.loads(l) for l in open(out_spec) if l.strip()]
+    assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_spec] \
+        == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]

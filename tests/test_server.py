@@ -352,3 +352,73 @@ def test_stream_callback(setup, pipeline):
         # block granularity: every chunk but the last is <= sync_every
         # and only the first may carry the extra prefill token
         assert all(len(new) <= 4 + 1 for new, _ in chunks[rid])
+
+
+def test_spec_serving_matches_generate(setup):
+    """Speculative serving (prompt-lookup drafts + one verify forward
+    per macro step, per-slot variable cursor advance) must stay
+    byte-identical to plain generate — across staggered admissions,
+    repetitive prompts (high acceptance) and random prompts (all-reject
+    path), and a row whose budget exactly fills the cache."""
+    cfg, params = setup
+    rng = np.random.default_rng(5)
+    rep = rng.integers(0, 50, (4,)).tolist() * 5
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (5, 11, 17)] \
+        + [rep, rep[:12] + rep[:8]]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3,
+                           spec_gamma=4, spec_ngram=3)
+    r0 = srv.submit(Request(prompt_ids=prompts[0], max_new_tokens=10,
+                            greedy=True))
+    srv.step()
+    rids = [r0] + [srv.submit(Request(prompt_ids=p, max_new_tokens=10,
+                                      greedy=True)) for p in prompts[1:]]
+    results = srv.run_until_drained()
+    for rid, p in zip(rids, prompts):
+        want, emo = oracle_greedy(params, cfg, p, 10)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-4)
+    # the repetitive prompts must actually exercise acceptance
+    assert srv.spec_accepted > 0 and srv.spec_proposed > 0
+
+    # budget exactly filling the cache (prompt + max_new - 1 == T)
+    srv.reset()
+    p = rng.integers(0, 50, (17,)).tolist()
+    budget = cfg.n_positions - 17 + 1
+    rid = srv.submit(Request(prompt_ids=p, max_new_tokens=budget,
+                             greedy=True))
+    res = srv.run_until_drained()[rid]
+    want, _ = oracle_greedy(params, cfg, p, budget)
+    assert res.tokens == want
+
+
+def test_spec_serving_mixed_sampler_fallback(setup):
+    """A sampled request mid-stream flips blocks onto the plain decode
+    program (token buffer goes stale); greedy rows must STILL match
+    generate byte-exactly once spec blocks resume."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    rep = rng.integers(0, 50, (5,)).tolist() * 4
+    g1, g2 = rep, rng.integers(0, 50, (13,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=2,
+                           spec_gamma=3, spec_ngram=2)
+    ra = srv.submit(Request(prompt_ids=g1, max_new_tokens=12, greedy=True))
+    rb = srv.submit(Request(prompt_ids=rng.integers(0, 50, (7,)).tolist(),
+                            max_new_tokens=4, greedy=False, top_p=0.9,
+                            seed=3))
+    srv.step()  # mixed block -> plain fallback
+    rc = srv.submit(Request(prompt_ids=g2, max_new_tokens=8, greedy=True))
+    results = srv.run_until_drained()
+    for rid, p, n in ((ra, g1, 12), (rc, g2, 8)):
+        want, _ = oracle_greedy(params, cfg, p, n)
+        assert results[rid].tokens == want, (results[rid].tokens, want)
+    assert len(results[rb].tokens) <= 4
+
+
+def test_spec_pipeline_conflict(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="pipeline"):
+        ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                         max_prompt=32, pipeline=True, spec_gamma=4)
