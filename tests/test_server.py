@@ -422,3 +422,34 @@ def test_spec_pipeline_conflict(setup):
     with pytest.raises(ValueError, match="pipeline"):
         ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
                          max_prompt=32, pipeline=True, spec_gamma=4)
+
+
+def test_mesh_spec_serving_matches_single_device(setup):
+    """Speculative serving on a data x model mesh (token buffer sharded
+    over the slot axis, lookup/verify/accept all under the mesh) must
+    emit the same greedy continuations as single-device spec serving —
+    and the same as plain generate."""
+    from ergm_tpu.core.mesh import make_mesh, shard_params
+
+    cfg, params = setup
+    rng = np.random.default_rng(12)
+    rep = rng.integers(0, 50, (4,)).tolist() * 4
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 13, 9)] + [rep]
+
+    def serve(p, mesh):
+        srv = ContinuousServer(p, cfg, slots=4, eos_id=EOS, sp2_id=SP2,
+                               max_prompt=32, prompt_bucket=16, sync_every=3,
+                               spec_gamma=3, spec_ngram=2, mesh=mesh)
+        rids = [srv.submit(Request(prompt_ids=pr, max_new_tokens=8,
+                                   greedy=True)) for pr in prompts]
+        res = srv.run_until_drained()
+        return srv, [res[r].tokens for r in rids]
+
+    _, single = serve(params, None)
+    mesh = make_mesh((2, 2), ("data", "model"))
+    srv, meshed = serve(shard_params(params, mesh), mesh)
+    assert meshed == single
+    assert "data" in str(srv.tokens.sharding.spec)
+    for toks, pr in zip(single, prompts):
+        want, _ = oracle_greedy(params, cfg, pr, 8)
+        assert toks == want
