@@ -31,8 +31,14 @@ from ergm_tpu.core.config import ModelConfig
 def _to_np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
-    # torch tensor without importing torch at module scope
-    return t.detach().cpu().numpy()
+    # torch tensor without importing torch at module scope. COPY, don't
+    # view: .numpy() shares the tensor's storage, and JAX's CPU backend
+    # zero-copies aligned numpy arrays into device buffers — the
+    # converted params would silently alias the live torch model, so a
+    # later optimizer step / load_state_dict / resize on the torch side
+    # would mutate them in place (caught by the training-dynamics parity
+    # test, whose torch loop trained "our" params through the alias).
+    return np.array(t.detach().cpu().numpy())
 
 
 def _strip_prefix(state: Mapping[str, Any]) -> Dict[str, np.ndarray]:
