@@ -198,6 +198,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Bucket quantum for batch sequence lengths; 64 with "
                         "--length_grouped recovers more pad waste at the "
                         "cost of up to 2x compiled shapes.")
+    p.add_argument("--save_on_preempt", type=int, default=1, choices=[0, 1],
+                   help="1 (default): on SIGTERM (spot/preemptible VM "
+                        "preemption) save an emergency checkpoint at the "
+                        "next step-block boundary and exit; resume with "
+                        "--ckpt_name=preempt. A second SIGTERM exits "
+                        "immediately.")
     return p
 
 
@@ -222,6 +228,7 @@ def args_to_config(args) -> TrainConfig:
         remat_policy=args.remat_policy,
         grad_accum_steps=args.grad_accum_steps,
         length_grouped=args.length_grouped, pad_multiple=args.pad_multiple,
+        save_on_preempt=bool(args.save_on_preempt),
     )
 
 

@@ -241,6 +241,12 @@ class TrainConfig:
     # gpt2). The LR schedule counts OPTIMIZER steps, so warmup/decay
     # match an equivalent large-batch run. 1 = off.
     grad_accum_steps: int = 1
+    # Preemption-safe training (TPU spot/preemptible VMs send SIGTERM):
+    # on the first SIGTERM the Trainer finishes the in-flight step block,
+    # saves an emergency checkpoint (ckpt_dir/preempt_ckpt — resume with
+    # --ckpt_name=preempt), and returns; a second SIGTERM restores the
+    # default handler (immediate exit). Cleared on clean completion.
+    save_on_preempt: bool = True
     # Length-grouped batching (K > 1 = on): sort examples by length
     # within megabatches of K*batch_size after the epoch shuffle, then
     # shuffle batch order — similar-length rows share a bucket, cutting

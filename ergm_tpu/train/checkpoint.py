@@ -66,6 +66,43 @@ def _prune_checkpoints(ckpt_dir: str, keep_best: int, protect: Optional[str] = N
         shutil.rmtree(os.path.join(ckpt_dir, entry), ignore_errors=True)
 
 
+PREEMPT_NAME = "preempt_ckpt"
+
+
+def save_preempt_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                            best_ppl: float) -> str:
+    """Emergency mid-training save on SIGTERM (TPU preemption).
+
+    Same payload as a best-PPL checkpoint, fixed name (each preemption
+    overwrites the previous one), never matched by the best-PPL pruning
+    or ``find_checkpoint``'s lowest-PPL scan — resume it explicitly with
+    ``--ckpt_name=preempt``. ``epoch`` must be the last COMPLETED epoch:
+    the optimizer state is mid-epoch, so resume re-runs the interrupted
+    epoch from its start (the data iterator position is not part of the
+    state; the LR schedule clamps at lr_end past its horizon)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), PREEMPT_NAME)
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": np.int32(epoch),
+        "best_ppl": np.float64(best_ppl),
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def clear_preempt_checkpoint(ckpt_dir: str) -> None:
+    """Remove a stale preemption checkpoint (called on clean training
+    completion — resuming it later would silently revert the params)."""
+    import shutil
+
+    path = os.path.join(os.path.abspath(ckpt_dir), PREEMPT_NAME)
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def restore_checkpoint(path: str, template_state: TrainState) -> Dict[str, Any]:
     """Restore into the shapes/dtypes of ``template_state``. Returns dict
     with 'state', 'epoch', 'best_ppl'."""
@@ -116,8 +153,11 @@ def restore_params(path: str, template_params) -> Any:
 
 
 def find_checkpoint(ckpt_dir: str, name: Optional[str] = None) -> Optional[str]:
-    """Resolve a checkpoint path: explicit name, or the best (lowest valid
-    ppl) when name is None or the sentinel "best"."""
+    """Resolve a checkpoint path: explicit name, the sentinel "preempt"
+    (the SIGTERM emergency checkpoint), or the best (lowest valid ppl)
+    when name is None or the sentinel "best"."""
+    if name == "preempt":
+        name = PREEMPT_NAME
     if name == "best":
         name = None
     if name is not None:

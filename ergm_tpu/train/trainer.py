@@ -269,9 +269,68 @@ class Trainer:
                        static=static, static_caps=static_caps,
                        length_grouped=cfg.length_grouped)
 
+    # -- preemption ------------------------------------------------------
+
+    def _install_preempt_handler(self):
+        """First SIGTERM sets a flag checked at step-block boundaries
+        (spot/preemptible TPU VMs deliver SIGTERM with a grace window);
+        a second SIGTERM falls through to the default handler. Returns
+        the previous handler (to restore), or None when not installed
+        (disabled, or not on the main thread — signal.signal raises
+        ValueError elsewhere)."""
+        import signal
+        import threading
+
+        if not getattr(self.cfg, "save_on_preempt", False):
+            return None
+        if threading.current_thread() is not threading.main_thread():
+            return None
+
+        def _on_term(sig, frame):
+            if self._preempted:
+                signal.signal(sig, signal.SIG_DFL)
+                os.kill(os.getpid(), sig)
+                return
+            self._preempted = True
+            print("SIGTERM: will save a preemption checkpoint at the next "
+                  "step-block boundary (send again to exit immediately)")
+
+        return signal.signal(signal.SIGTERM, _on_term)
+
+    def _preempt_agreed(self) -> bool:
+        """Cross-host agreement on the preempt flag: the cluster manager
+        may deliver SIGTERM to hosts at different instants, and the
+        orbax save below is a collective — every process must enter it
+        in the same step block or none may."""
+        if jax.process_count() <= 1:
+            return self._preempted
+        from jax.experimental import multihost_utils
+
+        return bool(np.max(multihost_utils.process_allgather(
+            np.int32(self._preempted))))
+
+    def _save_preempt(self) -> float:
+        path = ckpt_lib.save_preempt_checkpoint(
+            self.cfg.ckpt_dir, self.state, self.last_epoch, self.best_ppl)
+        print(f"Preemption checkpoint saved: {path} "
+              f"(resume with --ckpt_name=preempt)")
+        return self.best_ppl
+
     # -- loops -----------------------------------------------------------
 
     def train(self):
+        cfg = self.cfg
+        self._preempted = False
+        prev_handler = self._install_preempt_handler()
+        try:
+            return self._train_loop()
+        finally:
+            if prev_handler is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self):
         cfg = self.cfg
         print("Training starts.")
         start_epoch = self.last_epoch + 1
@@ -314,6 +373,10 @@ class Trainer:
                     step_stats.append((time.time() - bt0, btok, bflops, bn))
                     bt0 = time.time()
                     bn = btok = bflops = 0
+                    if self._preempt_agreed():
+                        # the barrier above drained the dispatch queue, so
+                        # self.state is materialized and consistent
+                        return self._save_preempt()
             if bn:
                 # barrier the partial block on its own LAST metrics dict
                 # before the bulk fetch: attributing the whole epoch's
@@ -365,7 +428,13 @@ class Trainer:
             if self.writer is not None:
                 self.writer.add_scalar("PPL_token_weighted/valid",
                                        self._last_valid_tw_ppl, epoch)
+            if self._preempt_agreed():
+                return self._save_preempt()
         print("Training finished!")
+        if getattr(cfg, "save_on_preempt", False) and jax.process_index() == 0:
+            # a stale emergency checkpoint resumed later would silently
+            # revert this run's result
+            ckpt_lib.clear_preempt_checkpoint(cfg.ckpt_dir)
         return self.best_ppl
 
     def validation(self):

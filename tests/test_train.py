@@ -91,6 +91,51 @@ def test_resume_restores_state(data_dir, tmp_path):
         tr.state.params, tr2.state.params)
 
 
+def test_preempt_sigterm_saves_and_resumes(data_dir, tmp_path, monkeypatch):
+    """SIGTERM during training (spot-VM preemption) saves an emergency
+    checkpoint at the next step-block boundary and returns; the run is
+    resumable with ckpt_name="preempt"; a clean completion clears it."""
+    import signal as signal_mod
+
+    from ergm_tpu.train import checkpoint as ckpt_lib
+    from ergm_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("ERGM_METRIC_FETCH_EVERY", "1")
+    tr = make_trainer(data_dir, tmp_path, num_epochs=2)
+
+    orig_install = Trainer._install_preempt_handler
+
+    def install_then_sigterm(self):
+        prev = orig_install(self)
+        assert prev is not None  # handler actually installed (main thread)
+        os.kill(os.getpid(), signal_mod.SIGTERM)  # delivered synchronously
+        return prev
+
+    monkeypatch.setattr(Trainer, "_install_preempt_handler", install_then_sigterm)
+    tr.train()
+    # flag was set before the first step block -> exactly one step ran
+    assert int(tr.state.step) == 1
+    preempt_dir = os.path.join(tr.cfg.ckpt_dir, ckpt_lib.PREEMPT_NAME)
+    assert os.path.isdir(preempt_dir)
+    # train() restored the previous SIGTERM disposition
+    assert signal_mod.getsignal(signal_mod.SIGTERM) is signal_mod.SIG_DFL
+
+    # resume from the emergency checkpoint and run to completion
+    monkeypatch.setattr(Trainer, "_install_preempt_handler", orig_install)
+    tr2 = make_trainer(data_dir, tmp_path, num_epochs=2, ckpt_name="preempt")
+    assert int(tr2.state.step) == 1
+    assert tr2.last_epoch == 0  # the interrupted epoch is re-run
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tr.state.params, tr2.state.params)
+    best = tr2.train()
+    assert math.isfinite(best)
+    # clean completion clears the stale emergency checkpoint
+    assert not os.path.isdir(preempt_dir)
+    assert any(n.startswith("best_ckpt_epoch=")
+               for n in os.listdir(tr2.cfg.ckpt_dir))
+
+
 def test_schedule_matches_reference_shape():
     """Warmup ramp + power-2 decay to lr_end (src/main.py:93-95)."""
     s = polynomial_warmup_schedule(1e-3, warmup_steps=10, total_steps=110, power=2.0)
