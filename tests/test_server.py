@@ -453,3 +453,52 @@ def test_mesh_spec_serving_matches_single_device(setup):
     for toks, pr in zip(single, prompts):
         want, _ = oracle_greedy(params, cfg, pr, 8)
         assert toks == want
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (0, dict(slots=3, sync_every=3)),
+    (1, dict(slots=2, sync_every=2, spec_gamma=2, spec_ngram=2)),
+    (2, dict(slots=3, sync_every=4, pipeline=True)),
+])
+def test_randomized_admission_stress(setup, seed, kw):
+    """Property check over a RANDOM admission schedule: any interleaving
+    of submissions and server iterations — arbitrary prompt lengths,
+    budgets, queue depths, idle steps on a drained server, capacity
+    grows/shrinks along the way — must emit byte-identical greedy
+    continuations to plain ``generate``, in all three serving modes
+    (plain, speculative, pipelined). The scenario tests pin specific
+    mechanisms; this pins their composition under schedules nobody
+    hand-picked."""
+    cfg, params = setup
+    rng = np.random.default_rng(100 + seed)
+    reqs = []
+    for _ in range(10):
+        n = int(rng.integers(3, 29))
+        # bias some prompts toward repetition so ngram lookup actually
+        # accepts (and per-slot advances diverge) in the spec scenario
+        if rng.random() < 0.4:
+            unit = rng.integers(0, 50, (max(n // 3, 1),)).tolist()
+            p = (unit * 4)[:n]
+        else:
+            p = rng.integers(0, 50, (n,)).tolist()
+        reqs.append((p, int(rng.integers(1, 15))))
+
+    srv = ContinuousServer(params, cfg, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16,
+                           cache_grow_step=16, **kw)
+    rids = {}
+    pending = list(reqs)
+    while pending or rids.keys() - srv.results.keys():
+        k = int(rng.integers(0, 4))
+        for p, budget in pending[:k]:
+            rids[srv.submit(Request(prompt_ids=p, max_new_tokens=budget,
+                                    greedy=True))] = (p, budget)
+        pending = pending[k:]
+        for _ in range(int(rng.integers(0, 3))):  # 0 = idle bookkeeping turn
+            srv.step()
+    results = srv.run_until_drained()
+    assert set(results) >= set(rids)
+    for rid, (p, budget) in rids.items():
+        want, _ = oracle_greedy(params, cfg, p, budget)
+        assert results[rid].tokens == want, (seed, p, budget,
+                                             results[rid].tokens, want)
