@@ -198,6 +198,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Bucket quantum for batch sequence lengths; 64 with "
                         "--length_grouped recovers more pad waste at the "
                         "cost of up to 2x compiled shapes.")
+    p.add_argument("--shard_opt_state", action="store_true",
+                   help="ZeRO-1: shard AdamW's fp32 moments over the mesh "
+                        "data axis instead of replicating them per chip "
+                        "(the memory that gates gpt2-xl under pure data "
+                        "parallelism). Requires a multi-device 'data' "
+                        "mesh axis.")
     p.add_argument("--save_on_preempt", type=int, default=1, choices=[0, 1],
                    help="1 (default): on SIGTERM (spot/preemptible VM "
                         "preemption) save an emergency checkpoint at the "
@@ -229,6 +235,7 @@ def args_to_config(args) -> TrainConfig:
         grad_accum_steps=args.grad_accum_steps,
         length_grouped=args.length_grouped, pad_multiple=args.pad_multiple,
         save_on_preempt=bool(args.save_on_preempt),
+        shard_opt_state=args.shard_opt_state,
     )
 
 

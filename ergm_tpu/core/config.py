@@ -241,6 +241,15 @@ class TrainConfig:
     # gpt2). The LR schedule counts OPTIMIZER steps, so warmup/decay
     # match an equivalent large-batch run. 1 = off.
     grad_accum_steps: int = 1
+    # ZeRO-1 (optimizer-state sharding over the mesh data axis): AdamW
+    # keeps fp32 moments per param, so pure DP replicates ~8 bytes/param
+    # of optimizer state per chip — the binding constraint for gpt2-xl
+    # (~15.5 GB of Adam state vs 15.75 GB v5e HBM). With this on, the
+    # moments shard over 'data' (core/mesh.zero1_sharding_tree) and the
+    # elementwise Adam update runs per shard. No effect on a 1-device
+    # data axis. Off by default: single-chip is the common case and the
+    # sharded update adds collectives the 1-chip path never needs.
+    shard_opt_state: bool = False
     # Preemption-safe training (TPU spot/preemptible VMs send SIGTERM):
     # on the first SIGTERM the Trainer finishes the in-flight step block,
     # saves an emergency checkpoint (ckpt_dir/preempt_ckpt — resume with

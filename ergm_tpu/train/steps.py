@@ -84,11 +84,17 @@ def _losses_and_metrics(params, config: ModelConfig, batch: Dict[str, jnp.ndarra
 
 
 def make_train_step(config: ModelConfig, tx: optax.GradientTransformation,
-                    mesh=None):
+                    mesh=None, opt_shardings=None):
     """Returns jitted step(state, batch, rng) -> (state, metrics).
 
     ``mesh`` (optional) lets the LM loss run its Pallas kernel per data
     shard via shard_map on multi-device meshes (see gpt2.forward).
+
+    ``opt_shardings`` (optional, ZeRO-1): a sharding pytree matching the
+    optimizer state — the constraint pins the UPDATED moments to their
+    sharded layout, so XLA computes the elementwise Adam update per
+    shard (slicing the psum-reduced grads) instead of replicating the
+    new state and resharding on the way out.
     """
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -101,6 +107,8 @@ def make_train_step(config: ModelConfig, tx: optax.GradientTransformation,
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if opt_shardings is not None:
+            new_opt = jax.lax.with_sharding_constraint(new_opt, opt_shardings)
         new_params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(new_params, new_opt, state.step + 1), metrics

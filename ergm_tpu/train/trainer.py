@@ -122,7 +122,20 @@ class Trainer:
             else jax.device_put(params, replicated(self.mesh))
         self.state = create_train_state(params, self.tx)
 
-        self.train_step = make_train_step(self.mcfg, self.tx, mesh=self.mesh)
+        opt_shardings = None
+        if (getattr(cfg, "shard_opt_state", False)
+                and int(self.mesh.shape.get("data", 1)) > 1):
+            # ZeRO-1: AdamW's fp32 moments dominate DP memory (gpt2-xl:
+            # ~15.5 GB of Adam state vs 15.75 GB of v5e HBM); shard them
+            # over the data axis (core/mesh.zero1_sharding_tree)
+            from ergm_tpu.core.mesh import shard_opt_state, zero1_sharding_tree
+
+            self.state = self.state._replace(
+                opt_state=shard_opt_state(self.state.opt_state, self.mesh))
+            opt_shardings = zero1_sharding_tree(self.state.opt_state, self.mesh)
+
+        self.train_step = make_train_step(self.mcfg, self.tx, mesh=self.mesh,
+                                          opt_shardings=opt_shardings)
         self.eval_step = make_eval_step(self.mcfg, mesh=self.mesh)
         # typed key so the impl tag survives fold_in inside the jitted step
         self.rng = jax.random.key(cfg.seed, impl=cfg.prng_impl)

@@ -91,6 +91,52 @@ def test_resume_restores_state(data_dir, tmp_path):
         tr.state.params, tr2.state.params)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_zero1_opt_state_sharding(data_dir, tmp_path):
+    """--shard_opt_state (ZeRO-1): Adam moments shard 8-way over the
+    data axis, training matches the replicated run, and checkpoint
+    resume restores the sharded layout."""
+    tr_rep = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=8,
+                          mesh_shape=(8,),
+                          ckpt_dir=os.path.join(str(tmp_path), "ckpt_rep"))
+    tr_z1 = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=8,
+                         mesh_shape=(8,), shard_opt_state=True,
+                         ckpt_dir=os.path.join(str(tmp_path), "ckpt_z1"))
+
+    # the big moment leaves are physically sharded: per-device shard
+    # bytes = 1/8 of the leaf
+    big = [x for x in jax.tree_util.tree_leaves(tr_z1.state.opt_state)
+           if hasattr(x, "size") and x.size >= 8 and x.ndim >= 1]
+    assert big, "no shardable optimizer-state leaves found"
+    sharded = [x for x in big
+               if x.addressable_shards[0].data.size * 8 == x.size]
+    assert len(sharded) >= len(big) // 2, (
+        f"only {len(sharded)}/{len(big)} large opt-state leaves sharded")
+
+    best_rep = tr_rep.train()
+    best_z1 = tr_z1.train()
+    assert best_z1 == pytest.approx(best_rep, rel=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        tr_rep.state.params, tr_z1.state.params)
+    # the step output preserved the ZeRO-1 layout (the constraint held)
+    big_after = [x for x in jax.tree_util.tree_leaves(tr_z1.state.opt_state)
+                 if hasattr(x, "size") and x.size >= 8 and x.ndim >= 1]
+    assert any(x.addressable_shards[0].data.size * 8 == x.size
+               for x in big_after)
+
+    # resume restores into the sharded template
+    tr_z2 = make_trainer(data_dir, tmp_path, num_epochs=1, batch_size=8,
+                         mesh_shape=(8,), shard_opt_state=True,
+                         ckpt_dir=os.path.join(str(tmp_path), "ckpt_z1"),
+                         ckpt_name="best")
+    assert int(tr_z2.state.step) == int(tr_z1.state.step)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        tr_z1.state.params, tr_z2.state.params)
+
+
 def test_preempt_sigterm_saves_and_resumes(data_dir, tmp_path, monkeypatch):
     """SIGTERM during training (spot-VM preemption) saves an emergency
     checkpoint at the next step-block boundary and returns; the run is
