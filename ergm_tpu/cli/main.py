@@ -150,6 +150,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "or {'text': '...'} (text needs --tokenizer_dir); "
                         "optional max_new_tokens/top_p/greedy/seed/"
                         "caption_ids/arrival_s per line.")
+    p.add_argument("--serve_http", type=int, default=None, metavar="PORT",
+                   help="serve mode: run an online HTTP endpoint on "
+                        "localhost:PORT instead of a batch requests file "
+                        "(POST /generate with prompt|text + stream flag, "
+                        "GET /health; infer/http_server.py).")
     p.add_argument("--serve_output", type=str, default=None,
                    help="serve mode: output JSONL (default "
                         "<requests_file>.responses.jsonl).")
@@ -464,7 +469,8 @@ def run_serve(cfg: TrainConfig, args):
     from ergm_tpu.models import gpt2
     from ergm_tpu.train import checkpoint as ckpt_lib
 
-    assert args.requests_file, "serve mode needs --requests_file"
+    assert args.requests_file or args.serve_http, \
+        "serve mode needs --requests_file (batch) or --serve_http PORT (online)"
     st = read_meta(cfg.data_dir)
     mcfg = ModelConfig.from_model_type(
         cfg.model_type, vocab_size=st.vocab_size, dtype=cfg.dtype,
@@ -484,6 +490,26 @@ def run_serve(cfg: TrainConfig, args):
         print(f"Serving over mesh {dict(mesh.shape)}")
     tokenizer = (_load_tokenizer(cfg.tokenizer_dir, st)
                  if cfg.tokenizer_dir else None)
+
+    if args.serve_http:
+        from ergm_tpu.infer.http_server import ServerFrontend
+
+        max_prompt = max(
+            64, (min(cfg.max_len, mcfg.n_positions - args.serve_sync - 1)
+                 // 64) * 64)
+        srv = ContinuousServer(
+            params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
+            sp2_id=st.sp2_id, max_prompt=max_prompt,
+            cache_len=mcfg.n_positions, sync_every=args.serve_sync,
+            mesh=mesh, pipeline=args.serve_pipeline,
+            spec_gamma=args.serve_spec_gamma,
+            spec_ngram=args.serve_spec_ngram)
+        fe = ServerFrontend(srv, tokenizer=tokenizer,
+                            port=args.serve_http).start()
+        print(f"Serving HTTP on http://{fe.host}:{fe.port} "
+              f"(POST /generate, GET /health; Ctrl-C to stop)")
+        fe.serve_forever()
+        return
 
     raw = []
     with open(args.requests_file) as f:

@@ -1,0 +1,260 @@
+"""HTTP front end for the continuous-batching server (stdlib-only).
+
+The JSONL serve mode (cli ``--mode=serve --requests_file``) is batch
+serving; this module is the ONLINE surface: a localhost HTTP endpoint
+whose requests join the same ContinuousServer slots at block
+boundaries, with optional per-block streaming.
+
+    POST /generate   {"prompt": [ids...] | "text": "...",
+                      "max_new_tokens": 64, "greedy": true,
+                      "top_p": 0.95, "seed": 0, "stream": false,
+                      "caption_ids": [...] | "caption": "..."}
+      -> {"tokens": [...], "text": "...", "emotion_id": k,
+          "latency_s": s}                            (stream=false)
+      -> JSON lines {"tokens": [...], "text": ..., "done": false} ...
+         closing with {"done": true, "emotion_id": k, "latency_s": s}
+                                                     (stream=true;
+         chunk granularity is the server's sync_every block — its one
+         host round trip; see Request.stream_cb)
+    GET  /health     {"slots": S, "active": n, "queued": m, "served": k}
+
+Threading model: ``ContinuousServer`` is single-owner (submit/step
+mutate host state unlocked), so ONE driver thread owns it — HTTP
+handler threads only enqueue (Request, reply-queue) pairs onto a
+thread-safe inbox and block on their own reply queue; the driver drains
+the inbox between decode blocks, so admission keeps the continuous-
+batching property (requests join mid-stream, no batch window). Stream
+chunks ride the same reply queue via Request.stream_cb, which the
+server calls from the driver thread inside step().
+
+Reference anchor: no counterpart (the reference is batch-only,
+src/main.py:291); this is the production-serving surface on top of
+infer/server.py.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ergm_tpu.infer.server import ContinuousServer, Request
+
+
+class ServerFrontend:
+    """Owns the driver thread and the HTTP listener.
+
+    Usage::
+
+        fe = ServerFrontend(srv, tokenizer=tok, port=8000)
+        fe.start()          # returns immediately; fe.port is bound
+        ...
+        fe.close()
+    """
+
+    def __init__(self, server: ContinuousServer, tokenizer=None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 eos_id: Optional[int] = None, idle_sleep_s: float = 0.002):
+        self.srv = server
+        self.tok = tokenizer
+        self.eos_id = eos_id if eos_id is not None else server.eos_id
+        self.idle_sleep_s = idle_sleep_s
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._served = 0
+        self._replies = {}  # rid -> reply queue (driver thread only)
+
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # one response per connection (HTTP/1.0 close semantics) keeps
+            # streaming trivial: write chunks, flush, close
+            protocol_version = "HTTP/1.0"
+
+            def log_message(self, fmt, *args):  # stay quiet
+                pass
+
+            def do_GET(self):
+                if self.path != "/health":
+                    self.send_error(404)
+                    return
+                body = json.dumps(frontend.health()).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/generate":
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    req, stream = frontend._build_request(payload)
+                except Exception as e:  # noqa: BLE001 — user input boundary
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                reply: "queue.Queue" = queue.Queue()
+                frontend._inbox.put((req, reply, stream))
+                first = reply.get()
+                if first[0] == "error":
+                    body = json.dumps({"error": first[1]}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if not stream:
+                    # first is ("result", row)
+                    body = json.dumps(first[1]).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/jsonl")
+                self.end_headers()
+                msg = first
+                while True:
+                    self.wfile.write((json.dumps(msg[1]) + "\n").encode())
+                    self.wfile.flush()
+                    if msg[1].get("done"):
+                        break
+                    msg = reply.get()
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._driver = threading.Thread(target=self._drive, daemon=True,
+                                        name="ergm-serve-driver")
+        self._listener = threading.Thread(target=self.httpd.serve_forever,
+                                          daemon=True, name="ergm-serve-http")
+
+    # -- request construction (handler threads; touches no server state) --
+
+    def _build_request(self, payload):
+        if "prompt" in payload:
+            ids = [int(t) for t in payload["prompt"]]
+        elif "text" in payload:
+            if self.tok is None:
+                raise ValueError("text requests need a tokenizer "
+                                 "(--tokenizer_dir)")
+            ids = self.tok.encode(payload["text"])
+        else:
+            raise ValueError("request needs 'prompt' or 'text'")
+        caps = payload.get("caption_ids")
+        if caps is None and payload.get("caption"):
+            if self.tok is None:
+                raise ValueError("'caption' text needs a tokenizer; pass "
+                                 "'caption_ids' otherwise")
+            caps = self.tok.encode(payload["caption"])
+        req = Request(
+            prompt_ids=ids, caption_ids=caps,
+            max_new_tokens=int(payload.get("max_new_tokens", 64)),
+            greedy=bool(payload.get("greedy", False)),
+            top_p=float(payload.get("top_p", 0.95)),
+            seed=int(payload.get("seed", 0)))
+        return req, bool(payload.get("stream", False))
+
+    def _decode(self, tokens):
+        if self.tok is None:
+            return None
+        stop = tokens[:-1] if (tokens and tokens[-1] == self.eos_id) else tokens
+        return self.tok.decode(stop)
+
+    # -- driver thread -----------------------------------------------------
+
+    def _admit_from_inbox(self):
+        while True:
+            try:
+                req, reply, stream = self._inbox.get_nowait()
+            except queue.Empty:
+                return
+            if stream:
+                def cb(rid, new, done, _reply=reply):
+                    # driver thread, inside step(); ship the block's chunk
+                    row = {"tokens": list(new), "done": False}
+                    txt = self._decode(list(new))
+                    if txt is not None:
+                        row["text"] = txt
+                    _reply.put(("chunk", row))
+                req.stream_cb = cb
+            try:
+                rid = self.srv.submit(req)
+            except ValueError as e:  # too long for the cache: reject loudly
+                reply.put(("error", str(e)))
+                continue
+            self._replies[rid] = (reply, stream)
+
+    def _deliver(self, results):
+        for res in results:
+            entry = self._replies.pop(res.request_id, None)
+            if entry is None:
+                continue
+            reply, stream = entry
+            row = {"emotion_id": int(np.argmax(res.emotion_logits)),
+                   "latency_s": round(res.latency_s, 4)}
+            if stream:
+                row["done"] = True
+                reply.put(("chunk", row))
+            else:
+                row["tokens"] = res.tokens
+                txt = self._decode(res.tokens)
+                if txt is not None:
+                    row["text"] = txt
+                reply.put(("result", row))
+            self._served += 1
+
+    def _drive(self):
+        while not self._stop.is_set():
+            self._admit_from_inbox()
+            busy = self.srv.queue or any(s.active for s in self.srv.slots)
+            if busy:
+                self._deliver(self.srv.step())
+            else:
+                # drain a pipelined in-flight block, then idle
+                self._deliver(self.srv.flush())
+                time.sleep(self.idle_sleep_s)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def health(self):
+        return {"slots": self.srv.S,
+                "active": sum(1 for s in self.srv.slots if s.active),
+                "queued": len(self.srv.queue),
+                "served": self._served}
+
+    def start(self):
+        self._driver.start()
+        self._listener.start()
+        return self
+
+    def close(self):
+        self._stop.set()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._driver.join(timeout=30)
+
+    def serve_forever(self):
+        """Block until interrupted (CLI path)."""
+        try:
+            while True:
+                time.sleep(1)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.close()

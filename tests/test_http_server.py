@@ -1,0 +1,115 @@
+"""HTTP front end over the continuous-batching server
+(ergm_tpu/infer/http_server.py): concurrent localhost clients, greedy
+oracle equality, block streaming, health and error surfaces."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.infer.http_server import ServerFrontend
+from ergm_tpu.infer.server import ContinuousServer
+from ergm_tpu.models import gpt2
+
+VOCAB, EOS, SP2 = 64, 60, 61
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    cfg = ModelConfig(vocab_size=VOCAB, n_positions=256, n_embd=32, n_layer=2,
+                      n_head=4, use_cross_attention=False, dtype="float32",
+                      embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    fe = ServerFrontend(srv, port=0).start()
+    yield fe, cfg, params
+    fe.close()
+
+
+def _post(fe, payload, timeout=300):
+    req = urllib.request.Request(
+        f"http://{fe.host}:{fe.port}/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=timeout)
+
+
+def _oracle(params, cfg, prompt, max_new):
+    from ergm_tpu.infer.generate import generate
+    import jax.numpy as jnp
+
+    ids = jnp.asarray(np.asarray(prompt)[None], jnp.int32)
+    out = generate(params, cfg, ids, len(prompt),
+                   max_len=min(len(prompt) + max_new, cfg.n_positions),
+                   eos_id=EOS, sp2_id=SP2, greedy=True,
+                   token_type_ids=jnp.full_like(ids, SP2),
+                   rng=jax.random.PRNGKey(0))
+    return np.asarray(out.tokens[0])[len(prompt):int(out.lengths[0])].tolist()
+
+
+def test_concurrent_requests_match_oracle(frontend):
+    fe, cfg, params = frontend
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (5, 11, 17, 8)]
+    outs = [None] * len(prompts)
+
+    def worker(i):
+        with _post(fe, {"prompt": prompts[i], "max_new_tokens": 8,
+                        "greedy": True}) as r:
+            outs[i] = json.loads(r.read())
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for p, o in zip(prompts, outs):
+        assert o["tokens"] == _oracle(params, cfg, p, 8)
+        assert 0 <= o["emotion_id"] < 7
+        assert o["latency_s"] > 0
+
+
+def test_streaming_chunks_concatenate(frontend):
+    fe, cfg, params = frontend
+    rng = np.random.default_rng(1)
+    p = rng.integers(0, 50, (9,)).tolist()
+    rows = []
+    with _post(fe, {"prompt": p, "max_new_tokens": 10, "greedy": True,
+                    "stream": True}) as r:
+        for line in r:
+            rows.append(json.loads(line))
+    assert rows[-1]["done"] is True and "emotion_id" in rows[-1]
+    toks = [t for row in rows[:-1] for t in row["tokens"]]
+    assert not rows[-1].get("tokens")
+    assert toks == _oracle(params, cfg, p, 10)
+    # block granularity: more than one chunk for a 10-token budget at
+    # sync_every=3
+    assert len(rows) > 2
+
+
+def test_health_and_errors(frontend):
+    fe, _, _ = frontend
+    with urllib.request.urlopen(
+            f"http://{fe.host}:{fe.port}/health", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["slots"] == 2 and h["served"] >= 1
+
+    # no prompt/text -> 400 at parse time
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(fe, {"max_new_tokens": 4})
+    assert e.value.code == 400
+    # prompt too long for the cache -> 400 from submit-side validation
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(fe, {"prompt": list(range(40)), "max_new_tokens": 4})
+    assert e.value.code == 400
+    # text without a tokenizer -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(fe, {"text": "hello"})
+    assert e.value.code == 400
