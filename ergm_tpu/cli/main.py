@@ -469,7 +469,7 @@ def run_serve(cfg: TrainConfig, args):
     from ergm_tpu.models import gpt2
     from ergm_tpu.train import checkpoint as ckpt_lib
 
-    assert args.requests_file or args.serve_http, \
+    assert args.requests_file or args.serve_http is not None, \
         "serve mode needs --requests_file (batch) or --serve_http PORT (online)"
     st = read_meta(cfg.data_dir)
     mcfg = ModelConfig.from_model_type(
@@ -491,7 +491,7 @@ def run_serve(cfg: TrainConfig, args):
     tokenizer = (_load_tokenizer(cfg.tokenizer_dir, st)
                  if cfg.tokenizer_dir else None)
 
-    if args.serve_http:
+    if args.serve_http is not None:  # port 0 = ephemeral, still truthy intent
         from ergm_tpu.infer.http_server import ServerFrontend
 
         max_prompt = max(
@@ -504,8 +504,9 @@ def run_serve(cfg: TrainConfig, args):
             mesh=mesh, pipeline=args.serve_pipeline,
             spec_gamma=args.serve_spec_gamma,
             spec_ngram=args.serve_spec_ngram)
-        fe = ServerFrontend(srv, tokenizer=tokenizer,
-                            port=args.serve_http).start()
+        fe = ServerFrontend(srv, tokenizer=tokenizer, port=args.serve_http,
+                            default_top_p=cfg.top_p,
+                            default_seed=cfg.seed).start()
         print(f"Serving HTTP on http://{fe.host}:{fe.port} "
               f"(POST /generate, GET /health; Ctrl-C to stop)")
         fe.serve_forever()
@@ -517,24 +518,11 @@ def run_serve(cfg: TrainConfig, args):
             line = line.strip()
             if line:
                 raw.append(json.loads(line))
-    reqs = []
-    for r in raw:
-        if "prompt" in r:
-            ids = [int(t) for t in r["prompt"]]
-        elif "text" in r:
-            assert tokenizer is not None,                 "text requests need --tokenizer_dir"
-            ids = tokenizer.encode(r["text"])
-        else:
-            raise ValueError(f"request needs 'prompt' or 'text': {r}")
-        caps = r.get("caption_ids")
-        if caps is None and r.get("caption") and tokenizer is not None:
-            caps = tokenizer.encode(r["caption"])
-        reqs.append((Request(
-            prompt_ids=ids, caption_ids=caps,
-            max_new_tokens=int(r.get("max_new_tokens", 128)),
-            greedy=bool(r.get("greedy", False)),
-            top_p=float(r.get("top_p", cfg.top_p)),
-            seed=int(r.get("seed", cfg.seed))), float(r.get("arrival_s", 0.0))))
+    from ergm_tpu.infer.server import request_from_json
+
+    reqs = [(request_from_json(r, tokenizer, default_top_p=cfg.top_p,
+                               default_seed=cfg.seed),
+             float(r.get("arrival_s", 0.0))) for r in raw]
 
     max_prompt = max((len(q.prompt_ids) for q, _ in reqs), default=64)
     max_prompt = ((max_prompt + 63) // 64) * 64

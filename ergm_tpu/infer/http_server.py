@@ -43,7 +43,7 @@ from typing import Optional
 
 import numpy as np
 
-from ergm_tpu.infer.server import ContinuousServer, Request
+from ergm_tpu.infer.server import ContinuousServer, request_from_json
 
 
 class ServerFrontend:
@@ -59,15 +59,22 @@ class ServerFrontend:
 
     def __init__(self, server: ContinuousServer, tokenizer=None,
                  host: str = "127.0.0.1", port: int = 0,
-                 eos_id: Optional[int] = None, idle_sleep_s: float = 0.002):
+                 eos_id: Optional[int] = None, idle_sleep_s: float = 0.002,
+                 default_max_new: int = 128, default_top_p: float = 0.95,
+                 default_seed: int = 0):
         self.srv = server
         self.tok = tokenizer
         self.eos_id = eos_id if eos_id is not None else server.eos_id
         self.idle_sleep_s = idle_sleep_s
+        self.defaults = dict(default_max_new=default_max_new,
+                             default_top_p=default_top_p,
+                             default_seed=default_seed)
         self._inbox: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._served = 0
+        self._failure: Optional[str] = None  # driver-thread crash message
         self._replies = {}  # rid -> reply queue (driver thread only)
+        self._streamed = {}  # rid -> chars of text already emitted
 
         frontend = self
 
@@ -106,12 +113,21 @@ class ServerFrontend:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if frontend._failure is not None:
+                    body = json.dumps({"error": frontend._failure}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 reply: "queue.Queue" = queue.Queue()
                 frontend._inbox.put((req, reply, stream))
-                first = reply.get()
+                first = frontend._await(reply)
                 if first[0] == "error":
+                    code = 503 if frontend._failure is not None else 400
                     body = json.dumps({"error": first[1]}).encode()
-                    self.send_response(400)
+                    self.send_response(code)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
@@ -131,11 +147,13 @@ class ServerFrontend:
                 self.end_headers()
                 msg = first
                 while True:
-                    self.wfile.write((json.dumps(msg[1]) + "\n").encode())
+                    row = (msg[1] if msg[0] != "error"
+                           else {"error": msg[1], "done": True})
+                    self.wfile.write((json.dumps(row) + "\n").encode())
                     self.wfile.flush()
-                    if msg[1].get("done"):
+                    if row.get("done"):
                         break
-                    msg = reply.get()
+                    msg = frontend._await(reply)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
@@ -144,30 +162,21 @@ class ServerFrontend:
         self._listener = threading.Thread(target=self.httpd.serve_forever,
                                           daemon=True, name="ergm-serve-http")
 
+    def _await(self, reply: "queue.Queue"):
+        """Block on a reply queue, but never past a driver crash: a
+        request enqueued in the instant between the crash and the inbox
+        drain would otherwise wait forever."""
+        while True:
+            try:
+                return reply.get(timeout=1.0)
+            except queue.Empty:
+                if self._failure is not None:
+                    return ("error", self._failure)
+
     # -- request construction (handler threads; touches no server state) --
 
     def _build_request(self, payload):
-        if "prompt" in payload:
-            ids = [int(t) for t in payload["prompt"]]
-        elif "text" in payload:
-            if self.tok is None:
-                raise ValueError("text requests need a tokenizer "
-                                 "(--tokenizer_dir)")
-            ids = self.tok.encode(payload["text"])
-        else:
-            raise ValueError("request needs 'prompt' or 'text'")
-        caps = payload.get("caption_ids")
-        if caps is None and payload.get("caption"):
-            if self.tok is None:
-                raise ValueError("'caption' text needs a tokenizer; pass "
-                                 "'caption_ids' otherwise")
-            caps = self.tok.encode(payload["caption"])
-        req = Request(
-            prompt_ids=ids, caption_ids=caps,
-            max_new_tokens=int(payload.get("max_new_tokens", 64)),
-            greedy=bool(payload.get("greedy", False)),
-            top_p=float(payload.get("top_p", 0.95)),
-            seed=int(payload.get("seed", 0)))
+        req = request_from_json(payload, self.tok, **self.defaults)
         return req, bool(payload.get("stream", False))
 
     def _decode(self, tokens):
@@ -178,6 +187,24 @@ class ServerFrontend:
 
     # -- driver thread -----------------------------------------------------
 
+    def _stream_text_delta(self, rid, acc_tokens):
+        """Safely streamable text for the accumulated continuation.
+
+        Byte-level BPE splits multi-byte UTF-8 characters across tokens,
+        and block boundaries fall between arbitrary tokens — decoding
+        each block's tokens in isolation would corrupt any character
+        straddling the boundary. Decode the RUNNING prefix instead and
+        emit only the newly stable delta, holding back a trailing
+        replacement char (an incomplete sequence at the tail)."""
+        full = self._decode(list(acc_tokens))
+        if full is None:
+            return None
+        stable = full.rstrip("�")
+        emitted = self._streamed.get(rid, 0)
+        delta = stable[emitted:]
+        self._streamed[rid] = max(emitted, len(stable))
+        return delta
+
     def _admit_from_inbox(self):
         while True:
             try:
@@ -185,10 +212,13 @@ class ServerFrontend:
             except queue.Empty:
                 return
             if stream:
-                def cb(rid, new, done, _reply=reply):
+                acc = []
+
+                def cb(rid, new, done, _reply=reply, _acc=acc):
                     # driver thread, inside step(); ship the block's chunk
+                    _acc.extend(new)
                     row = {"tokens": list(new), "done": False}
-                    txt = self._decode(list(new))
+                    txt = self._stream_text_delta(rid, _acc)
                     if txt is not None:
                         row["text"] = txt
                     _reply.put(("chunk", row))
@@ -202,6 +232,9 @@ class ServerFrontend:
 
     def _deliver(self, results):
         for res in results:
+            # the frontend owns delivery; don't let the server's results
+            # dict grow without bound on a long-running endpoint
+            self.srv.results.pop(res.request_id, None)
             entry = self._replies.pop(res.request_id, None)
             if entry is None:
                 continue
@@ -210,6 +243,11 @@ class ServerFrontend:
                    "latency_s": round(res.latency_s, 4)}
             if stream:
                 row["done"] = True
+                final = self._decode(res.tokens)
+                if final is not None:
+                    # flush any text held back by the incomplete-tail
+                    # guard so concatenated stream text == batch text
+                    row["text"] = final[self._streamed.pop(res.request_id, 0):]
                 reply.put(("chunk", row))
             else:
                 row["tokens"] = res.tokens
@@ -219,24 +257,46 @@ class ServerFrontend:
                 reply.put(("result", row))
             self._served += 1
 
+    def _fail_all(self, msg: str):
+        self._failure = msg
+        for reply, _ in self._replies.values():
+            reply.put(("error", msg))
+        self._replies.clear()
+        self._streamed.clear()
+        while True:
+            try:
+                _, reply, _ = self._inbox.get_nowait()
+            except queue.Empty:
+                break
+            reply.put(("error", msg))
+
     def _drive(self):
-        while not self._stop.is_set():
-            self._admit_from_inbox()
-            busy = self.srv.queue or any(s.active for s in self.srv.slots)
-            if busy:
-                self._deliver(self.srv.step())
-            else:
-                # drain a pipelined in-flight block, then idle
-                self._deliver(self.srv.flush())
-                time.sleep(self.idle_sleep_s)
+        try:
+            while not self._stop.is_set():
+                self._admit_from_inbox()
+                busy = self.srv.queue or any(s.active for s in self.srv.slots)
+                if busy:
+                    self._deliver(self.srv.step())
+                else:
+                    # drain a pipelined in-flight block, then idle
+                    self._deliver(self.srv.flush())
+                    time.sleep(self.idle_sleep_s)
+        except Exception as e:  # noqa: BLE001 — supervisor boundary
+            # without this every blocked client would hang forever on a
+            # dead driver while /health kept answering 200
+            self._fail_all(f"serving loop died: {type(e).__name__}: {e}")
+            raise
 
     # -- lifecycle ----------------------------------------------------------
 
     def health(self):
-        return {"slots": self.srv.S,
-                "active": sum(1 for s in self.srv.slots if s.active),
-                "queued": len(self.srv.queue),
-                "served": self._served}
+        h = {"slots": self.srv.S,
+             "active": sum(1 for s in self.srv.slots if s.active),
+             "queued": len(self.srv.queue),
+             "served": self._served}
+        if self._failure is not None:
+            h["error"] = self._failure
+        return h
 
     def start(self):
         self._driver.start()

@@ -105,6 +105,36 @@ class Request:
     stream_cb: Optional[Callable[[int, List[int], bool], None]] = None
 
 
+def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
+                      default_top_p: float = 0.95,
+                      default_seed: int = 0) -> Request:
+    """Build a Request from one user JSON object — the shared parser of
+    the batch serve mode (cli --requests_file) and the HTTP front end
+    (infer/http_server.py), so both surfaces accept the same fields
+    with the same defaults."""
+    if "prompt" in payload:
+        ids = [int(t) for t in payload["prompt"]]
+    elif "text" in payload:
+        if tokenizer is None:
+            raise ValueError("text requests need a tokenizer "
+                             "(--tokenizer_dir)")
+        ids = tokenizer.encode(payload["text"])
+    else:
+        raise ValueError("request needs 'prompt' or 'text'")
+    caps = payload.get("caption_ids")
+    if caps is None and payload.get("caption"):
+        if tokenizer is None:
+            raise ValueError("'caption' text needs a tokenizer; pass "
+                             "'caption_ids' otherwise")
+        caps = tokenizer.encode(payload["caption"])
+    return Request(
+        prompt_ids=ids, caption_ids=caps,
+        max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
+        greedy=bool(payload.get("greedy", False)),
+        top_p=float(payload.get("top_p", default_top_p)),
+        seed=int(payload.get("seed", default_seed)))
+
+
 @dataclass
 class Result:
     request_id: int

@@ -314,7 +314,12 @@ class Trainer:
         """Cross-host agreement on the preempt flag: the cluster manager
         may deliver SIGTERM to hosts at different instants, and the
         orbax save below is a collective — every process must enter it
-        in the same step block or none may."""
+        in the same step block or none may. Skipped entirely (no
+        collective) when no handler is installed anywhere — the flag
+        could never be set, and the allgather would be a pure added
+        host sync per fetch block."""
+        if not self._preempt_possible:
+            return False
         if jax.process_count() <= 1:
             return self._preempted
         from jax.experimental import multihost_utils
@@ -323,8 +328,23 @@ class Trainer:
             np.int32(self._preempted))))
 
     def _save_preempt(self) -> float:
+        state = self.state
+        # Under --grad_accum_steps the block boundary can land mid-
+        # accumulation; the snapshot would carry acc_grads from batches
+        # of THIS epoch, and resume re-runs the epoch from its first
+        # batch — those batches would be counted twice. Drop the
+        # partial accumulation (at most k-1 micro-batches; the resumed
+        # epoch re-sees their data).
+        opt = state.opt_state
+        if isinstance(opt, optax.MultiStepsState):
+            import jax.numpy as jnp
+
+            state = state._replace(opt_state=opt._replace(
+                mini_step=jnp.zeros_like(opt.mini_step),
+                acc_grads=jax.tree_util.tree_map(jnp.zeros_like,
+                                                 opt.acc_grads)))
         path = ckpt_lib.save_preempt_checkpoint(
-            self.cfg.ckpt_dir, self.state, self.last_epoch, self.best_ppl)
+            self.cfg.ckpt_dir, state, self.last_epoch, self.best_ppl)
         print(f"Preemption checkpoint saved: {path} "
               f"(resume with --ckpt_name=preempt)")
         return self.best_ppl
@@ -332,9 +352,13 @@ class Trainer:
     # -- loops -----------------------------------------------------------
 
     def train(self):
-        cfg = self.cfg
         self._preempted = False
         prev_handler = self._install_preempt_handler()
+        # multi-host: every process must agree on whether the per-block
+        # preempt collective runs at all, so derive it from config, not
+        # from whether THIS process could install a handler
+        self._preempt_possible = bool(getattr(self.cfg, "save_on_preempt",
+                                              False))
         try:
             return self._train_loop()
         finally:

@@ -113,3 +113,28 @@ def test_health_and_errors(frontend):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(fe, {"text": "hello"})
     assert e.value.code == 400
+
+
+def test_stream_text_delta_utf8_block_boundary():
+    """Byte-level BPE can split a multi-byte UTF-8 character across a
+    block boundary; per-block decoding would emit U+FFFD on both sides.
+    The running-prefix delta must emit each character exactly once,
+    holding back incomplete tails."""
+    class ByteTok:  # one token = one byte, like byte-level BPE's worst case
+        def decode(self, toks):
+            return bytes(toks).decode("utf-8", errors="replace")
+
+    fe = ServerFrontend.__new__(ServerFrontend)
+    fe.tok = ByteTok()
+    fe.eos_id = 999
+    fe._streamed = {}
+    s = "héllo wörld"
+    data = list(s.encode())  # é/ö are 2 bytes each
+    # feed in 3-byte blocks: the é split lands mid-character
+    emitted = ""
+    for i in range(0, len(data), 3):
+        emitted += fe._stream_text_delta(7, data[:i + 3])
+    # final flush: what _deliver sends with the done row
+    emitted += ByteTok().decode(data)[fe._streamed.pop(7, 0):]
+    assert emitted == s
+    assert "�" not in emitted

@@ -430,3 +430,41 @@ def test_resume_with_grad_accum(data_dir, tmp_path):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         tr.state.params, tr2.state.params)
+
+
+def test_preempt_with_grad_accum_drops_partial_accumulation(
+        data_dir, tmp_path, monkeypatch):
+    """A preemption save landing mid-accumulation must not checkpoint
+    the partial MultiSteps acc_grads: resume re-runs the interrupted
+    epoch from its first batch, so those micro-batches would be counted
+    twice. The saved state has mini_step=0 and zero accumulators."""
+    import optax
+    import signal as signal_mod
+
+    from ergm_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("ERGM_METRIC_FETCH_EVERY", "1")
+    tr = make_trainer(data_dir, tmp_path, num_epochs=2, grad_accum_steps=2)
+    orig_install = Trainer._install_preempt_handler
+
+    def install_then_sigterm(self):
+        prev = orig_install(self)
+        os.kill(os.getpid(), signal_mod.SIGTERM)
+        return prev
+
+    monkeypatch.setattr(Trainer, "_install_preempt_handler", install_then_sigterm)
+    tr.train()
+    # one step ran -> mini_step was 1 (mid-accumulation) at the save
+    assert int(tr.state.step) == 1
+    assert int(tr.state.opt_state.mini_step) == 1
+
+    monkeypatch.setattr(Trainer, "_install_preempt_handler", orig_install)
+    tr2 = make_trainer(data_dir, tmp_path, num_epochs=2, grad_accum_steps=2,
+                       ckpt_name="preempt")
+    assert isinstance(tr2.state.opt_state, optax.MultiStepsState)
+    assert int(tr2.state.opt_state.mini_step) == 0
+    acc_max = max(float(np.abs(np.asarray(g)).max())
+                  for g in jax.tree_util.tree_leaves(tr2.state.opt_state.acc_grads))
+    assert acc_max == 0.0
+    best = tr2.train()
+    assert math.isfinite(best)
