@@ -149,7 +149,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="serve mode: JSONL requests — {'prompt': [ids...]} "
                         "or {'text': '...'} (text needs --tokenizer_dir); "
                         "optional max_new_tokens/top_p/greedy/seed/"
-                        "caption_ids/arrival_s per line.")
+                        "caption_ids/arrival_s/session_id per line "
+                        "(session_id: multi-turn continuation — the next "
+                        "turn's full prompt prefills only its new tokens "
+                        "against the session's retained KV).")
     p.add_argument("--serve_http", type=int, default=None, metavar="PORT",
                    help="serve mode: run an online HTTP endpoint on "
                         "localhost:PORT instead of a batch requests file "

@@ -8,7 +8,9 @@ boundaries, with optional per-block streaming.
     POST /generate   {"prompt": [ids...] | "text": "...",
                       "max_new_tokens": 64, "greedy": true,
                       "top_p": 0.95, "seed": 0, "stream": false,
-                      "caption_ids": [...] | "caption": "..."}
+                      "caption_ids": [...] | "caption": "...",
+                      "session_id": "chat-42"}   # multi-turn: next turn
+                      # prefills only its new tokens (see server.Request)
       -> {"tokens": [...], "text": "...", "emotion_id": k,
           "latency_s": s}                            (stream=false)
       -> JSON lines {"tokens": [...], "text": ..., "done": false} ...

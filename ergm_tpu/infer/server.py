@@ -103,6 +103,17 @@ class Request:
     # removes. In pipelined mode callbacks run one block late (the
     # finish-detection lag documented on step()).
     stream_cb: Optional[Callable[[int, List[int], bool], None]] = None
+    # Multi-turn session continuation (incremental prefill): requests
+    # sharing a session_id keep their slot's KV between turns. Send the
+    # FULL dialogue prompt each turn; when it extends the session's
+    # consumed tokens (previous prompt + previous reply), the server
+    # prefills only the NEW tokens against the retained cache — turn
+    # cost becomes O(turn length), not O(history). On prefix mismatch
+    # (or eviction under slot pressure) it falls back to a full
+    # prefill, so session_id is purely a latency hint, never a
+    # correctness knob. token_type_ids, if given, applies to the new
+    # tokens; the original turn's caption/modality state is retained.
+    session_id: Optional[str] = None
 
 
 def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
@@ -127,12 +138,14 @@ def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
             raise ValueError("'caption' text needs a tokenizer; pass "
                              "'caption_ids' otherwise")
         caps = tokenizer.encode(payload["caption"])
+    sid = payload.get("session_id")
     return Request(
         prompt_ids=ids, caption_ids=caps,
         max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
         greedy=bool(payload.get("greedy", False)),
         top_p=float(payload.get("top_p", default_top_p)),
-        seed=int(payload.get("seed", default_seed)))
+        seed=int(payload.get("seed", default_seed)),
+        session_id=str(sid) if sid is not None else None)
 
 
 @dataclass
@@ -156,6 +169,13 @@ class _Slot:
     active: bool = False
     phys_len: int = 0            # host mirror of the device cursor
     admitted_block: int = 0      # first decode block this row rides in
+    # session parking (multi-turn continuation): a finished slot whose
+    # request carried a session_id keeps its KV content for the next
+    # turn instead of freeing
+    parked: bool = False
+    session: Optional[str] = None
+    token_log: List[int] = field(default_factory=list)  # consumed + emitted
+    last_use: int = 0            # block counter, for LRU eviction
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -336,7 +356,12 @@ class ContinuousServer:
         cursor pointing at zeros, so the rung must cover the worst
         case)."""
         lens = [s.phys_len for s in self.slots if s.active]
-        return (max(lens) if lens else 0) + self._per_block_writes() + 1
+        # parked session content must survive capacity shrinks (its KV
+        # above the rung would be sliced away); no +block term — parked
+        # rows' junk writes past capacity drop harmlessly
+        parked = [len(s.token_log) for s in self.slots if s.parked]
+        return max((max(lens) if lens else 0) + self._per_block_writes() + 1,
+                   max(parked) if parked else 0)
 
     def _per_block_writes(self) -> int:
         return self.sync_every * ((self.spec_gamma + 1) if self.spec_gamma
@@ -403,6 +428,7 @@ class ContinuousServer:
         self.results = {}
         self._phase: Dict[str, float] = {}
         self.slots = [_Slot() for _ in range(self.S)]
+        self.sessions: Dict[str, int] = {}  # session_id -> PARKED slot idx
         self._next_id = 0
         self.server_step = 0
         self.grows = 0
@@ -450,10 +476,33 @@ class ContinuousServer:
         to benchmark steady-state serving separately from compiles)."""
         self._init_state(seed)
 
+    def _session_delta(self, req: Request) -> Optional[int]:
+        """If ``req`` continues a currently PARKED session (its prompt
+        extends the session's consumed tokens), return the delta length
+        it would prefill (including the re-fed final token); else None."""
+        sid = req.session_id
+        if not sid or sid not in self.sessions:
+            return None
+        log = self.slots[self.sessions[sid]].token_log
+        if not log or len(req.prompt_ids) < len(log):
+            return None
+        if list(req.prompt_ids[:len(log)]) != log:
+            return None
+        return len(req.prompt_ids) - len(log) + 1
+
     def submit(self, req: Request) -> int:
         if len(req.prompt_ids) > self.max_prompt:
-            raise ValueError(f"prompt length {len(req.prompt_ids)} exceeds "
-                             f"max_prompt {self.max_prompt}")
+            # session continuations only prefill the DELTA, so the full
+            # dialogue history may exceed the prefill bucket — as long
+            # as a matching parked session exists right now (it is
+            # protected from eviction while this request is queued)
+            d = self._session_delta(req)
+            if d is None or d > self.max_prompt:
+                raise ValueError(
+                    f"prompt length {len(req.prompt_ids)} exceeds "
+                    f"max_prompt {self.max_prompt}"
+                    + (" (no matching parked session to extend)"
+                       if req.session_id else ""))
         # the row occupies [0, prompt + max_new - 1) of its slot (the
         # final sampled token is never written back)
         if len(req.prompt_ids) + req.max_new_tokens - 1 > self.T:
@@ -751,26 +800,205 @@ class ContinuousServer:
             s.phys_len = len(req.prompt_ids)
         self._tick("admit", t0)
 
+    EXT_BUCKET = 16  # delta-width quantum for session-extension prefills
+
+    def _extend_fn(self, pbd: int):
+        """Session-continuation program: ONE forward over all S slots,
+        pbd positions wide, against the LIVE shared cache — each
+        extending row's delta attends to its retained history via the
+        per-row shifted-causal visibility (kpos <= start + j, the same
+        mechanism the speculative verify uses), writes K/V at
+        [start, start+dlen), and resets its cursor to start+dlen.
+        Non-extending rows run junk at their own cursor (written ABOVE
+        their content — invisible, overwritten by later decode steps,
+        dropped past capacity), so no gather/scatter of cache rows is
+        needed at all."""
+        key = (self.Tphys, "ext", pbd)
+        if key in self._decode_cache:
+            return self._decode_cache[key]
+        c, S, cl = self.cfg, self.S, self.caption_len
+        spec = bool(self.spec_gamma)
+        b_ix = jnp.arange(S)
+
+        @jax.jit
+        def extend(params, cache, last, greedy_all, topp_all, first_all,
+                   emo_all, tokens_all, cap_mask, ids, tts, meta, topp_g):
+            ext = meta[0].astype(bool)
+            start, dlen = meta[1], meta[2]
+            greedy_i = meta[3].astype(bool)
+            orig_index = cache.index
+            vis = jnp.where(ext, start, orig_index)
+            pos = jnp.minimum(vis[:, None] + jnp.arange(pbd)[None, :],
+                              c.n_positions - 1)
+            out = gpt2.forward(
+                params, c, ids, token_type_ids=tts, position_ids=pos,
+                cache=cache._replace(index=vis),
+                encoder_attention_mask=cap_mask if cl else None,
+                seq_lengths=jnp.clip(dlen, 1, pbd))
+            cache = out.cache._replace(
+                index=jnp.where(ext, start + dlen, orig_index))
+            jlast = jnp.clip(dlen - 1, 0, pbd - 1)
+            logits = jnp.take_along_axis(
+                out.logits, jlast[:, None, None], axis=1)[:, 0]  # [S, V]
+            gkey = jax.random.fold_in(
+                jax.random.PRNGKey(jnp.sum(meta[4])), meta[5, 0])
+            sampled = sample_top_p(logits, gkey,
+                                   topp_g[:, None]).astype(jnp.int32)
+            first = jnp.where(greedy_i,
+                              jnp.argmax(logits, -1).astype(jnp.int32),
+                              sampled)
+            last = jnp.where(ext[:, None], first[:, None], last)
+            greedy_all = jnp.where(ext, greedy_i, greedy_all)
+            topp_all = jnp.where(ext, topp_g, topp_all)
+            first_all = jnp.where(ext, first, first_all)
+            emo_all = jnp.where(ext[:, None],
+                                out.emotion_logits.astype(emo_all.dtype),
+                                emo_all)
+            if spec:
+                j = jnp.arange(pbd)[None, :]
+                t_ix = jnp.clip(start[:, None] + j, 0,
+                                tokens_all.shape[1] - 1)
+                cur = tokens_all[b_ix[:, None], t_ix]
+                neww = jnp.where(ext[:, None] & (j < dlen[:, None]),
+                                 ids, cur)
+                tokens_all = tokens_all.at[b_ix[:, None], t_ix].set(neww)
+            return (cache, last, greedy_all, topp_all, first_all,
+                    emo_all, tokens_all)
+
+        self._decode_cache[key] = extend
+        return extend
+
+    def _admit_ext_group(self, entries: List[tuple], pbd: int):
+        """entries: (slot_idx, rid, req, submit_step, submit_wall,
+        token_log). One device call extends every continuation in the
+        group; the delta re-feeds the session's final emitted token
+        (its K/V write was not guaranteed at park time) followed by the
+        prompt's new tokens."""
+        t0 = _time.time()
+        S, cl = self.S, self.caption_len
+        ids = np.full((S, pbd), self.eos_id, np.int32)
+        tts = np.full((S, pbd), self.sp2_id, np.int32)
+        meta = np.zeros((6, S), np.int32)  # ext, start, dlen, greedy, seed, ctr
+        self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
+        meta[5] = self._admit_ctr
+        topp = np.full((S,), 0.95, np.float32)
+        for slot_idx, rid, req, sub, wall, log in entries:
+            delta = [log[-1]] + list(req.prompt_ids[len(log):])
+            d = len(delta)
+            ids[slot_idx, :d] = delta
+            if req.token_type_ids is not None:
+                # applies to the prompt's NEW tokens; the re-fed final
+                # emitted token keeps sp2 (it was generated)
+                tt = list(req.token_type_ids)[-(d - 1):] if d > 1 else []
+                tts[slot_idx, 1:1 + len(tt)] = tt
+            meta[0, slot_idx] = 1
+            meta[1, slot_idx] = len(log) - 1
+            meta[2, slot_idx] = d
+            meta[3, slot_idx] = int(bool(req.greedy))
+            meta[4, slot_idx] = req.seed
+            topp[slot_idx] = float(req.top_p)
+        extend = self._extend_fn(pbd)
+        with self._ctx():
+            (self.cache, self.last, self.greedy_row, self.top_p_row,
+             self.first_tok, self.emo_slot, self.tokens) = extend(
+                self.params, self.cache, self.last, self.greedy_row,
+                self.top_p_row, self.first_tok, self.emo_slot,
+                self.tokens, self.cap_mask if cl else None,
+                jnp.asarray(ids), jnp.asarray(tts), jnp.asarray(meta),
+                jnp.asarray(topp))
+        for slot_idx, rid, req, sub, wall, log in entries:
+            s = self.slots[slot_idx]
+            s.request_id = rid
+            s.req = req
+            s.submitted_step = sub
+            s.submitted_wall = wall
+            s.active = True
+            s.admitted_step = self.server_step
+            s.admitted_block = self._block_ctr
+            s.generated = []
+            s.has_first = False
+            s.phys_len = len(req.prompt_ids)
+        self._tick("admit_ext", t0)
+
+    def _take_free_slot(self, protected, taken) -> Optional[int]:
+        """A truly free slot, or an LRU-evicted parked one (sessions a
+        queued request still references are protected — a continuation
+        already admitted past submit() must find its prefix intact).
+        ``taken`` holds slots already assigned in THIS admission pass
+        (they are only marked active after their group program runs)."""
+        for i, s in enumerate(self.slots):
+            if not s.active and not s.parked and i not in taken:
+                taken.add(i)
+                return i
+        cands = [(s.last_use, i) for i, s in enumerate(self.slots)
+                 if s.parked and s.session not in protected
+                 and i not in taken]
+        if not cands:
+            return None
+        _, idx = min(cands)
+        self._unpark(idx)
+        taken.add(idx)
+        return idx
+
     def _admit(self):
-        free = [i for i, s in enumerate(self.slots) if not s.active]
-        if not free or not self.queue:
+        if not self.queue:
             return
-        # group queued prompts by bucket; chunk to the group cap
-        by_pb: Dict[int, List[tuple]] = {}
-        while free and self.queue:
-            slot_idx = free.pop(0)
-            rid, req, sub, wall = self.queue.pop(0)
+        by_pb: Dict[int, List[tuple]] = {}   # fresh full prefills
+        by_ext: Dict[int, List[tuple]] = {}  # session-delta extensions
+        deferred: List[tuple] = []
+        claimed: set = set()  # sessions extended in THIS pass
+        taken: set = set()    # slots assigned in THIS pass
+        protected = {q[1].session_id for q in self.queue if q[1].session_id}
+        for rid, req, sub, wall in self.queue:
+            sid = req.session_id
+            if sid and (sid in claimed or any(
+                    s.active and s.req is not None
+                    and s.req.session_id == sid for s in self.slots)):
+                # the session's previous turn is still decoding; its
+                # continuation waits for the park
+                deferred.append((rid, req, sub, wall))
+                continue
+            d = self._session_delta(req)
+            if d is not None and d <= self.max_prompt:
+                slot_idx = self.sessions[sid]
+                s = self.slots[slot_idx]
+                log = list(s.token_log)
+                self._unpark(slot_idx)  # claimed for the continuation
+                claimed.add(sid)
+                taken.add(slot_idx)
+                by_ext.setdefault(_bucket(d, self.EXT_BUCKET), []).append(
+                    (slot_idx, rid, req, sub, wall, log))
+                continue
+            if sid and sid in self.sessions:
+                # prefix mismatch (conversation diverged/restarted):
+                # the parked content is useless — free it for reuse
+                self._unpark(self.sessions[sid])
+            slot_idx = self._take_free_slot(protected, taken)
+            if slot_idx is None:
+                deferred.append((rid, req, sub, wall))
+                continue
             pb = _bucket(len(req.prompt_ids), self.prompt_bucket)
             by_pb.setdefault(pb, []).append((slot_idx, rid, req, sub, wall))
-        # joins write the static [0, pb) window — capacity must cover
-        # the largest bucket BEFORE the first join runs
-        need = self._phys_for(max(max(by_pb) + self._per_block_writes() + 1,
-                                  self._capacity_need()))
+        self.queue = deferred
+        if not by_pb and not by_ext:
+            return
+        # joins write the static [0, pb) window, extensions write up to
+        # the full continuation length — capacity must cover both
+        # BEFORE the first program runs
+        need = self._capacity_need()
+        if by_pb:
+            need = max(need, max(by_pb) + self._per_block_writes() + 1)
+        for entries in by_ext.values():
+            need = max(need, max(len(e[2].prompt_ids) for e in entries)
+                       + self._per_block_writes() + 1)
+        need = self._phys_for(need)
         if need > self.Tphys:
             self._grow_cache(need)
         for pb, entries in by_pb.items():
             for i in range(0, len(entries), self.GROUP_CAP):
                 self._admit_group(entries[i:i + self.GROUP_CAP], pb)
+        for pbd, entries in by_ext.items():
+            self._admit_ext_group(entries, pbd)
 
     # -- decode -----------------------------------------------------------
 
@@ -997,7 +1225,31 @@ class ContinuousServer:
                      latency_s=_time.time() - s.submitted_wall)
         self.results[s.request_id] = res
         s.active = False
+        if s.req is not None and s.req.session_id:
+            # park: keep the slot's KV for the session's next turn. The
+            # LAST emitted token's K/V write is not guaranteed (it may
+            # sit pending when the block ends), so the continuation
+            # re-feeds it — token_log records everything consumed OR
+            # emitted; cache reliably holds token_log[:-1].
+            sid = s.req.session_id
+            old = self.sessions.get(sid)
+            if old is not None and old != slot_idx:
+                self._unpark(old)  # same session finished again elsewhere
+            s.parked = True
+            s.session = sid
+            s.token_log = list(s.req.prompt_ids) + list(s.generated)
+            s.phys_len = len(s.token_log)
+            s.last_use = self._block_ctr
+            self.sessions[sid] = slot_idx
         s.req = None
         s.generated = []
         s.has_first = False
         return res
+
+    def _unpark(self, slot_idx: int) -> None:
+        s = self.slots[slot_idx]
+        if s.session is not None:
+            self.sessions.pop(s.session, None)
+        s.parked = False
+        s.session = None
+        s.token_log = []

@@ -429,7 +429,18 @@ def test_mesh_spec_serving_matches_single_device(setup):
     over the slot axis, lookup/verify/accept all under the mesh) must
     emit the same greedy continuations as single-device spec serving —
     and the same as plain generate."""
+    import gc
+
     from ergm_tpu.core.mesh import make_mesh, shard_params
+
+    # This test compiles the suite's largest sharded programs at the
+    # END of a ~250-test single-process run; the XLA CPU compiler has
+    # twice segfaulted here under that accumulated load (hundreds of
+    # live executables + tracing caches) while passing in isolation
+    # every time. Dropping the caches before compiling is cheap
+    # insurance against the upstream crash.
+    jax.clear_caches()
+    gc.collect()
 
     cfg, params = setup
     rng = np.random.default_rng(12)
@@ -502,3 +513,111 @@ def test_randomized_admission_stress(setup, seed, kw):
         want, _ = oracle_greedy(params, cfg, p, budget)
         assert results[rid].tokens == want, (seed, p, budget,
                                              results[rid].tokens, want)
+
+
+def test_session_continuation_matches_full_prefill(setup):
+    """Multi-turn sessions: turn 2 sends the FULL dialogue prompt with
+    the same session_id; the server prefills only the delta against the
+    retained slot KV, and the greedy continuation is byte-identical to
+    a fresh full-prompt generate."""
+    cfg, params = setup
+    rng = np.random.default_rng(21)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    p1 = rng.integers(0, 50, (11,)).tolist()
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=8, greedy=True,
+                            session_id="alice"))
+    res1 = srv.run_until_drained()[r1]
+    assert srv.slots[srv.sessions["alice"]].parked
+
+    # turn 2: history + reply + new user utterance
+    p2 = p1 + res1.tokens + rng.integers(0, 50, (7,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=8, greedy=True,
+                            session_id="alice"))
+    res2 = srv.run_until_drained()[r2]
+    assert "admit_ext" in srv._phase  # the extension path actually ran
+    want, emo = oracle_greedy(params, cfg, p2, 8)
+    assert res2.tokens == want, (res2.tokens, want)
+    np.testing.assert_allclose(res2.emotion_logits, emo, atol=1e-3)
+
+    # turn 3: history may exceed max_prompt — only the delta prefills
+    p3 = p2 + res2.tokens + rng.integers(0, 50, (5,)).tolist()
+    assert len(p3) > 32
+    r3 = srv.submit(Request(prompt_ids=p3, max_new_tokens=6, greedy=True,
+                            session_id="alice"))
+    res3 = srv.run_until_drained()[r3]
+    want3, _ = oracle_greedy(params, cfg, p3, 6)
+    assert res3.tokens == want3
+
+
+def test_session_prefix_mismatch_falls_back(setup):
+    """A diverged prompt (conversation restarted) must not reuse stale
+    KV: the server evicts the parked content and full-prefills."""
+    cfg, params = setup
+    rng = np.random.default_rng(22)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    p1 = rng.integers(0, 50, (9,)).tolist()
+    srv.submit(Request(prompt_ids=p1, max_new_tokens=6, greedy=True,
+                       session_id="bob"))
+    srv.run_until_drained()
+    # divergent turn 2 (different opening tokens)
+    p2 = rng.integers(0, 50, (13,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=6, greedy=True,
+                            session_id="bob"))
+    res2 = srv.run_until_drained()[r2]
+    want, _ = oracle_greedy(params, cfg, p2, 6)
+    assert res2.tokens == want
+    # the session parked again with the NEW history
+    log = srv.slots[srv.sessions["bob"]].token_log
+    assert log == p2 + res2.tokens
+
+
+def test_session_eviction_under_slot_pressure(setup):
+    """Parked sessions yield their slots (LRU) to fresh traffic; an
+    evicted session's next turn falls back to a full prefill and stays
+    correct."""
+    cfg, params = setup
+    rng = np.random.default_rng(23)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    p1 = rng.integers(0, 50, (8,)).tolist()
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=6, greedy=True,
+                            session_id="carol"))
+    res1 = srv.run_until_drained()[r1]
+    assert "carol" in srv.sessions
+    # 4 fresh requests through 2 slots evict the parked session
+    fresh = [srv.submit(Request(prompt_ids=rng.integers(0, 50, (7,)).tolist(),
+                                max_new_tokens=6, greedy=True))
+             for _ in range(4)]
+    srv.run_until_drained()
+    assert "carol" not in srv.sessions
+    # next turn still correct, via full prefill
+    p2 = p1 + res1.tokens + rng.integers(0, 50, (4,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=6, greedy=True,
+                            session_id="carol"))
+    res2 = srv.run_until_drained()[r2]
+    want, _ = oracle_greedy(params, cfg, p2, 6)
+    assert res2.tokens == want
+
+
+def test_session_continuation_spec_mode(setup):
+    """Session extension under speculative serving: the device token
+    buffer gets the delta (lookup windows stay consistent) and greedy
+    output still matches the oracle."""
+    cfg, params = setup
+    rng = np.random.default_rng(24)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3,
+                           spec_gamma=2, spec_ngram=2)
+    unit = rng.integers(0, 50, (4,)).tolist()
+    p1 = (unit * 3)[:10]  # repetitive: lookup actually accepts
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=8, greedy=True,
+                            session_id="dave"))
+    res1 = srv.run_until_drained()[r1]
+    p2 = p1 + res1.tokens + unit
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=8, greedy=True,
+                            session_id="dave"))
+    res2 = srv.run_until_drained()[r2]
+    want, _ = oracle_greedy(params, cfg, p2, 8)
+    assert res2.tokens == want
