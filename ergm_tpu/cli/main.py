@@ -173,6 +173,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--serve_spec_ngram", type=int, default=3,
                    help="serve mode: lookup n-gram length for "
                         "--serve_spec_gamma.")
+    p.add_argument("--serve_prefill_chunk", type=int, default=0,
+                   help="serve mode: admit prompts in chunks of this many "
+                        "tokens (one chunk per decode block), bounding the "
+                        "decode-latency hiccup a long prompt's admission "
+                        "injects into concurrent streams; also lifts the "
+                        "max-prompt admission cap (only chunks ever "
+                        "prefill). 0 disables (single-shot admission).")
     p.add_argument("--serve_pipeline", action="store_true",
                    help="serve mode: throughput mode — dispatch each decode "
                         "block before harvesting the previous one, hiding "
@@ -506,7 +513,8 @@ def run_serve(cfg: TrainConfig, args):
             cache_len=mcfg.n_positions, sync_every=args.serve_sync,
             mesh=mesh, pipeline=args.serve_pipeline,
             spec_gamma=args.serve_spec_gamma,
-            spec_ngram=args.serve_spec_ngram)
+            spec_ngram=args.serve_spec_ngram,
+            prefill_chunk=args.serve_prefill_chunk)
         fe = ServerFrontend(srv, tokenizer=tokenizer, port=args.serve_http,
                             default_top_p=cfg.top_p,
                             default_seed=cfg.seed).start()
@@ -527,28 +535,38 @@ def run_serve(cfg: TrainConfig, args):
                                default_seed=cfg.seed),
              float(r.get("arrival_s", 0.0))) for r in raw]
 
-    max_prompt = max((len(q.prompt_ids) for q, _ in reqs), default=64)
-    max_prompt = ((max_prompt + 63) // 64) * 64
-    if max_prompt + args.serve_sync >= mcfg.n_positions:
+    longest = max((len(q.prompt_ids) for q, _ in reqs), default=64)
+    longest = ((longest + 63) // 64) * 64
+    max_prompt = longest
+    if args.serve_prefill_chunk:
+        # chunked admission lifts the prompt cap (only chunks ever
+        # prefill); max_prompt just sizes the first-chunk bucket and
+        # must stay below the cache length
+        chunk_b = ((args.serve_prefill_chunk + 63) // 64) * 64
+        max_prompt = min(max(longest, chunk_b), max(
+            64, ((mcfg.n_positions - args.serve_sync - 2) // 64) * 64))
+    elif longest + args.serve_sync >= mcfg.n_positions:
         raise ValueError(
-            f"longest request prompt buckets to {max_prompt} tokens, but "
+            f"longest request prompt buckets to {longest} tokens, but "
             f"serving needs prompt + sync_every < n_positions "
-            f"({mcfg.n_positions}); shorten the prompt or the model's "
-            f"context is too small to serve it")
+            f"({mcfg.n_positions}); shorten the prompt, or pass "
+            f"--serve_prefill_chunk to admit long prompts in chunks")
     # logical cache length: with per-slot cursors the physical rung
     # tracks max(active length), so a full-context cache costs nothing
     # until requests actually grow into it — no workload tuning needed.
     # --max_len below n_positions still caps it (submit rejects
     # requests that cannot fit, loudly).
     cache_len = min(mcfg.n_positions,
-                    max(cfg.max_len, max_prompt + args.serve_sync + 1))
+                    max(cfg.max_len, longest + args.serve_sync + 1,
+                        max_prompt + 1))
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
         sync_every=args.serve_sync, mesh=mesh,
         pipeline=args.serve_pipeline,
         spec_gamma=args.serve_spec_gamma,
-        spec_ngram=args.serve_spec_ngram)
+        spec_ngram=args.serve_spec_ngram,
+        prefill_chunk=args.serve_prefill_chunk)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

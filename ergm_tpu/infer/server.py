@@ -68,6 +68,7 @@ production request rates; no reference counterpart exists.
 
 from __future__ import annotations
 
+import dataclasses
 import time as _time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -176,6 +177,9 @@ class _Slot:
     session: Optional[str] = None
     token_log: List[int] = field(default_factory=list)  # consumed + emitted
     last_use: int = 0            # block counter, for LRU eviction
+    # chunked prefill in progress: the slot holds a partial prompt
+    # ([0, phys_len) real K/V) and is neither free nor decoding yet
+    prefilling: bool = False
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -213,7 +217,8 @@ class ContinuousServer:
                  sync_every: int = 8, modality_dim: Optional[int] = None,
                  mesh=None, cache_grow_step: int = 32,
                  pipeline: bool = False,
-                 spec_gamma: int = 0, spec_ngram: int = 3):
+                 spec_gamma: int = 0, spec_ngram: int = 3,
+                 prefill_chunk: int = 0):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -271,6 +276,28 @@ class ContinuousServer:
         # with any sampled row fall back to the plain decode program
         # (the token buffer then goes stale for those steps — exactness
         # is unaffected, only lookup acceptance degrades).
+        # chunked prefill (Sarathi-style): admit a long prompt in
+        # prefill_chunk-token slices, one slice per server step, so the
+        # decode-latency hiccup concurrent streams see is bounded by one
+        # CHUNK-wide forward instead of a full prompt-wide group prefill
+        # (measured 466 ms for a single 896-token admission at the
+        # always-64-row group bucket vs ~45 ms steady blocks —
+        # results/prefill_interference.jsonl). The first chunk rides the
+        # normal prefill/join path (it carries the modality injection
+        # and caption K/V); later chunks ride the session-extension
+        # program, which prefills a delta against the LIVE cache with
+        # per-row shifted-causal visibility. Side effect: fresh prompts
+        # and session deltas may exceed max_prompt (only chunks ever
+        # prefill). 0 disables (single-shot admission, the default).
+        self.prefill_chunk = int(prefill_chunk)
+        if self.prefill_chunk:
+            if self.prefill_chunk < self.EXT_BUCKET:
+                raise ValueError(f"prefill_chunk must be >= {self.EXT_BUCKET}")
+            if self.prefill_chunk > self.max_prompt:
+                raise ValueError(
+                    f"prefill_chunk {self.prefill_chunk} must be <= "
+                    f"max_prompt {self.max_prompt} (the first chunk rides "
+                    f"the prefill path)")
         self.spec_gamma = int(spec_gamma)
         self.spec_ngram = int(spec_ngram)
         if self.spec_gamma:
@@ -358,10 +385,13 @@ class ContinuousServer:
         lens = [s.phys_len for s in self.slots if s.active]
         # parked session content must survive capacity shrinks (its KV
         # above the rung would be sliced away); no +block term — parked
-        # rows' junk writes past capacity drop harmlessly
+        # rows' junk writes past capacity drop harmlessly. The same
+        # holds for a chunk-prefilling row's partial content.
         parked = [len(s.token_log) for s in self.slots if s.parked]
+        pre = [s.phys_len for s in self.slots if s.prefilling]
         return max((max(lens) if lens else 0) + self._per_block_writes() + 1,
-                   max(parked) if parked else 0)
+                   max(parked) if parked else 0,
+                   max(pre) if pre else 0)
 
     def _per_block_writes(self) -> int:
         return self.sync_every * ((self.spec_gamma + 1) if self.spec_gamma
@@ -429,6 +459,9 @@ class ContinuousServer:
         self._phase: Dict[str, float] = {}
         self.slots = [_Slot() for _ in range(self.S)]
         self.sessions: Dict[str, int] = {}  # session_id -> PARKED slot idx
+        # slot -> in-progress chunked admission: remaining delta ids/tts
+        # (absolute ``base`` start), consumed ``off``, request bookkeeping
+        self._chunks: Dict[int, dict] = {}
         self._next_id = 0
         self.server_step = 0
         self.grows = 0
@@ -491,11 +524,13 @@ class ContinuousServer:
         return len(req.prompt_ids) - len(log) + 1
 
     def submit(self, req: Request) -> int:
-        if len(req.prompt_ids) > self.max_prompt:
+        if len(req.prompt_ids) > self.max_prompt and not self.prefill_chunk:
             # session continuations only prefill the DELTA, so the full
             # dialogue history may exceed the prefill bucket — as long
             # as a matching parked session exists right now (it is
-            # protected from eviction while this request is queued)
+            # protected from eviction while this request is queued).
+            # With chunked prefill on, ANY prompt admits in chunks, so
+            # max_prompt stops being an admission limit entirely.
             d = self._session_delta(req)
             if d is None or d > self.max_prompt:
                 raise ValueError(
@@ -540,6 +575,8 @@ class ContinuousServer:
         mode; the default synchronous order is the latency mode."""
         if not self.pipeline:
             self._admit()
+            self._advance_chunks(
+                drain=not any(s.active for s in self.slots))
             if not any(s.active for s in self.slots):
                 return []
             self._fit_capacity()
@@ -557,6 +594,7 @@ class ContinuousServer:
         # admissions (and capacity ops) enqueue AFTER the in-flight
         # block: the new rows join the NEXT dispatch
         self._admit()
+        self._advance_chunks(drain=not any(s.active for s in self.slots))
         if any(s.active for s in self.slots):
             self._fit_capacity()
         return finished
@@ -572,7 +610,7 @@ class ContinuousServer:
     def run_until_drained(self, max_iters: int = 10_000) -> Dict[int, Result]:
         for _ in range(max_iters):
             if (not self.queue and not any(s.active for s in self.slots)
-                    and self._inflight is None):
+                    and self._inflight is None and not self._chunks):
                 break
             self.step()
         self.flush()
@@ -868,12 +906,17 @@ class ContinuousServer:
         self._decode_cache[key] = extend
         return extend
 
-    def _admit_ext_group(self, entries: List[tuple], pbd: int):
-        """entries: (slot_idx, rid, req, submit_step, submit_wall,
-        token_log). One device call extends every continuation in the
-        group; the delta re-feeds the session's final emitted token
-        (its K/V write was not guaranteed at park time) followed by the
-        prompt's new tokens."""
+    def _admit_ext_group(self, entries: List[dict], pbd: int):
+        """entries: dicts with slot/start/ids/tts/req/rid/sub/wall/final.
+        One device call extends every row in the group against the LIVE
+        cache: session continuations re-feed the parked final token (its
+        K/V write was not guaranteed at park time) followed by the
+        prompt's new tokens; chunked admissions feed their next prompt
+        slice. A non-final chunk leaves the slot in ``prefilling`` (the
+        program's sampled outputs are mid-prompt garbage that the next
+        chunk overwrites); the final chunk activates the slot for
+        decode, so its sampled first token and emotion logits are the
+        real ones."""
         t0 = _time.time()
         S, cl = self.S, self.caption_len
         ids = np.full((S, pbd), self.eos_id, np.int32)
@@ -882,21 +925,17 @@ class ContinuousServer:
         self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
         meta[5] = self._admit_ctr
         topp = np.full((S,), 0.95, np.float32)
-        for slot_idx, rid, req, sub, wall, log in entries:
-            delta = [log[-1]] + list(req.prompt_ids[len(log):])
-            d = len(delta)
-            ids[slot_idx, :d] = delta
-            if req.token_type_ids is not None:
-                # applies to the prompt's NEW tokens; the re-fed final
-                # emitted token keeps sp2 (it was generated)
-                tt = list(req.token_type_ids)[-(d - 1):] if d > 1 else []
-                tts[slot_idx, 1:1 + len(tt)] = tt
-            meta[0, slot_idx] = 1
-            meta[1, slot_idx] = len(log) - 1
-            meta[2, slot_idx] = d
-            meta[3, slot_idx] = int(bool(req.greedy))
-            meta[4, slot_idx] = req.seed
-            topp[slot_idx] = float(req.top_p)
+        for e in entries:
+            i, d = e["slot"], len(e["ids"])
+            ids[i, :d] = e["ids"]
+            if e["tts"] is not None:
+                tts[i, :d] = e["tts"][:d]
+            meta[0, i] = 1
+            meta[1, i] = e["start"]
+            meta[2, i] = d
+            meta[3, i] = int(bool(e["req"].greedy))
+            meta[4, i] = e["req"].seed
+            topp[i] = float(e["req"].top_p)
         extend = self._extend_fn(pbd)
         with self._ctx():
             (self.cache, self.last, self.greedy_row, self.top_p_row,
@@ -906,19 +945,65 @@ class ContinuousServer:
                 self.tokens, self.cap_mask if cl else None,
                 jnp.asarray(ids), jnp.asarray(tts), jnp.asarray(meta),
                 jnp.asarray(topp))
-        for slot_idx, rid, req, sub, wall, log in entries:
-            s = self.slots[slot_idx]
-            s.request_id = rid
-            s.req = req
-            s.submitted_step = sub
-            s.submitted_wall = wall
-            s.active = True
-            s.admitted_step = self.server_step
-            s.admitted_block = self._block_ctr
-            s.generated = []
-            s.has_first = False
-            s.phys_len = len(req.prompt_ids)
+        for e in entries:
+            s = self.slots[e["slot"]]
+            s.request_id = e["rid"]
+            s.req = e["req"]
+            s.submitted_step = e["sub"]
+            s.submitted_wall = e["wall"]
+            if e["final"]:
+                s.active = True
+                s.prefilling = False
+                s.admitted_step = self.server_step
+                s.admitted_block = self._block_ctr
+                s.generated = []
+                s.has_first = False
+                s.phys_len = len(e["req"].prompt_ids)
+                self._chunks.pop(e["slot"], None)
+            else:
+                s.prefilling = True
+                s.phys_len = e["start"] + len(e["ids"])
         self._tick("admit_ext", t0)
+
+    def _advance_chunks(self, drain: bool) -> None:
+        """Push the next slice of every in-progress chunked admission —
+        ONE chunk per server step, which is exactly the interference
+        bound: concurrent decode streams see at most one chunk-wide
+        extension forward between blocks. With ``drain`` (nothing is
+        decoding), loop until every chunk is done — interleaving buys
+        nothing when no other stream is running."""
+        while self._chunks:
+            by_pbd: Dict[int, List[dict]] = {}
+            for slot, st in list(self._chunks.items()):
+                if st.pop("skip_once", None):
+                    # fresh chunked admission: chunk 1 already ran this
+                    # step via the prefill path — keep the one-chunk-
+                    # per-step interference bound
+                    continue
+                ids, off = st["ids"], st["off"]
+                dlen = min(self.prefill_chunk, len(ids) - off)
+                e = {"slot": slot, "start": st["base"] + off,
+                     "ids": ids[off:off + dlen],
+                     "tts": (st["tts"][off:off + dlen]
+                             if st["tts"] is not None else None),
+                     "req": st["req"], "rid": st["rid"], "sub": st["sub"],
+                     "wall": st["wall"],
+                     "final": off + dlen == len(ids)}
+                st["off"] = off + dlen
+                by_pbd.setdefault(_bucket(dlen, self.EXT_BUCKET),
+                                  []).append(e)
+            need = self._capacity_need()
+            for entries in by_pbd.values():
+                need = max(need,
+                           max(e["start"] + len(e["ids"]) for e in entries)
+                           + self._per_block_writes() + 1)
+            need = self._phys_for(need)
+            if need > self.Tphys:
+                self._grow_cache(need)
+            for pbd, entries in by_pbd.items():
+                self._admit_ext_group(entries, pbd)
+            if not drain:
+                break
 
     def _take_free_slot(self, protected, taken) -> Optional[int]:
         """A truly free slot, or an LRU-evicted parked one (sessions a
@@ -927,7 +1012,8 @@ class ContinuousServer:
         ``taken`` holds slots already assigned in THIS admission pass
         (they are only marked active after their group program runs)."""
         for i, s in enumerate(self.slots):
-            if not s.active and not s.parked and i not in taken:
+            if (not s.active and not s.parked and not s.prefilling
+                    and i not in taken):
                 taken.add(i)
                 return i
         cands = [(s.last_use, i) for i, s in enumerate(self.slots)
@@ -940,34 +1026,61 @@ class ContinuousServer:
         taken.add(idx)
         return idx
 
+    def _session_ext_entry(self, slot_idx, rid, req, sub, wall, log, d):
+        """The generalized extension entry for a session continuation:
+        delta = the re-fed parked final token + the prompt's new tokens
+        (the new tokens keep their request token types; the re-fed
+        token keeps sp2 — it was generated)."""
+        delta = [log[-1]] + list(req.prompt_ids[len(log):])
+        if req.token_type_ids is not None:
+            tt = list(req.token_type_ids)[-(d - 1):] if d > 1 else []
+            dtts = [self.sp2_id] + tt
+            dtts += [self.sp2_id] * (len(delta) - len(dtts))
+        else:
+            dtts = None
+        return {"slot": slot_idx, "start": len(log) - 1, "ids": delta,
+                "tts": dtts, "req": req, "rid": rid, "sub": sub,
+                "wall": wall, "final": True}
+
     def _admit(self):
         if not self.queue:
             return
         by_pb: Dict[int, List[tuple]] = {}   # fresh full prefills
-        by_ext: Dict[int, List[tuple]] = {}  # session-delta extensions
+        by_ext: Dict[int, List[dict]] = {}   # session-delta extensions
         deferred: List[tuple] = []
         claimed: set = set()  # sessions extended in THIS pass
         taken: set = set()    # slots assigned in THIS pass
+        chunk_first: List[tuple] = []  # (slot, real req) of chunked fresh
         protected = {q[1].session_id for q in self.queue if q[1].session_id}
         for rid, req, sub, wall in self.queue:
             sid = req.session_id
             if sid and (sid in claimed or any(
-                    s.active and s.req is not None
+                    (s.active or s.prefilling) and s.req is not None
                     and s.req.session_id == sid for s in self.slots)):
-                # the session's previous turn is still decoding; its
-                # continuation waits for the park
+                # the session's previous turn is still decoding (or
+                # chunk-prefilling); its continuation waits for the park
                 deferred.append((rid, req, sub, wall))
                 continue
             d = self._session_delta(req)
-            if d is not None and d <= self.max_prompt:
+            if d is not None and (d <= self.max_prompt or self.prefill_chunk):
                 slot_idx = self.sessions[sid]
                 s = self.slots[slot_idx]
                 log = list(s.token_log)
                 self._unpark(slot_idx)  # claimed for the continuation
                 claimed.add(sid)
                 taken.add(slot_idx)
-                by_ext.setdefault(_bucket(d, self.EXT_BUCKET), []).append(
-                    (slot_idx, rid, req, sub, wall, log))
+                e = self._session_ext_entry(slot_idx, rid, req, sub, wall,
+                                            log, d)
+                if self.prefill_chunk and d > self.prefill_chunk:
+                    # long continuation delta: admit it in chunks too
+                    self._chunks[slot_idx] = {
+                        "rid": rid, "req": req, "sub": sub, "wall": wall,
+                        "ids": e["ids"], "tts": e["tts"], "off": 0,
+                        "base": e["start"]}
+                    s.prefilling = True  # reserved before the 1st chunk
+                    s.req = req
+                    continue
+                by_ext.setdefault(_bucket(d, self.EXT_BUCKET), []).append(e)
                 continue
             if sid and sid in self.sessions:
                 # prefix mismatch (conversation diverged/restarted):
@@ -977,7 +1090,30 @@ class ContinuousServer:
             if slot_idx is None:
                 deferred.append((rid, req, sub, wall))
                 continue
-            pb = _bucket(len(req.prompt_ids), self.prompt_bucket)
+            Lp = len(req.prompt_ids)
+            if self.prefill_chunk and Lp > self.prefill_chunk:
+                # chunked fresh admission: chunk 1 rides the prefill
+                # path (it carries the modality injection and caption
+                # K/V); the rest rides the extension program
+                C = self.prefill_chunk
+                if req.token_type_ids is not None:
+                    full_tt = (list(req.token_type_ids)
+                               + [self.sp2_id] * Lp)[:Lp]
+                else:
+                    full_tt = None
+                pseudo = dataclasses.replace(
+                    req, prompt_ids=list(req.prompt_ids[:C]),
+                    token_type_ids=(full_tt[:C] if full_tt is not None
+                                    else None))
+                self._chunks[slot_idx] = {
+                    "rid": rid, "req": req, "sub": sub, "wall": wall,
+                    "ids": list(req.prompt_ids), "tts": full_tt,
+                    "off": C, "base": 0, "skip_once": True}
+                chunk_first.append((slot_idx, req))
+                by_pb.setdefault(_bucket(C, self.prompt_bucket), []).append(
+                    (slot_idx, rid, pseudo, sub, wall))
+                continue
+            pb = _bucket(Lp, self.prompt_bucket)
             by_pb.setdefault(pb, []).append((slot_idx, rid, req, sub, wall))
         self.queue = deferred
         if not by_pb and not by_ext:
@@ -989,7 +1125,7 @@ class ContinuousServer:
         if by_pb:
             need = max(need, max(by_pb) + self._per_block_writes() + 1)
         for entries in by_ext.values():
-            need = max(need, max(len(e[2].prompt_ids) for e in entries)
+            need = max(need, max(e["start"] + len(e["ids"]) for e in entries)
                        + self._per_block_writes() + 1)
         need = self._phys_for(need)
         if need > self.Tphys:
@@ -999,6 +1135,13 @@ class ContinuousServer:
                 self._admit_group(entries[i:i + self.GROUP_CAP], pb)
         for pbd, entries in by_ext.items():
             self._admit_ext_group(entries, pbd)
+        for slot_idx, req in chunk_first:
+            # the group program prefilled chunk 1 and activated the
+            # slot; demote it back to prefilling until the last chunk
+            s = self.slots[slot_idx]
+            s.active = False
+            s.prefilling = True
+            s.req = req  # the REAL request (the group saw the pseudo)
 
     # -- decode -----------------------------------------------------------
 

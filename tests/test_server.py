@@ -621,3 +621,151 @@ def test_session_continuation_spec_mode(setup):
     res2 = srv.run_until_drained()[r2]
     want, _ = oracle_greedy(params, cfg, p2, 8)
     assert res2.tokens == want
+
+
+def test_chunked_prefill_matches_generate(setup):
+    """Chunked prefill (prefill_chunk): long prompts admit in chunk-wide
+    slices interleaved with decode blocks — greedy output and emotion
+    logits stay byte-identical to plain generate, including for short
+    prompts below the chunk size that ride the normal path."""
+    cfg, params = setup
+    rng = np.random.default_rng(30)
+    prompts = [rng.integers(0, 50, (n,)).tolist()
+               for n in (70, 9, 100, 33, 5)]
+    srv = ContinuousServer(params, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    assert set(results) == set(rids)
+    for rid, p in zip(rids, prompts):
+        want, emo = oracle_greedy(params, cfg, p, 8)
+        assert results[rid].tokens == want, (len(p), results[rid].tokens,
+                                             want)
+        np.testing.assert_allclose(results[rid].emotion_logits, emo,
+                                   atol=1e-3)
+    assert "admit_ext" in srv._phase  # chunks actually rode the extension
+
+
+def test_chunked_prefill_interleaves_with_decode(setup):
+    """A long prompt arriving while other streams decode admits one
+    chunk per step — the concurrent stream's output is unaffected and
+    the long request still matches the oracle."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    short = rng.integers(0, 50, (7,)).tolist()
+    long_p = rng.integers(0, 50, (90,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32)
+    r_short = srv.submit(Request(prompt_ids=short, max_new_tokens=20,
+                                 greedy=True))
+    srv.step()  # the short stream is mid-decode...
+    r_long = srv.submit(Request(prompt_ids=long_p, max_new_tokens=8,
+                                greedy=True))
+    # the long prompt needs ceil(90/32)=3 chunks: prefilling must span
+    # multiple steps while the short stream keeps decoding
+    srv.step()
+    assert any(s.prefilling for s in srv.slots)
+    results = srv.run_until_drained()
+    want_s, _ = oracle_greedy(params, cfg, short, 20)
+    want_l, _ = oracle_greedy(params, cfg, long_p, 8)
+    assert results[r_short].tokens == want_s
+    assert results[r_long].tokens == want_l
+    assert not any(s.prefilling for s in srv.slots)
+
+
+def test_chunked_prefill_lifts_max_prompt(setup):
+    """With chunking, prompts beyond max_prompt admit (only chunks ever
+    prefill); without it, submit still rejects loudly."""
+    cfg, params = setup
+    rng = np.random.default_rng(32)
+    p = rng.integers(0, 50, (120,)).tolist()
+    plain = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                             max_prompt=48, prompt_bucket=16, sync_every=3)
+    with pytest.raises(ValueError, match="max_prompt"):
+        plain.submit(Request(prompt_ids=p, max_new_tokens=6, greedy=True))
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=48, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32)
+    rid = srv.submit(Request(prompt_ids=p, max_new_tokens=6, greedy=True))
+    res = srv.run_until_drained()[rid]
+    want, _ = oracle_greedy(params, cfg, p, 6)
+    assert res.tokens == want
+
+
+def test_chunked_prefill_trimodal(setup):
+    """Chunk 1 rides the prefill path and must carry the modality
+    injection and caption K/V; later chunks cross-attend to the caption
+    cache written by the join."""
+    cfg = make_cfg(use_cross_attention=True)
+    params = gpt2.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(33)
+    prompt = rng.integers(0, 50, (60,)).tolist()
+    img = rng.standard_normal(cfg.modality_dim).astype(np.float32)
+    aud = rng.standard_normal(cfg.modality_dim).astype(np.float32)
+    caps = rng.integers(0, 50, (6,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=96, prompt_bucket=16, sync_every=3,
+                           caption_len=8, prefill_chunk=32)
+    rid = srv.submit(Request(prompt_ids=prompt, img=img, aud=aud,
+                             caption_ids=caps, max_new_tokens=8,
+                             greedy=True))
+    res = srv.run_until_drained()[rid]
+
+    ids = jnp.asarray(np.asarray(prompt)[None], jnp.int32)
+    tts = jnp.full_like(ids, SP2)
+    cap_ids = np.full((1, 8), EOS, np.int32)
+    cap_ids[0, :6] = caps
+    cap_mask = np.zeros((1, 8), np.float32)
+    cap_mask[0, :6] = 1.0
+    out = generate(params, cfg, ids, len(prompt), max_len=len(prompt) + 8,
+                   eos_id=EOS, sp2_id=SP2, greedy=True, token_type_ids=tts,
+                   imgs=jnp.asarray(img[None]), auds=jnp.asarray(aud[None]),
+                   caption_ids=jnp.asarray(cap_ids),
+                   caption_mask=jnp.asarray(cap_mask),
+                   rng=jax.random.PRNGKey(0))
+    want = np.asarray(out.tokens[0])[len(prompt):int(out.lengths[0])].tolist()
+    assert res.tokens == want
+
+
+def test_chunked_session_continuation(setup):
+    """A session turn whose DELTA exceeds the chunk size admits the
+    delta in chunks against the retained KV; output matches the
+    full-history oracle, and the session parks again afterwards."""
+    cfg, params = setup
+    rng = np.random.default_rng(34)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=48, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32)
+    p1 = rng.integers(0, 50, (11,)).tolist()
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=6, greedy=True,
+                            session_id="erin"))
+    res1 = srv.run_until_drained()[r1]
+    # turn 2: a 70-token user message -> delta ~77 > chunk 32 (and >
+    # max_prompt 48: chunking also lifts the delta cap)
+    p2 = p1 + res1.tokens + rng.integers(0, 50, (70,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=8, greedy=True,
+                            session_id="erin"))
+    res2 = srv.run_until_drained()[r2]
+    want, emo = oracle_greedy(params, cfg, p2, 8)
+    assert res2.tokens == want, (res2.tokens, want)
+    np.testing.assert_allclose(res2.emotion_logits, emo, atol=1e-3)
+    assert srv.slots[srv.sessions["erin"]].parked
+
+
+def test_chunked_prefill_pipelined(setup):
+    """Chunked admission under the pipelined serving order."""
+    cfg, params = setup
+    rng = np.random.default_rng(35)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (80, 12, 50)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=96, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32, pipeline=True)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    for rid, p in zip(rids, prompts):
+        want, _ = oracle_greedy(params, cfg, p, 8)
+        assert results[rid].tokens == want, (len(p),)
