@@ -570,31 +570,42 @@ def run_serve(cfg: TrainConfig, args):
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}
+    rejected = {}  # index -> error message (bad single request ≠ dead run)
     t0 = _t.time()
     nxt = 0
-    while len(srv.results) < len(reqs):
+    while len(srv.results) < len(reqs) - len(rejected):
         now = _t.time() - t0
         while nxt < len(reqs) and reqs[order[nxt]][1] <= now:
             idx = order[nxt]
-            rid_to_idx[srv.submit(reqs[idx][0])] = idx
+            try:
+                rid_to_idx[srv.submit(reqs[idx][0])] = idx
+            except ValueError as e:
+                # e.g. prompt + budget exceeds the model context: record
+                # the rejection and keep serving the rest of the file
+                rejected[idx] = str(e)
+                print(f"WARNING: request {idx} rejected: {e}")
             nxt += 1
-        if not srv.queue and not any(sl.active for sl in srv.slots):
+        if not srv.busy():
+            srv.flush()  # a pipelined in-flight block still harvests
             _t.sleep(0.002)
             continue
         srv.step()
     wall = _t.time() - t0
 
     out_path = args.serve_output or args.requests_file + ".responses.jsonl"
+    rows = [{"index": idx, "error": msg} for idx, msg in rejected.items()]
+    for rid, res in srv.results.items():
+        row = {"index": rid_to_idx[rid], "tokens": res.tokens,
+               "emotion_id": int(np.argmax(res.emotion_logits)),
+               "latency_s": round(res.latency_s, 3)}
+        if tokenizer is not None:
+            stop = res.tokens[:-1] if (res.tokens and
+                                       res.tokens[-1] == st.eos_id) \
+                else res.tokens
+            row["text"] = tokenizer.decode(stop)
+        rows.append(row)
     with open(out_path, "w") as f:
-        for rid, res in sorted(srv.results.items(),
-                               key=lambda kv: rid_to_idx[kv[0]]):
-            row = {"index": rid_to_idx[rid], "tokens": res.tokens,
-                   "emotion_id": int(np.argmax(res.emotion_logits)),
-                   "latency_s": round(res.latency_s, 3)}
-            if tokenizer is not None:
-                stop = res.tokens[:-1] if (res.tokens and
-                                           res.tokens[-1] == st.eos_id)                     else res.tokens
-                row["text"] = tokenizer.decode(stop)
+        for row in sorted(rows, key=lambda r: r["index"]):
             f.write(json.dumps(row) + "\n")
     print(f"Served {len(reqs)} requests in {wall:.1f}s "
           f"({len(reqs) / max(wall, 1e-9):.1f} req/s) -> {out_path}")

@@ -276,8 +276,7 @@ class ServerFrontend:
         try:
             while not self._stop.is_set():
                 self._admit_from_inbox()
-                busy = self.srv.queue or any(s.active for s in self.srv.slots)
-                if busy:
+                if self.srv.busy():
                     self._deliver(self.srv.step())
                 else:
                     # drain a pipelined in-flight block, then idle
@@ -294,6 +293,7 @@ class ServerFrontend:
     def health(self):
         h = {"slots": self.srv.S,
              "active": sum(1 for s in self.srv.slots if s.active),
+             "prefilling": sum(1 for s in self.srv.slots if s.prefilling),
              "queued": len(self.srv.queue),
              "served": self._served}
         if self._failure is not None:

@@ -599,6 +599,16 @@ class ContinuousServer:
             self._fit_capacity()
         return finished
 
+    def busy(self) -> bool:
+        """Work that needs another ``step()``: queued requests, active
+        decode rows, or an in-progress chunked admission (whose slot is
+        ``prefilling``, not active, and whose request has already left
+        the queue — drive loops that only check queue/active would
+        stall it forever). A pipelined in-flight block is NOT counted:
+        ``flush()`` harvests that without stepping."""
+        return bool(self.queue or self._chunks
+                    or any(s.active for s in self.slots))
+
     def flush(self) -> List[Result]:
         """Harvest a still-in-flight pipelined block (no-op otherwise)."""
         if self._inflight is None:
@@ -609,8 +619,7 @@ class ContinuousServer:
 
     def run_until_drained(self, max_iters: int = 10_000) -> Dict[int, Result]:
         for _ in range(max_iters):
-            if (not self.queue and not any(s.active for s in self.slots)
-                    and self._inflight is None and not self._chunks):
+            if not self.busy() and self._inflight is None:
                 break
             self.step()
         self.flush()

@@ -45,7 +45,6 @@ def run_arm(params, cfg, chunk):
 
     from ergm_tpu.infer.server import ContinuousServer, Request
 
-    rng = np.random.default_rng(0)
     kw = dict(slots=SLOTS, eos_id=50256, sp2_id=50258,
               max_prompt=max(LONG, 128) if chunk == 0 else max(chunk, 128),
               cache_len=cfg.n_positions, prompt_bucket=64, sync_every=SYNC,
@@ -54,7 +53,7 @@ def run_arm(params, cfg, chunk):
         kw["prefill_chunk"] = chunk
     srv = ContinuousServer(params, cfg, **kw)
 
-    def drive(measure):
+    def drive():
         srv.reset()
         r = np.random.default_rng(0)
         for _ in range(SLOTS - 1):
@@ -78,13 +77,17 @@ def run_arm(params, cfg, chunk):
             i += 1
         return steps, long_submitted_at
 
-    drive(False)  # compile warmup (all programs incl. the admission path)
-    steps, sub_at = drive(True)
+    drive()  # compile warmup (all programs incl. the admission path)
+    steps, sub_at = drive()
     st = np.asarray(steps) * 1e3
-    # steady blocks = all except the admission neighborhood
-    spike = float(st[sub_at:sub_at + max(3, (LONG // chunk + 1) if chunk
-                                         else 3)].max())
-    steady = np.concatenate([st[2:sub_at], st[sub_at + 8:]])
+    # admission neighborhood: the blocks the long prompt's admission can
+    # touch (one per chunk, or the single-shot prefill block + slack)
+    width = max(3, (LONG + chunk - 1) // chunk + 1) if chunk else 3
+    spike = float(st[sub_at:sub_at + width].max())
+    # steady blocks = all except the admission neighborhood (width-scaled:
+    # a fixed window under-excludes when LONG/chunk > window and would
+    # contaminate the steady percentiles with chunk-interference blocks)
+    steady = np.concatenate([st[2:sub_at], st[sub_at + width + 2:]])
     return {"chunk": chunk, "blocks": len(steps),
             "steady_p50_ms": round(float(np.percentile(steady, 50)), 2),
             "steady_p90_ms": round(float(np.percentile(steady, 90)), 2),

@@ -202,3 +202,35 @@ def test_serve_mode(workspace, monkeypatch):
     rows_spec = [json.loads(l) for l in open(out_spec) if l.strip()]
     assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_spec] \
         == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
+
+
+def test_serve_mode_chunked_rejection(workspace, monkeypatch):
+    """--serve_prefill_chunk through the CLI: long prompts admit in
+    chunks, and a request that cannot fit the model context is REJECTED
+    as an error row in the output file instead of killing the run
+    mid-file (round-3 review finding)."""
+    from ergm_tpu.core import config as config_mod
+
+    monkeypatch.setitem(config_mod.GPT2_SIZES, "tiny",
+                        dict(n_layer=2, n_head=4, n_embd=32,
+                             n_positions=128))
+    rng = np.random.default_rng(7)
+    reqs = workspace / "requests_chunked.jsonl"
+    out = workspace / "responses_chunked.jsonl"
+    with open(reqs, "w") as f:
+        for n in (9, 100, 200, 30):  # 100 > chunk; 200 + 6 > n_positions
+            f.write(json.dumps({
+                "prompt": rng.integers(0, 50, (n,)).tolist(),
+                "max_new_tokens": 6, "greedy": True}) + "\n")
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=2", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", "--serve_prefill_chunk=16",
+        f"--requests_file={reqs}", f"--serve_output={out}",
+    ])
+    rows = [json.loads(l) for l in open(out) if l.strip()]
+    assert [r["index"] for r in rows] == [0, 1, 2, 3]
+    assert "error" in rows[2] and "cache_len" in rows[2]["error"]
+    for r in (rows[0], rows[1], rows[3]):
+        assert 1 <= len(r["tokens"]) <= 6
+        assert 0 <= r["emotion_id"] < 7

@@ -115,6 +115,49 @@ def test_health_and_errors(frontend):
     assert e.value.code == 400
 
 
+def test_chunked_admission_stays_live():
+    """Liveness regression (round-3 review): the HTTP drive loop gates
+    stepping on ``srv.busy()``, which must include in-progress chunked
+    admissions — a chunk-prefilling slot is neither active nor queued,
+    so the old ``queue or any(active)`` gate hung the chunked request
+    forever once the concurrent short stream finished. Also checks
+    /health exposes the ``prefilling`` count."""
+    cfg = ModelConfig(vocab_size=VOCAB, n_positions=256, n_embd=32, n_layer=2,
+                      n_head=4, use_cross_attention=False, dtype="float32",
+                      embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=2,
+                           prefill_chunk=16)
+    fe = ServerFrontend(srv, port=0).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://{fe.host}:{fe.port}/health", timeout=30) as r:
+            assert "prefilling" in json.loads(r.read())
+        rng = np.random.default_rng(40)
+        short = rng.integers(0, 50, (6,)).tolist()
+        long_p = rng.integers(0, 50, (110,)).tolist()  # 7 chunks of 16
+        outs = {}
+
+        def worker(name, prompt, budget):
+            with _post(fe, {"prompt": prompt, "max_new_tokens": budget,
+                            "greedy": True}, timeout=600) as r:
+                outs[name] = json.loads(r.read())
+
+        ts = threading.Thread(target=worker, args=("short", short, 6))
+        tl = threading.Thread(target=worker, args=("long", long_p, 4))
+        ts.start()
+        tl.start()
+        ts.join(timeout=600)
+        tl.join(timeout=600)
+        assert not ts.is_alive() and not tl.is_alive(), \
+            "chunked request hung: drive loop stopped stepping"
+        assert outs["long"]["tokens"] == _oracle(params, cfg, long_p, 4)
+        assert outs["short"]["tokens"] == _oracle(params, cfg, short, 6)
+    finally:
+        fe.close()
+
+
 def test_stream_text_delta_utf8_block_boundary():
     """Byte-level BPE can split a multi-byte UTF-8 character across a
     block boundary; per-block decoding would emit U+FFFD on both sides.

@@ -769,3 +769,40 @@ def test_chunked_prefill_pipelined(setup):
     for rid, p in zip(rids, prompts):
         want, _ = oracle_greedy(params, cfg, p, 8)
         assert results[rid].tokens == want, (len(p),)
+
+
+def test_busy_covers_chunked_admission(setup):
+    """Liveness regression (round-3 review): a chunk-prefilling slot is
+    neither active nor queued — a drive loop gating step() on
+    ``queue or any(active)`` stalls the chunked request forever once the
+    last concurrent decode stream finishes. ``busy()`` must stay True
+    while chunks are in flight, and a busy()-gated loop must drain."""
+    cfg, params = setup
+    rng = np.random.default_rng(36)
+    short = rng.integers(0, 50, (6,)).tolist()
+    long_p = rng.integers(0, 50, (110,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=2,
+                           prefill_chunk=16)
+    r_short = srv.submit(Request(prompt_ids=short, max_new_tokens=2,
+                                 greedy=True))
+    r_long = srv.submit(Request(prompt_ids=long_p, max_new_tokens=4,
+                                greedy=True))
+    results = {}
+    hit_chunk_only_state = False
+    for _ in range(200):
+        if not srv.busy():
+            results.update({r.request_id: r for r in srv.flush()})
+            break
+        if (srv._chunks and not srv.queue
+                and not any(s.active for s in srv.slots)):
+            # the exact state the buggy gate deadlocked on
+            hit_chunk_only_state = True
+        for r in srv.step():
+            results[r.request_id] = r
+    assert hit_chunk_only_state, (
+        "test setup no longer reaches the chunks-only state; shrink the "
+        "short budget or grow the long prompt")
+    assert set(results) == {r_short, r_long}
+    want_l, _ = oracle_greedy(params, cfg, long_p, 4)
+    assert results[r_long].tokens == want_l
