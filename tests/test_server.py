@@ -470,6 +470,7 @@ def test_mesh_spec_serving_matches_single_device(setup):
     (0, dict(slots=3, sync_every=3)),
     (1, dict(slots=2, sync_every=2, spec_gamma=2, spec_ngram=2)),
     (2, dict(slots=3, sync_every=4, pipeline=True)),
+    (3, dict(slots=2, sync_every=3, prefill_chunk=16)),
 ])
 def test_randomized_admission_stress(setup, seed, kw):
     """Property check over a RANDOM admission schedule: any interleaving
