@@ -772,6 +772,32 @@ def test_chunked_prefill_pipelined(setup):
         assert results[rid].tokens == want, (len(p),)
 
 
+def test_chunked_prefill_spec_mode(setup):
+    """Chunked admission composes with speculative serving: every chunk
+    rides the extension program, which must also write the slice into
+    the device token buffer the n-gram lookup drafts from — a stale
+    buffer would only cost acceptance, but a WRONG one could draft
+    garbage that verify must reject; greedy output stays oracle-exact
+    either way, and repetitive prompts must still accept drafts."""
+    cfg, params = setup
+    rng = np.random.default_rng(37)
+    unit = rng.integers(0, 50, (8,)).tolist()
+    rep = (unit * 12)[:90]          # 3 chunks of 32, highly repetitive
+    plain = rng.integers(0, 50, (70,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32, spec_gamma=2, spec_ngram=2)
+    rids = {srv.submit(Request(prompt_ids=p, max_new_tokens=10,
+                               greedy=True)): p for p in (rep, plain)}
+    results = srv.run_until_drained()
+    assert set(results) == set(rids)
+    for rid, p in rids.items():
+        want, _ = oracle_greedy(params, cfg, p, 10)
+        assert results[rid].tokens == want, (len(p),)
+    # the repetitive prompt must actually exercise the drafting path
+    assert srv.spec_proposed > 0 and srv.spec_accepted > 0
+
+
 def test_busy_covers_chunked_admission(setup):
     """Liveness regression (round-3 review): a chunk-prefilling slot is
     neither active nor queued — a drive loop gating step() on
