@@ -18,7 +18,14 @@ boundaries, with optional per-block streaming.
                                                      (stream=true;
          chunk granularity is the server's sync_every block — its one
          host round trip; see Request.stream_cb)
-    GET  /health     {"slots": S, "active": n, "queued": m, "served": k}
+    GET  /health     {"slots": S, "active": n, "prefilling": c,
+                      "queued": m, "served": k, "cancelled": x}
+
+A streaming client that disconnects mid-response CANCELS its request:
+the handler's failed write enqueues a cancel through the same inbox as
+submissions (so it can never race its own admission), and the driver
+frees the slot at the next block boundary instead of decoding a
+response nobody reads.
 
 Threading model: ``ContinuousServer`` is single-owner (submit/step
 mutate host state unlocked), so ONE driver thread owns it — HTTP
@@ -74,6 +81,7 @@ class ServerFrontend:
         self._inbox: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._served = 0
+        self._cancelled = 0
         self._failure: Optional[str] = None  # driver-thread crash message
         self._replies = {}  # rid -> reply queue (driver thread only)
         self._streamed = {}  # rid -> chars of text already emitted
@@ -151,8 +159,17 @@ class ServerFrontend:
                 while True:
                     row = (msg[1] if msg[0] != "error"
                            else {"error": msg[1], "done": True})
-                    self.wfile.write((json.dumps(row) + "\n").encode())
-                    self.wfile.flush()
+                    try:
+                        self.wfile.write((json.dumps(row) + "\n").encode())
+                        self.wfile.flush()
+                    except OSError:
+                        # client went away mid-stream: cancel so the
+                        # slot stops decoding a response nobody reads.
+                        # Riding the SAME inbox as submissions makes the
+                        # cancel arrive after its own request, with no
+                        # ordering race against admission.
+                        frontend._inbox.put(("cancel", reply, None))
+                        return
                     if row.get("done"):
                         break
                     msg = frontend._await(reply)
@@ -213,6 +230,18 @@ class ServerFrontend:
                 req, reply, stream = self._inbox.get_nowait()
             except queue.Empty:
                 return
+            if req == "cancel":
+                # a streaming client disconnected; reply identifies the
+                # request (its rid may not exist yet when the disconnect
+                # beat the admission — same-queue ordering rules that out)
+                rid = next((r for r, (q_, _s) in self._replies.items()
+                            if q_ is reply), None)
+                if rid is not None:
+                    self.srv.cancel(rid)
+                    self._replies.pop(rid, None)
+                    self._streamed.pop(rid, None)
+                    self._cancelled += 1
+                continue
             if stream:
                 acc = []
 
@@ -295,7 +324,8 @@ class ServerFrontend:
              "active": sum(1 for s in self.srv.slots if s.active),
              "prefilling": sum(1 for s in self.srv.slots if s.prefilling),
              "queued": len(self.srv.queue),
-             "served": self._served}
+             "served": self._served,
+             "cancelled": self._cancelled}
         if self._failure is not None:
             h["error"] = self._failure
         return h

@@ -599,6 +599,38 @@ class ContinuousServer:
             self._fit_capacity()
         return finished
 
+    def cancel(self, request_id: int) -> bool:
+        """Abandon a request wherever it currently lives — queued, mid
+        chunked admission, actively decoding, or finished with an
+        unread result — and free its slot at the host level (a decode
+        block already dispatched with the row simply has it skipped at
+        harvest, like a finished row; the device keeps junk-stepping it
+        until the block ends, which is the same cost a completed row
+        pays). Returns False when the id is unknown (never issued, or
+        already delivered). Call from the thread that owns the server,
+        like every other mutating method."""
+        for i, (rid, _req, _sub, _wall) in enumerate(self.queue):
+            if rid == request_id:
+                del self.queue[i]
+                return True
+        for slot, st in list(self._chunks.items()):
+            if st["rid"] == request_id:
+                del self._chunks[slot]
+                s = self.slots[slot]
+                s.prefilling = False
+                s.req = None
+                s.request_id = -1
+                s.phys_len = 0
+                return True
+        for s in self.slots:
+            if s.active and s.request_id == request_id:
+                s.active = False
+                s.req = None
+                s.request_id = -1
+                s.generated = []
+                return True
+        return self.results.pop(request_id, None) is not None
+
     def busy(self) -> bool:
         """Work that needs another ``step()``: queued requests, active
         decode rows, or an in-progress chunked admission (whose slot is

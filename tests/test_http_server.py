@@ -4,6 +4,7 @@ oracle equality, block streaming, health and error surfaces."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -154,6 +155,54 @@ def test_chunked_admission_stays_live():
             "chunked request hung: drive loop stopped stepping"
         assert outs["long"]["tokens"] == _oracle(params, cfg, long_p, 4)
         assert outs["short"]["tokens"] == _oracle(params, cfg, short, 6)
+    finally:
+        fe.close()
+
+
+def test_stream_disconnect_cancels_request():
+    """A streaming client that disconnects mid-response must CANCEL its
+    request (the slot stops decoding a response nobody reads) without
+    perturbing concurrent streams. Uses a raw socket so the test
+    controls the disconnect instant."""
+    import socket
+
+    cfg = ModelConfig(vocab_size=VOCAB, n_positions=256, n_embd=32, n_layer=2,
+                      n_head=4, use_cross_attention=False, dtype="float32",
+                      embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0)
+    params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=2)
+    fe = ServerFrontend(srv, port=0).start()
+    try:
+        rng = np.random.default_rng(41)
+        doomed = rng.integers(0, 50, (8,)).tolist()
+        survivor = rng.integers(0, 50, (11,)).tolist()
+        payload = json.dumps({"prompt": doomed, "max_new_tokens": 200,
+                              "greedy": True, "stream": True}).encode()
+        sock = socket.create_connection((fe.host, fe.port), timeout=120)
+        sock.sendall(b"POST /generate HTTP/1.0\r\n"
+                     b"Content-Type: application/json\r\n"
+                     + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                     + payload)
+        sock.recv(1)  # first byte of the streamed response has arrived
+        sock.close()  # client walks away mid-stream
+        # a concurrent (blocking) request keeps the driver stepping and
+        # must be oracle-exact despite the neighbor's disconnect
+        with _post(fe, {"prompt": survivor, "max_new_tokens": 8,
+                        "greedy": True}) as r:
+            out = json.loads(r.read())
+        assert out["tokens"] == _oracle(params, cfg, survivor, 8)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://{fe.host}:{fe.port}/health", timeout=30) as r:
+                h = json.loads(r.read())
+            if h["cancelled"] == 1 and h["active"] == 0:
+                break
+            time.sleep(0.1)
+        assert h["cancelled"] == 1, h
+        assert h["active"] == 0, f"cancelled slot still decoding: {h}"
+        assert not fe._replies and not fe._streamed  # bookkeeping drained
     finally:
         fe.close()
 

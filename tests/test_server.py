@@ -772,6 +772,47 @@ def test_chunked_prefill_pipelined(setup):
         assert results[rid].tokens == want, (len(p),)
 
 
+def test_cancel_in_every_state(setup):
+    """``cancel`` abandons a request wherever it lives — queued, active
+    mid-decode, mid chunked admission, finished-unread — frees the slot
+    for later admissions, and never perturbs concurrent streams'
+    output."""
+    cfg, params = setup
+    rng = np.random.default_rng(38)
+    mk = lambda n: rng.integers(0, 50, (n,)).tolist()
+    keep1, keep2, act, queued, chunked = (mk(n) for n in (9, 13, 11, 7, 80))
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=96, prompt_bucket=16, sync_every=3,
+                           prefill_chunk=32)
+    r_keep1 = srv.submit(Request(prompt_ids=keep1, max_new_tokens=12,
+                                 greedy=True))
+    r_act = srv.submit(Request(prompt_ids=act, max_new_tokens=12,
+                               greedy=True))
+    srv.step()  # both decoding
+    r_q = srv.submit(Request(prompt_ids=queued, max_new_tokens=4,
+                             greedy=True))
+    assert srv.cancel(r_q)           # still queued
+    assert not srv.cancel(r_q)       # idempotent: now unknown
+    assert srv.cancel(r_act)         # active mid-decode -> slot freed
+    # freed slot admits a chunked prompt; cancel it mid-admission
+    r_chunk = srv.submit(Request(prompt_ids=chunked, max_new_tokens=4,
+                                 greedy=True))
+    srv.step()
+    assert srv._chunks and any(s.prefilling for s in srv.slots)
+    assert srv.cancel(r_chunk)
+    assert not srv._chunks and not any(s.prefilling for s in srv.slots)
+    # the slot is reusable and the surviving stream is oracle-exact
+    r_keep2 = srv.submit(Request(prompt_ids=keep2, max_new_tokens=6,
+                                 greedy=True))
+    results = srv.run_until_drained()
+    assert set(results) == {r_keep1, r_keep2}
+    for rid, (p, b) in ((r_keep1, (keep1, 12)), (r_keep2, (keep2, 6))):
+        want, _ = oracle_greedy(params, cfg, p, b)
+        assert results[rid].tokens == want
+    # finished-unread: cancel pops the result
+    assert srv.cancel(r_keep1) and r_keep1 not in srv.results
+
+
 def test_chunked_prefill_spec_mode(setup):
     """Chunked admission composes with speculative serving: every chunk
     rides the extension program, which must also write the slice into
