@@ -51,6 +51,12 @@ SPEC = int(os.environ.get("SERVER_SPEC", 0))
 SPEC_N = int(os.environ.get("SERVER_SPEC_NGRAM", 3))
 # online mode: Poisson arrivals at RATE req/s (0 = offline, all at once)
 RATE = float(os.environ.get("SERVER_RATE", 0))
+# chunked prefill (0 = single-shot admission) and a long-prompt mix for
+# measuring admission interference online: LONG_FRAC of the requests get
+# LONG_LEN-token prompts
+CHUNK = int(os.environ.get("SERVER_CHUNK", 0))
+LONG_FRAC = float(os.environ.get("SERVER_LONG_FRAC", 0))
+LONG_LEN = int(os.environ.get("SERVER_LONG_LEN", 896))
 # dynamic static batching launches when full OR the oldest request has
 # waited WINDOW seconds
 WINDOW = float(os.environ.get("SERVER_WINDOW", 0.5))
@@ -86,6 +92,12 @@ def main():
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 50000, (int(n),)).tolist()
                for n in rng.integers(32, MAX_PROMPT + 1, (REQUESTS,))]
+    long_idx = set()
+    if LONG_FRAC:
+        long_idx = {int(i) for i in rng.choice(
+            REQUESTS, int(round(REQUESTS * LONG_FRAC)), replace=False)}
+        for i in long_idx:
+            prompts[i] = rng.integers(0, 50000, (LONG_LEN,)).tolist()
     budgets = rng.integers(MIN_NEW, MAX_NEW + 1, (REQUESTS,)).tolist()
     total_new = sum(budgets)
     eos_id = 50256  # ~never sampled at random init -> budgets are exact
@@ -94,12 +106,16 @@ def main():
     # tracks max(active length) + sync on its own, so the untuned
     # logical default (full n_positions) costs nothing extra.
     cache_len = CACHE_LEN or cfg.n_positions
+    # unchunked admission needs the prefill bucket to cover the longest
+    # prompt; with chunking only chunks ever prefill
+    max_prompt = (MAX_PROMPT if CHUNK or not long_idx
+                  else ((LONG_LEN + 63) // 64) * 64)
     srv = ContinuousServer(params, cfg, slots=SLOTS, eos_id=eos_id,
-                           sp2_id=50258, max_prompt=MAX_PROMPT,
+                           sp2_id=50258, max_prompt=max_prompt,
                            prompt_bucket=64, sync_every=SYNC,
                            cache_len=cache_len, cache_grow_step=GROW,
                            pipeline=PIPE, spec_gamma=SPEC,
-                           spec_ngram=SPEC_N)
+                           spec_ngram=SPEC_N, prefill_chunk=CHUNK)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -119,7 +135,9 @@ def main():
     lats = sorted(r.latency_s for r in results.values())
     emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}"
                     + ("_pipe" if PIPE else "")
-                    + (f"_spec{SPEC}n{SPEC_N}" if SPEC else ""),
+                    + (f"_spec{SPEC}n{SPEC_N}" if SPEC else "")
+                    + (f"_chunk{CHUNK}" if CHUNK else "")
+                    + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else ""),
           "requests": REQUESTS,
           **({"spec_accept": round(srv.spec_accepted
                                    / max(srv.spec_proposed, 1), 3)}
@@ -173,10 +191,10 @@ def main():
           "server_vs_static": round(wall_b / wall, 3)})
 
     if RATE > 0:
-        online(cfg, params, srv, prompts, budgets, eos_id)
+        online(cfg, params, srv, prompts, budgets, eos_id, long_idx)
 
 
-def online(cfg, params, srv, prompts, budgets, eos_id):
+def online(cfg, params, srv, prompts, budgets, eos_id, long_idx=()):
     """Online arm: Poisson arrivals at RATE req/s. The server admits at
     block boundaries; the baseline is DYNAMIC static batching (launch a
     generate_batch when SLOTS requests accumulated or the oldest has
@@ -189,28 +207,50 @@ def online(cfg, params, srv, prompts, budgets, eos_id):
     rng = np.random.default_rng(7)
     arrivals = np.cumsum(rng.exponential(1.0 / RATE, (REQUESTS,)))
 
-    # --- continuous server (programs already compiled by the offline arm)
-    srv.reset()
-    t0 = time.time()
-    nxt = 0
-    while len(srv.results) < REQUESTS:
-        now = time.time() - t0
-        while nxt < REQUESTS and arrivals[nxt] <= now:
-            srv.submit(Request(prompt_ids=prompts[nxt],
-                               max_new_tokens=int(budgets[nxt]), greedy=True))
-            nxt += 1
-        if not srv.queue and not any(sl.active for sl in srv.slots):
-            time.sleep(0.002)
-            continue
-        srv.step()
-    wall = time.time() - t0
+    # --- continuous server. The offline arm compiled the big-group
+    # admission programs, but Poisson arrivals admit in SMALL groups
+    # (and hit capacity rungs in a different order), so a first online
+    # pass is the warmup for those shapes — measured mid-run compile
+    # stalls of tens of seconds otherwise (the repo-wide convention:
+    # steady state reported separately from compiles)
+    def serve_poisson():
+        srv.reset()
+        t0 = time.time()
+        nxt = 0
+        rid_idx = {}
+        while len(srv.results) < REQUESTS:
+            now = time.time() - t0
+            while nxt < REQUESTS and arrivals[nxt] <= now:
+                rid_idx[srv.submit(Request(
+                    prompt_ids=prompts[nxt], max_new_tokens=int(budgets[nxt]),
+                    greedy=True))] = nxt
+                nxt += 1
+            if not srv.busy():
+                time.sleep(0.002)
+                continue
+            srv.step()
+        return time.time() - t0, rid_idx
+
+    serve_poisson()  # online-shape warmup (small admission groups)
+    wall, rid_idx = serve_poisson()
     lats = sorted(r.latency_s for r in srv.results.values())
-    emit({"config": f"online_server_S{SLOTS}_rate{RATE:g}",
-          "requests": REQUESTS, "rate_req_s": RATE,
-          "wall_s": round(wall, 2),
-          "latency_p50_s": round(float(np.percentile(lats, 50)), 3),
-          "latency_p90_s": round(float(np.percentile(lats, 90)), 3),
-          "latency_max_s": round(lats[-1], 3)})
+    row = {"config": f"online_server_S{SLOTS}_rate{RATE:g}"
+                     + (f"_chunk{CHUNK}" if CHUNK else "")
+                     + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else ""),
+           "requests": REQUESTS, "rate_req_s": RATE,
+           "wall_s": round(wall, 2),
+           "latency_p50_s": round(float(np.percentile(lats, 50)), 3),
+           "latency_p90_s": round(float(np.percentile(lats, 90)), 3),
+           "latency_max_s": round(lats[-1], 3)}
+    if long_idx:
+        # the interference question: what do the SHORT requests pay for
+        # sharing the server with long-prompt admissions?
+        short = sorted(r.latency_s for rid, r in srv.results.items()
+                       if rid_idx[rid] not in long_idx)
+        row["short_p50_s"] = round(float(np.percentile(short, 50)), 3)
+        row["short_p90_s"] = round(float(np.percentile(short, 90)), 3)
+        row["short_max_s"] = round(short[-1], 3)
+    emit(row)
 
     # --- dynamic static batching baseline
     t0 = time.time()
