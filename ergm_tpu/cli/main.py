@@ -149,7 +149,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="serve mode: JSONL requests — {'prompt': [ids...]} "
                         "or {'text': '...'} (text needs --tokenizer_dir); "
                         "optional max_new_tokens/top_p/greedy/seed/"
-                        "caption_ids/arrival_s/session_id per line "
+                        "caption_ids/arrival_s/session_id/pool per line "
                         "(session_id: multi-turn continuation — the next "
                         "turn's full prompt prefills only its new tokens "
                         "against the session's retained KV).")
@@ -180,6 +180,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         "injects into concurrent streams; also lifts the "
                         "max-prompt admission cap (only chunks ever "
                         "prefill). 0 disables (single-shot admission).")
+    p.add_argument("--serve_long_slots", type=int, default=0,
+                   help="serve mode: length-tiered slot pools — reserve "
+                        "this many slots as a LONG pool with its own KV "
+                        "cache and capacity rung, so one long request no "
+                        "longer widens the cache every short slot reads "
+                        "(requests route by prompt + max_new_tokens vs "
+                        "--serve_long_threshold, or per-request "
+                        "'pool': 'long'|'short'). 0 disables.")
+    p.add_argument("--serve_long_threshold", type=int, default=None,
+                   help="serve mode: expected final length above which a "
+                        "request routes to the long pool (default: the "
+                        "prefill bucket max_prompt).")
     p.add_argument("--serve_pipeline", action="store_true",
                    help="serve mode: throughput mode — dispatch each decode "
                         "block before harvesting the previous one, hiding "
@@ -272,7 +284,8 @@ def _load_tokenizer(tokenizer_dir: str, st):
     return tok
 
 
-def _serving_mesh(cfg: TrainConfig, batch_size: int = 0):
+def _serving_mesh(cfg: TrainConfig, batch_size: int = 0,
+                  long_slots: int = 0):
     """Build the inference mesh from --mesh_shape/--mesh_axes (the same
     surface the Trainer honors — VERDICT r2 missing #2: serving must
     reach the mesh too). Returns None for a single-device mesh, where
@@ -281,7 +294,8 @@ def _serving_mesh(cfg: TrainConfig, batch_size: int = 0):
     With the DEFAULT shape (-1 = all devices), a batch size not
     divisible by the device count shrinks the data axis to the largest
     divisor instead of failing — the implicit default must never error;
-    an EXPLICIT --mesh_shape is strict."""
+    an EXPLICIT --mesh_shape is strict. ``long_slots`` (tiered serving
+    pools) adds the constraint that BOTH pools divide the data axis."""
     import jax
 
     from ergm_tpu.core.mesh import make_mesh
@@ -294,7 +308,9 @@ def _serving_mesh(cfg: TrainConfig, batch_size: int = 0):
             return None
         n = len(jax.devices())
         dp = n
-        while dp > 1 and batch_size % dp:
+        while dp > 1 and (batch_size % dp or (
+                long_slots and ((batch_size - long_slots) % dp
+                                or long_slots % dp))):
             dp -= 1
         # honor a user-supplied multi-name --mesh_axes (trailing axes get
         # size 1): shape=(dp,) with axes=('data','model') would otherwise
@@ -494,7 +510,8 @@ def run_serve(cfg: TrainConfig, args):
     else:
         print("WARNING: no checkpoint found; responses come from random init")
     params = gpt2.params_for_inference(params, mcfg)
-    mesh = _serving_mesh(cfg, cfg.batch_size)
+    mesh = _serving_mesh(cfg, cfg.batch_size,
+                         long_slots=args.serve_long_slots)
     params = _place_params(params, mesh)
     if mesh is not None:
         print(f"Serving over mesh {dict(mesh.shape)}")
@@ -514,7 +531,9 @@ def run_serve(cfg: TrainConfig, args):
             mesh=mesh, pipeline=args.serve_pipeline,
             spec_gamma=args.serve_spec_gamma,
             spec_ngram=args.serve_spec_ngram,
-            prefill_chunk=args.serve_prefill_chunk)
+            prefill_chunk=args.serve_prefill_chunk,
+            long_slots=args.serve_long_slots,
+            long_threshold=args.serve_long_threshold)
         fe = ServerFrontend(srv, tokenizer=tokenizer, port=args.serve_http,
                             default_top_p=cfg.top_p,
                             default_seed=cfg.seed).start()
@@ -566,7 +585,9 @@ def run_serve(cfg: TrainConfig, args):
         pipeline=args.serve_pipeline,
         spec_gamma=args.serve_spec_gamma,
         spec_ngram=args.serve_spec_ngram,
-        prefill_chunk=args.serve_prefill_chunk)
+        prefill_chunk=args.serve_prefill_chunk,
+        long_slots=args.serve_long_slots,
+        long_threshold=args.serve_long_threshold)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

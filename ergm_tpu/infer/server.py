@@ -115,6 +115,13 @@ class Request:
     # correctness knob. token_type_ids, if given, applies to the new
     # tokens; the original turn's caption/modality state is retained.
     session_id: Optional[str] = None
+    # Length-tiered pools (server long_slots > 0): override the
+    # automatic routing (expected final length vs long_threshold).
+    # "long" pins the request to the long pool — use it for the FIRST
+    # turn of a session expected to grow past the threshold, since
+    # session rows stay in the pool that admitted them; "short"
+    # forces the short pool. None = route by length.
+    pool: Optional[str] = None
 
 
 def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
@@ -140,13 +147,17 @@ def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
                              "'caption_ids' otherwise")
         caps = tokenizer.encode(payload["caption"])
     sid = payload.get("session_id")
+    pool = payload.get("pool")
+    if pool is not None and pool not in ("short", "long"):
+        raise ValueError("pool must be 'short' or 'long'")
     return Request(
         prompt_ids=ids, caption_ids=caps,
         max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
         greedy=bool(payload.get("greedy", False)),
         top_p=float(payload.get("top_p", default_top_p)),
         seed=int(payload.get("seed", default_seed)),
-        session_id=str(sid) if sid is not None else None)
+        session_id=str(sid) if sid is not None else None,
+        pool=pool)
 
 
 @dataclass
@@ -218,7 +229,9 @@ class ContinuousServer:
                  mesh=None, cache_grow_step: int = 32,
                  pipeline: bool = False,
                  spec_gamma: int = 0, spec_ngram: int = 3,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0,
+                 long_slots: int = 0,
+                 long_threshold: Optional[int] = None):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -298,6 +311,35 @@ class ContinuousServer:
                     f"prefill_chunk {self.prefill_chunk} must be <= "
                     f"max_prompt {self.max_prompt} (the first chunk rides "
                     f"the prefill path)")
+        # Length-tiered slot pools: one long LIVE row raises a shared
+        # cache's capacity rung and every slot then reads the wide cache
+        # (the documented offline collapse on mixed long-prompt traffic,
+        # 97 -> 25 utt/s). With ``long_slots=K``, the last K slots form a
+        # LONG pool with its OWN cache buffer and rung; requests route
+        # by expected final length (prompt + max_new - 1, known at
+        # submit) against ``long_threshold`` (default: max_prompt).
+        # The decode block runs one forward per non-empty pool inside
+        # the same program — short rows keep reading a narrow cache
+        # while long rows pay for their own width (measured 10.7 ->
+        # 4.4 ms/step at S=56@192+8@1024 vs one 64@1024 pool,
+        # scripts/tier_probe.py). Short requests overflow into idle
+        # long slots when the short pool is full; long requests never
+        # take short slots (they would widen the narrow rung). Session
+        # rows are pinned to the pool that admitted their first turn —
+        # route conversations expected to grow with Request.pool="long".
+        self.long_slots = int(long_slots)
+        if self.long_slots:
+            if not (0 < self.long_slots < slots):
+                raise ValueError(
+                    f"long_slots {long_slots} must be in (0, slots)")
+            self.long_threshold = int(long_threshold
+                                      if long_threshold is not None
+                                      else self.max_prompt)
+            self.groups = ((0, slots - self.long_slots),
+                           (slots - self.long_slots, self.long_slots))
+        else:
+            self.long_threshold = None
+            self.groups = ((0, slots),)
         self.spec_gamma = int(spec_gamma)
         self.spec_ngram = int(spec_ngram)
         if self.spec_gamma:
@@ -334,61 +376,70 @@ class ContinuousServer:
             return self.T
         return min(_bucket(need, self.grow_step), self.T)
 
-    def _grow_cache(self, new_phys: int) -> None:
-        """Pad-copy the KV cache up to the next rung. One device copy of
-        the live prefix — O(S * Tphys) bytes, amortized over the decode
-        steps the new headroom buys."""
-        delta = new_phys - self.Tphys
+    def _grow_cache(self, g: int, new_phys: int) -> None:
+        """Pad-copy pool ``g``'s KV cache up to the next rung. One
+        device copy of the live prefix — O(Sg * Tphys) bytes, amortized
+        over the decode steps the new headroom buys."""
+        delta = new_phys - self.Tphys[g]
         if delta <= 0:
             return
         self.grows += 1
         t0 = _time.time()
 
-        def pad_t(a):  # k/v/scales: [L, S, H, T, *] — T is axis 3
+        def pad_t(a):  # k/v/scales: [L, Sg, H, T, *] — T is axis 3
             return jnp.pad(a, [(0, 0)] * 3 + [(0, delta), (0, 0)])
 
-        self._resize(pad_t, new_phys)
+        self._resize(g, pad_t, new_phys)
         self._tick("grow", t0)
 
-    def _shrink_cache(self, new_phys: int) -> None:
-        """Slice-copy the KV cache down to a smaller rung once the
-        longest active row no longer needs the headroom (per-slot
+    def _shrink_cache(self, g: int, new_phys: int) -> None:
+        """Slice-copy pool ``g``'s KV cache down to a smaller rung once
+        the longest active row no longer needs the headroom (per-slot
         cursors: every active row's content lives in [0, its length)).
         Idle/finished rows may carry stale cursors past the new
         capacity — their junk writes drop and their state is fully
         rewritten at the next join."""
-        if new_phys >= self.Tphys:
+        if new_phys >= self.Tphys[g]:
             return
         self.shrinks += 1
         t0 = _time.time()
-        self._resize(lambda a: a[:, :, :, :new_phys, :], new_phys)
+        self._resize(g, lambda a: a[:, :, :, :new_phys, :], new_phys)
         self._tick("shrink", t0)
 
-    def _resize(self, fn, new_phys: int) -> None:
-        c = self.cache
+    def _resize(self, g: int, fn, new_phys: int) -> None:
+        c = self.caches[g]
         repl = {"k": fn(c.k), "v": fn(c.v)}
         if c.k_scale is not None:
             repl["k_scale"] = fn(c.k_scale)
             repl["v_scale"] = fn(c.v_scale)
-        self.cache = c._replace(**repl)
-        self.Tphys = new_phys
+        self.caches[g] = c._replace(**repl)
+        self.Tphys[g] = new_phys
         self._place_state()
 
-    def _capacity_need(self) -> int:
-        """Physical capacity this block needs: the longest active row's
-        cursor (host mirror, exact at block boundaries) plus one block
-        of writes. A speculative block writes up to gamma+1 positions
-        per macro step (verify windows of rejected proposals included —
-        a dropped write that later turned out accepted would leave the
-        cursor pointing at zeros, so the rung must cover the worst
-        case)."""
-        lens = [s.phys_len for s in self.slots if s.active]
+    def _slot_group(self, i: int) -> int:
+        """Pool index of slot ``i`` (groups are contiguous ranges)."""
+        return (1 if self.long_slots and i >= self.groups[1][0] else 0)
+
+    def _group_slots(self, g: int):
+        off, size = self.groups[g]
+        return range(off, off + size)
+
+    def _capacity_need(self, g: int) -> int:
+        """Physical capacity pool ``g`` needs this block: the longest
+        active row's cursor (host mirror, exact at block boundaries)
+        plus one block of writes. A speculative block writes up to
+        gamma+1 positions per macro step (verify windows of rejected
+        proposals included — a dropped write that later turned out
+        accepted would leave the cursor pointing at zeros, so the rung
+        must cover the worst case)."""
+        rows = [self.slots[i] for i in self._group_slots(g)]
+        lens = [s.phys_len for s in rows if s.active]
         # parked session content must survive capacity shrinks (its KV
         # above the rung would be sliced away); no +block term — parked
         # rows' junk writes past capacity drop harmlessly. The same
         # holds for a chunk-prefilling row's partial content.
-        parked = [len(s.token_log) for s in self.slots if s.parked]
-        pre = [s.phys_len for s in self.slots if s.prefilling]
+        parked = [len(s.token_log) for s in rows if s.parked]
+        pre = [s.phys_len for s in rows if s.prefilling]
         return max((max(lens) if lens else 0) + self._per_block_writes() + 1,
                    max(parked) if parked else 0,
                    max(pre) if pre else 0)
@@ -417,6 +468,11 @@ class ContinuousServer:
                 f"slots={self.S} must be divisible by the mesh data axis "
                 f"({dp}) to shard the serving batch over it; pick "
                 f"divisible slots or a smaller data axis")
+        if any(size % dp for _off, size in self.groups):
+            raise ValueError(
+                f"each slot pool must be divisible by the mesh data axis "
+                f"({dp}); got pool sizes "
+                f"{[size for _o, size in self.groups]}")
         tp = ("model" if "model" in mesh.axis_names
               and int(mesh.shape["model"]) > 1 else None)
         return {
@@ -434,14 +490,15 @@ class ContinuousServer:
         if sh is None:
             return
         put = jax.device_put
-        c = self.cache
-        kv = {f: put(getattr(c, f), sh["kv"])
-              for f in ("k", "v", "k_scale", "v_scale")
-              if getattr(c, f) is not None}
-        cross = {f: put(getattr(c, f), sh["cross"])
-                 for f in ("ck", "cv") if getattr(c, f) is not None}
-        # the per-slot cursor vector shards over the data axis too
-        self.cache = c._replace(index=put(c.index, sh["row"]), **kv, **cross)
+        for g, c in enumerate(self.caches):
+            kv = {f: put(getattr(c, f), sh["kv"])
+                  for f in ("k", "v", "k_scale", "v_scale")
+                  if getattr(c, f) is not None}
+            cross = {f: put(getattr(c, f), sh["cross"])
+                     for f in ("ck", "cv") if getattr(c, f) is not None}
+            # the per-slot cursor vector shards over the data axis too
+            self.caches[g] = c._replace(index=put(c.index, sh["row"]),
+                                        **kv, **cross)
         for name in ("last", "cap_mask", "greedy_row",
                      "top_p_row", "first_tok", "emo_slot", "tokens"):
             if getattr(self, name, None) is not None:
@@ -468,11 +525,13 @@ class ContinuousServer:
         self.shrinks = 0
         self._inflight = None
         self._block_ctr = 0
-        self.Tphys = self._phys_for(self.prompt_bucket
-                                    + self._per_block_writes() + 1)
-        self.cache = gpt2.init_kv_cache(c, self.S, self.Tphys,
-                                        caption_len=self.caption_len,
-                                        per_row_index=True)
+        t0 = self._phys_for(self.prompt_bucket
+                            + self._per_block_writes() + 1)
+        self.Tphys = [t0 for _ in self.groups]
+        self.caches = [
+            gpt2.init_kv_cache(c, size, t0, caption_len=self.caption_len,
+                               per_row_index=True)
+            for _off, size in self.groups]
         self.last = jnp.full((self.S, 1), self.eos_id, jnp.int32)
         self.cap_mask = jnp.zeros((self.S, max(self.caption_len, 1)),
                                   jnp.float32)
@@ -552,13 +611,15 @@ class ContinuousServer:
         return rid
 
     def _fit_capacity(self) -> None:
-        need = self._phys_for(self._capacity_need())
-        if need > self.Tphys:
-            self._grow_cache(need)
-        elif need * 2 <= self.Tphys:
-            # hysteresis: only reclaim once the need drops to half the
-            # rung, so a long row finishing doesn't thrash grow/shrink
-            self._shrink_cache(need)
+        for g in range(len(self.groups)):
+            need = self._phys_for(self._capacity_need(g))
+            if need > self.Tphys[g]:
+                self._grow_cache(g, need)
+            elif need * 2 <= self.Tphys[g]:
+                # hysteresis: only reclaim once the need drops to half
+                # the rung, so a long row finishing doesn't thrash
+                # grow/shrink
+                self._shrink_cache(g, need)
 
     def step(self) -> List[Result]:
         """One server iteration: admit into free slots, fit the capacity
@@ -710,7 +771,7 @@ class ContinuousServer:
         self._prefill_cache[(pb, gb)] = prefill
         return prefill
 
-    def _join_fn(self, pb: int, gb: int):
+    def _join_fn(self, pb: int, gb: int, g: int = 0):
         """ONE program scattering a gb-row prefilled cache into gb slots
         — each row LEFT-ALIGNED into [0, len) of its slot (a
         take_along_axis gather undoes the prefill bucket's left-pad) —
@@ -720,11 +781,18 @@ class ContinuousServer:
         All updates are VECTORIZED scatters over the slot axis (pad rows
         carry slot index S, dropped by ``mode="drop"``): an unrolled
         per-row loop built a ~1000-op jaxpr whose trace+compile cost
-        seconds per (pb, gb) combo."""
-        if (pb, gb) in self._join_cache:
-            return self._join_cache[(pb, gb)]
+        seconds per (pb, gb) combo.
+
+        With tiered pools, ``g`` is the pool whose cache this join
+        writes: meta carries GLOBAL slot indices; the cache scatter uses
+        pool-LOCAL ones (global - pool offset), the per-slot row-state
+        scatters stay global."""
+        if (pb, gb, g) in self._join_cache:
+            return self._join_cache[(pb, gb, g)]
         cl = self.caption_len
         spec = bool(self.spec_gamma)
+        off = self.groups[g][0]
+        S_all = self.S
 
         @jax.jit
         def join(cache, last, cap_mask_all,
@@ -735,8 +803,11 @@ class ContinuousServer:
             valid_g = valid_i.astype(bool)
             greedy_flags_g = greedy_i.astype(bool)
             first = jnp.where(greedy_flags_g, greedy_tok, sampled_tok)
-            # pad/invalid rows scatter to slot S (out of bounds -> drop)
-            slot_idx = jnp.where(valid_g, slots_g, cache.k.shape[1])
+            # pad/invalid rows scatter to slot Sg (out of bounds -> drop);
+            # cache scatters are pool-local, row-state scatters global
+            slot_idx = jnp.where(valid_g, slots_g - off,
+                                 cache.k.shape[1])
+            glob_idx = jnp.where(valid_g, slots_g, S_all)
 
             # left-align: temp row g holds its prompt right-aligned at
             # [pb - len, pb); gather it to [0, len) (positions >= len
@@ -774,32 +845,33 @@ class ContinuousServer:
                 # match windows strictly below the cursor)
                 ids_aligned = jnp.take_along_axis(ids_g, src, axis=1)
                 twin = tokens_all[:, :pb]
-                twin = twin.at[slot_idx].set(ids_aligned, mode="drop")
+                twin = twin.at[glob_idx].set(ids_aligned, mode="drop")
                 tokens_all = tokens_all.at[:, :pb].set(twin)
 
-            last = last.at[slot_idx, 0].set(first, mode="drop")
-            greedy_all = greedy_all.at[slot_idx].set(greedy_flags_g,
+            last = last.at[glob_idx, 0].set(first, mode="drop")
+            greedy_all = greedy_all.at[glob_idx].set(greedy_flags_g,
                                                      mode="drop")
-            topp_all = topp_all.at[slot_idx].set(topp_g, mode="drop")
-            first_all = first_all.at[slot_idx].set(first, mode="drop")
+            topp_all = topp_all.at[glob_idx].set(topp_g, mode="drop")
+            first_all = first_all.at[glob_idx].set(first, mode="drop")
             # emotion logits are defined at the PROMPT's last token
             # (Result contract)
-            emo_all = emo_all.at[slot_idx].set(
+            emo_all = emo_all.at[glob_idx].set(
                 emotion.astype(emo_all.dtype), mode="drop")
             if cl:
-                cap_mask_all = cap_mask_all.at[slot_idx].set(cap_mask_g,
+                cap_mask_all = cap_mask_all.at[glob_idx].set(cap_mask_g,
                                                              mode="drop")
             return (cache, last, cap_mask_all,
                     greedy_all, topp_all, first_all, emo_all, tokens_all)
 
-        self._join_cache[(pb, gb)] = join
+        self._join_cache[(pb, gb, g)] = join
         return join
 
-    def _admit_group(self, entries: List[tuple], pb: int):
-        """entries: (slot_idx, rid, req, submit_step, submit_wall). One
-        prefill + one join for the whole group; host transfers: ids +
-        packed meta + top_p (+ optional tts/modality/caption arrays only
-        when some request carries them)."""
+    def _admit_group(self, entries: List[tuple], pb: int, g: int = 0):
+        """entries: (slot_idx, rid, req, submit_step, submit_wall), all
+        in pool ``g``. One prefill + one join for the whole group; host
+        transfers: ids + packed meta + top_p (+ optional
+        tts/modality/caption arrays only when some request carries
+        them)."""
         t0 = _time.time()
         G = len(entries)
         gb = _group_bucket(G, self.GROUP_CAP)
@@ -819,25 +891,25 @@ class ContinuousServer:
         cap_ids = np.full((gb, cl), self.eos_id, np.int32) if any_cap else None
         cap_mask = np.zeros((gb, max(cl, 1)), np.float32)
 
-        for g, (slot_idx, rid, req, sub, wall) in enumerate(entries):
+        for r, (slot_idx, rid, req, sub, wall) in enumerate(entries):
             ids_list = list(req.prompt_ids)
             Lp = len(ids_list)
-            ids[g, pb - Lp:] = ids_list
+            ids[r, pb - Lp:] = ids_list
             if req.token_type_ids is not None:
                 tt = list(req.token_type_ids)
                 tt = tt + [self.sp2_id] * (Lp - len(tt))
-                tts[g, pb - Lp:] = tt[:Lp]
+                tts[r, pb - Lp:] = tt[:Lp]
             if req.img is not None:
-                img[g] = req.img
+                img[r] = req.img
             if req.aud is not None:
-                aud[g] = req.aud
+                aud[r] = req.aud
             if cl and req.caption_ids:
                 n = min(len(req.caption_ids), cl)
-                cap_ids[g, :n] = req.caption_ids[:n]
-                cap_mask[g, :n] = 1.0
-            meta[:4, g] = (slot_idx, 1, Lp, int(bool(req.greedy)))
-            meta[4, g] = req.seed
-            topp[g] = float(req.top_p)
+                cap_ids[r, :n] = req.caption_ids[:n]
+                cap_mask[r, :n] = 1.0
+            meta[:4, r] = (slot_idx, 1, Lp, int(bool(req.greedy)))
+            meta[4, r] = req.seed
+            topp[r] = float(req.top_p)
         # pad rows duplicate zeros with valid=0
 
         def put(x):
@@ -854,11 +926,11 @@ class ContinuousServer:
                 put(tts), put(img), put(aud), put(cap_ids),
                 cap_mask_dev if any_cap else None)
 
-            join = self._join_fn(pb, gb)
-            (self.cache, self.last, self.cap_mask,
+            join = self._join_fn(pb, gb, g)
+            (self.caches[g], self.last, self.cap_mask,
              self.greedy_row, self.top_p_row, self.first_tok,
              self.emo_slot, self.tokens) = join(
-                self.cache, self.last, self.cap_mask,
+                self.caches[g], self.last, self.cap_mask,
                 self.greedy_row, self.top_p_row, self.first_tok,
                 self.emo_slot,
                 temp, emotion, greedy_tok, sampled_tok,
@@ -881,9 +953,9 @@ class ContinuousServer:
 
     EXT_BUCKET = 16  # delta-width quantum for session-extension prefills
 
-    def _extend_fn(self, pbd: int):
-        """Session-continuation program: ONE forward over all S slots,
-        pbd positions wide, against the LIVE shared cache — each
+    def _extend_fn(self, pbd: int, g: int = 0):
+        """Session-continuation program: ONE forward over pool ``g``'s
+        Sg slots, pbd positions wide, against the LIVE pool cache — each
         extending row's delta attends to its retained history via the
         per-row shifted-causal visibility (kpos <= start + j, the same
         mechanism the speculative verify uses), writes K/V at
@@ -891,17 +963,21 @@ class ContinuousServer:
         Non-extending rows run junk at their own cursor (written ABOVE
         their content — invisible, overwritten by later decode steps,
         dropped past capacity), so no gather/scatter of cache rows is
-        needed at all."""
-        key = (self.Tphys, "ext", pbd)
+        needed at all. Per-slot row state stays GLOBAL: the program
+        slices its pool's rows at a static offset and writes the slice
+        back."""
+        key = (self.Tphys[g], "ext", pbd, g)
         if key in self._decode_cache:
             return self._decode_cache[key]
-        c, S, cl = self.cfg, self.S, self.caption_len
+        c, cl = self.cfg, self.caption_len
+        off, Sg = self.groups[g]
         spec = bool(self.spec_gamma)
-        b_ix = jnp.arange(S)
+        b_ix = jnp.arange(Sg)
 
         @jax.jit
-        def extend(params, cache, last, greedy_all, topp_all, first_all,
-                   emo_all, tokens_all, cap_mask, ids, tts, meta, topp_g):
+        def extend(params, cache, last_all, greedy_g_all, topp_all,
+                   first_all, emo_all, tokens_g_all, cap_mask_all,
+                   ids, tts, meta, topp_g):
             ext = meta[0].astype(bool)
             start, dlen = meta[1], meta[2]
             greedy_i = meta[3].astype(bool)
@@ -912,13 +988,14 @@ class ContinuousServer:
             out = gpt2.forward(
                 params, c, ids, token_type_ids=tts, position_ids=pos,
                 cache=cache._replace(index=vis),
-                encoder_attention_mask=cap_mask if cl else None,
+                encoder_attention_mask=(cap_mask_all[off:off + Sg]
+                                        if cl else None),
                 seq_lengths=jnp.clip(dlen, 1, pbd))
             cache = out.cache._replace(
                 index=jnp.where(ext, start + dlen, orig_index))
             jlast = jnp.clip(dlen - 1, 0, pbd - 1)
             logits = jnp.take_along_axis(
-                out.logits, jlast[:, None, None], axis=1)[:, 0]  # [S, V]
+                out.logits, jlast[:, None, None], axis=1)[:, 0]  # [Sg, V]
             gkey = jax.random.fold_in(
                 jax.random.PRNGKey(jnp.sum(meta[4])), meta[5, 0])
             sampled = sample_top_p(logits, gkey,
@@ -926,14 +1003,25 @@ class ContinuousServer:
             first = jnp.where(greedy_i,
                               jnp.argmax(logits, -1).astype(jnp.int32),
                               sampled)
+            last = last_all[off:off + Sg]
+            greedy_all = greedy_g_all[off:off + Sg]
+            topp_slice = topp_all[off:off + Sg]
+            first_slice = first_all[off:off + Sg]
+            emo_slice = emo_all[off:off + Sg]
             last = jnp.where(ext[:, None], first[:, None], last)
             greedy_all = jnp.where(ext, greedy_i, greedy_all)
-            topp_all = jnp.where(ext, topp_g, topp_all)
-            first_all = jnp.where(ext, first, first_all)
-            emo_all = jnp.where(ext[:, None],
-                                out.emotion_logits.astype(emo_all.dtype),
-                                emo_all)
+            topp_slice = jnp.where(ext, topp_g, topp_slice)
+            first_slice = jnp.where(ext, first, first_slice)
+            emo_slice = jnp.where(ext[:, None],
+                                  out.emotion_logits.astype(emo_all.dtype),
+                                  emo_slice)
+            last_all = last_all.at[off:off + Sg].set(last)
+            greedy_g_all = greedy_g_all.at[off:off + Sg].set(greedy_all)
+            topp_all = topp_all.at[off:off + Sg].set(topp_slice)
+            first_all = first_all.at[off:off + Sg].set(first_slice)
+            emo_all = emo_all.at[off:off + Sg].set(emo_slice)
             if spec:
+                tokens_all = tokens_g_all[off:off + Sg]
                 j = jnp.arange(pbd)[None, :]
                 t_ix = jnp.clip(start[:, None] + j, 0,
                                 tokens_all.shape[1] - 1)
@@ -941,33 +1029,35 @@ class ContinuousServer:
                 neww = jnp.where(ext[:, None] & (j < dlen[:, None]),
                                  ids, cur)
                 tokens_all = tokens_all.at[b_ix[:, None], t_ix].set(neww)
-            return (cache, last, greedy_all, topp_all, first_all,
-                    emo_all, tokens_all)
+                tokens_g_all = tokens_g_all.at[off:off + Sg].set(tokens_all)
+            return (cache, last_all, greedy_g_all, topp_all, first_all,
+                    emo_all, tokens_g_all)
 
         self._decode_cache[key] = extend
         return extend
 
-    def _admit_ext_group(self, entries: List[dict], pbd: int):
-        """entries: dicts with slot/start/ids/tts/req/rid/sub/wall/final.
-        One device call extends every row in the group against the LIVE
-        cache: session continuations re-feed the parked final token (its
-        K/V write was not guaranteed at park time) followed by the
-        prompt's new tokens; chunked admissions feed their next prompt
-        slice. A non-final chunk leaves the slot in ``prefilling`` (the
-        program's sampled outputs are mid-prompt garbage that the next
-        chunk overwrites); the final chunk activates the slot for
-        decode, so its sampled first token and emotion logits are the
-        real ones."""
+    def _admit_ext_group(self, entries: List[dict], pbd: int, g: int = 0):
+        """entries: dicts with slot/start/ids/tts/req/rid/sub/wall/final,
+        all in pool ``g``. One device call extends every row in the
+        group against the LIVE pool cache: session continuations re-feed
+        the parked final token (its K/V write was not guaranteed at park
+        time) followed by the prompt's new tokens; chunked admissions
+        feed their next prompt slice. A non-final chunk leaves the slot
+        in ``prefilling`` (the program's sampled outputs are mid-prompt
+        garbage that the next chunk overwrites); the final chunk
+        activates the slot for decode, so its sampled first token and
+        emotion logits are the real ones."""
         t0 = _time.time()
-        S, cl = self.S, self.caption_len
-        ids = np.full((S, pbd), self.eos_id, np.int32)
-        tts = np.full((S, pbd), self.sp2_id, np.int32)
-        meta = np.zeros((6, S), np.int32)  # ext, start, dlen, greedy, seed, ctr
+        off, Sg = self.groups[g]
+        cl = self.caption_len
+        ids = np.full((Sg, pbd), self.eos_id, np.int32)
+        tts = np.full((Sg, pbd), self.sp2_id, np.int32)
+        meta = np.zeros((6, Sg), np.int32)  # ext, start, dlen, greedy, seed, ctr
         self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
         meta[5] = self._admit_ctr
-        topp = np.full((S,), 0.95, np.float32)
+        topp = np.full((Sg,), 0.95, np.float32)
         for e in entries:
-            i, d = e["slot"], len(e["ids"])
+            i, d = e["slot"] - off, len(e["ids"])
             ids[i, :d] = e["ids"]
             if e["tts"] is not None:
                 tts[i, :d] = e["tts"][:d]
@@ -977,11 +1067,11 @@ class ContinuousServer:
             meta[3, i] = int(bool(e["req"].greedy))
             meta[4, i] = e["req"].seed
             topp[i] = float(e["req"].top_p)
-        extend = self._extend_fn(pbd)
+        extend = self._extend_fn(pbd, g)
         with self._ctx():
-            (self.cache, self.last, self.greedy_row, self.top_p_row,
+            (self.caches[g], self.last, self.greedy_row, self.top_p_row,
              self.first_tok, self.emo_slot, self.tokens) = extend(
-                self.params, self.cache, self.last, self.greedy_row,
+                self.params, self.caches[g], self.last, self.greedy_row,
                 self.top_p_row, self.first_tok, self.emo_slot,
                 self.tokens, self.cap_mask if cl else None,
                 jnp.asarray(ids), jnp.asarray(tts), jnp.asarray(meta),
@@ -1014,7 +1104,7 @@ class ContinuousServer:
         decoding), loop until every chunk is done — interleaving buys
         nothing when no other stream is running."""
         while self._chunks:
-            by_pbd: Dict[int, List[dict]] = {}
+            by_pbd: Dict[tuple, List[dict]] = {}  # (pbd, pool) -> entries
             for slot, st in list(self._chunks.items()):
                 if st.pop("skip_once", None):
                     # fresh chunked admission: chunk 1 already ran this
@@ -1031,41 +1121,72 @@ class ContinuousServer:
                      "wall": st["wall"],
                      "final": off + dlen == len(ids)}
                 st["off"] = off + dlen
-                by_pbd.setdefault(_bucket(dlen, self.EXT_BUCKET),
-                                  []).append(e)
-            need = self._capacity_need()
-            for entries in by_pbd.values():
-                need = max(need,
-                           max(e["start"] + len(e["ids"]) for e in entries)
-                           + self._per_block_writes() + 1)
-            need = self._phys_for(need)
-            if need > self.Tphys:
-                self._grow_cache(need)
-            for pbd, entries in by_pbd.items():
-                self._admit_ext_group(entries, pbd)
+                by_pbd.setdefault(
+                    (_bucket(dlen, self.EXT_BUCKET),
+                     self._slot_group(slot)), []).append(e)
+            for g in range(len(self.groups)):
+                need = self._capacity_need(g)
+                for (_pbd, eg), entries in by_pbd.items():
+                    if eg == g:
+                        need = max(need, max(e["start"] + len(e["ids"])
+                                             for e in entries)
+                                   + self._per_block_writes() + 1)
+                need = self._phys_for(need)
+                if need > self.Tphys[g]:
+                    self._grow_cache(g, need)
+            for (pbd, g), entries in by_pbd.items():
+                self._admit_ext_group(entries, pbd, g)
             if not drain:
                 break
 
-    def _take_free_slot(self, protected, taken) -> Optional[int]:
+    def _route(self, req: Request) -> int:
+        """Pool a fresh admission prefers: the long pool iff the row's
+        expected FINAL length (prompt + max_new - 1, known at submit)
+        exceeds long_threshold, or the request pins itself with
+        Request.pool."""
+        if not self.long_slots:
+            return 0
+        if req.pool == "long":
+            return 1
+        if req.pool == "short":
+            return 0
+        return (1 if len(req.prompt_ids) + req.max_new_tokens - 1
+                > self.long_threshold else 0)
+
+    def _take_free_slot(self, protected, taken, g: int = 0) -> Optional[int]:
         """A truly free slot, or an LRU-evicted parked one (sessions a
         queued request still references are protected — a continuation
         already admitted past submit() must find its prefix intact).
         ``taken`` holds slots already assigned in THIS admission pass
-        (they are only marked active after their group program runs)."""
-        for i, s in enumerate(self.slots):
-            if (not s.active and not s.parked and not s.prefilling
-                    and i not in taken):
-                taken.add(i)
-                return i
-        cands = [(s.last_use, i) for i, s in enumerate(self.slots)
-                 if s.parked and s.session not in protected
-                 and i not in taken]
-        if not cands:
-            return None
-        _, idx = min(cands)
-        self._unpark(idx)
-        taken.add(idx)
-        return idx
+        (they are only marked active after their group program runs).
+
+        Pool policy: prefer pool ``g``; SHORT requests overflow into
+        idle long slots when the short pool is exhausted (an idle long
+        pool sits at a low rung, so they cost little there), but long
+        requests never take short slots — one long row would widen the
+        narrow rung every short slot reads. Free slots anywhere beat
+        evicting a parked session."""
+        pools = [g]
+        if self.long_slots and g == 0:
+            pools.append(1)
+        for p in pools:
+            for i in self._group_slots(p):
+                s = self.slots[i]
+                if (not s.active and not s.parked and not s.prefilling
+                        and i not in taken):
+                    taken.add(i)
+                    return i
+        for p in pools:
+            cands = [(self.slots[i].last_use, i) for i in self._group_slots(p)
+                     if self.slots[i].parked
+                     and self.slots[i].session not in protected
+                     and i not in taken]
+            if cands:
+                _, idx = min(cands)
+                self._unpark(idx)
+                taken.add(idx)
+                return idx
+        return None
 
     def _session_ext_entry(self, slot_idx, rid, req, sub, wall, log, d):
         """The generalized extension entry for a session continuation:
@@ -1086,8 +1207,8 @@ class ContinuousServer:
     def _admit(self):
         if not self.queue:
             return
-        by_pb: Dict[int, List[tuple]] = {}   # fresh full prefills
-        by_ext: Dict[int, List[dict]] = {}   # session-delta extensions
+        by_pb: Dict[tuple, List[tuple]] = {}   # (pb, pool) fresh prefills
+        by_ext: Dict[tuple, List[dict]] = {}   # (pbd, pool) session deltas
         deferred: List[tuple] = []
         claimed: set = set()  # sessions extended in THIS pass
         taken: set = set()    # slots assigned in THIS pass
@@ -1121,16 +1242,20 @@ class ContinuousServer:
                     s.prefilling = True  # reserved before the 1st chunk
                     s.req = req
                     continue
-                by_ext.setdefault(_bucket(d, self.EXT_BUCKET), []).append(e)
+                by_ext.setdefault(
+                    (_bucket(d, self.EXT_BUCKET),
+                     self._slot_group(slot_idx)), []).append(e)
                 continue
             if sid and sid in self.sessions:
                 # prefix mismatch (conversation diverged/restarted):
                 # the parked content is useless — free it for reuse
                 self._unpark(self.sessions[sid])
-            slot_idx = self._take_free_slot(protected, taken)
+            slot_idx = self._take_free_slot(protected, taken,
+                                            self._route(req))
             if slot_idx is None:
                 deferred.append((rid, req, sub, wall))
                 continue
+            grp = self._slot_group(slot_idx)
             Lp = len(req.prompt_ids)
             if self.prefill_chunk and Lp > self.prefill_chunk:
                 # chunked fresh admission: chunk 1 rides the prefill
@@ -1151,31 +1276,37 @@ class ContinuousServer:
                     "ids": list(req.prompt_ids), "tts": full_tt,
                     "off": C, "base": 0, "skip_once": True}
                 chunk_first.append((slot_idx, req))
-                by_pb.setdefault(_bucket(C, self.prompt_bucket), []).append(
-                    (slot_idx, rid, pseudo, sub, wall))
+                by_pb.setdefault((_bucket(C, self.prompt_bucket), grp),
+                                 []).append((slot_idx, rid, pseudo, sub, wall))
                 continue
             pb = _bucket(Lp, self.prompt_bucket)
-            by_pb.setdefault(pb, []).append((slot_idx, rid, req, sub, wall))
+            by_pb.setdefault((pb, grp), []).append(
+                (slot_idx, rid, req, sub, wall))
         self.queue = deferred
         if not by_pb and not by_ext:
             return
         # joins write the static [0, pb) window, extensions write up to
         # the full continuation length — capacity must cover both
         # BEFORE the first program runs
-        need = self._capacity_need()
-        if by_pb:
-            need = max(need, max(by_pb) + self._per_block_writes() + 1)
-        for entries in by_ext.values():
-            need = max(need, max(e["start"] + len(e["ids"]) for e in entries)
-                       + self._per_block_writes() + 1)
-        need = self._phys_for(need)
-        if need > self.Tphys:
-            self._grow_cache(need)
-        for pb, entries in by_pb.items():
+        for g in range(len(self.groups)):
+            need = self._capacity_need(g)
+            pbs = [pb for (pb, pg) in by_pb if pg == g]
+            if pbs:
+                need = max(need, max(pbs) + self._per_block_writes() + 1)
+            for (_pbd, pg), entries in by_ext.items():
+                if pg == g:
+                    need = max(need,
+                               max(e["start"] + len(e["ids"])
+                                   for e in entries)
+                               + self._per_block_writes() + 1)
+            need = self._phys_for(need)
+            if need > self.Tphys[g]:
+                self._grow_cache(g, need)
+        for (pb, g), entries in by_pb.items():
             for i in range(0, len(entries), self.GROUP_CAP):
-                self._admit_group(entries[i:i + self.GROUP_CAP], pb)
-        for pbd, entries in by_ext.items():
-            self._admit_ext_group(entries, pbd)
+                self._admit_group(entries[i:i + self.GROUP_CAP], pb, g)
+        for (pbd, g), entries in by_ext.items():
+            self._admit_ext_group(entries, pbd, g)
         for slot_idx, req in chunk_first:
             # the group program prefilled chunk 1 and activated the
             # slot; demote it back to prefilling until the last chunk
@@ -1186,35 +1317,52 @@ class ContinuousServer:
 
     # -- decode -----------------------------------------------------------
 
-    def _decode_fn(self, all_greedy: bool):
-        # one specialization per (capacity rung, all-greedy) pair: when
-        # every active row is greedy the block skips the nucleus sampler
-        # entirely (an approx-top-k + full-vocab logsumexp per step —
-        # measured ~20% of the all-greedy step; ``generate`` has the
-        # same greedy specialization, so benches were asymmetric).
+    def _decode_fn(self, all_greedy: bool, actives: tuple):
+        # one specialization per (capacity rungs, included pools,
+        # all-greedy) triple: when every active row is greedy the block
+        # skips the nucleus sampler entirely (an approx-top-k +
+        # full-vocab logsumexp per step — measured ~20% of the
+        # all-greedy step; ``generate`` has the same greedy
+        # specialization, so benches were asymmetric). Pools with no
+        # active row are EXCLUDED: their cache/last pass through
+        # untouched, so a tiered server with no long rows runs exactly
+        # the single-pool program over the short pool.
         # The rng chain is not consumed by greedy blocks; sampled
         # streams are scheduler-dependent by design either way.
-        key = (self.Tphys, all_greedy)
+        key = (tuple(self.Tphys), actives, all_greedy)
         if key in self._decode_cache:
             return self._decode_cache[key]
         c, S, cl = self.cfg, self.S, self.caption_len
         K = self.sync_every
-        step_tt = jnp.full((S, 1), self.sp2_id, jnp.int32)
+        groups = self.groups
+        inc = [g for g in range(len(groups)) if actives[g]]
 
         @jax.jit
-        def decode_block(params, cache, last, cap_mask,
+        def decode_block(params, caches, last, cap_mask,
                          rng, greedy_row, top_p_row):
             def body(i, st):
-                cache, last, rng, toks = st
-                # per-slot cursors: cache.index[i] IS slot i's logical
-                # length; visibility (kpos <= index) is enforced inside
-                # the cached attention — no mask array at all
-                pos = jnp.minimum(cache.index, c.n_positions - 1)[:, None]
-                out = gpt2.forward(
-                    params, c, last, token_type_ids=step_tt,
-                    position_ids=pos, cache=cache,
-                    encoder_attention_mask=cap_mask if cl else None)
-                logits = out.logits[:, -1, :]
+                caches, last, rng, toks = st
+                logits_parts = []
+                new_caches = list(caches)
+                for g in inc:
+                    off, Sg = groups[g]
+                    cache = caches[g]
+                    # per-slot cursors: cache.index[i] IS slot i's
+                    # logical length; visibility (kpos <= index) is
+                    # enforced inside the cached attention — no mask
+                    # array at all
+                    pos = jnp.minimum(cache.index,
+                                      c.n_positions - 1)[:, None]
+                    out = gpt2.forward(
+                        params, c, last[off:off + Sg],
+                        token_type_ids=jnp.full((Sg, 1), self.sp2_id,
+                                                jnp.int32),
+                        position_ids=pos, cache=cache,
+                        encoder_attention_mask=(cap_mask[off:off + Sg]
+                                                if cl else None))
+                    logits_parts.append(out.logits[:, -1, :])
+                    new_caches[g] = out.cache
+                logits = jnp.concatenate(logits_parts, axis=0)
                 if all_greedy:
                     nxt = jnp.argmax(logits, -1)
                 else:
@@ -1222,22 +1370,37 @@ class ContinuousServer:
                     # ONE batched sampler call with per-row top_p
                     # (vmapping per-slot keys ran 64 tiny top-k/RNG ops
                     # per step)
-                    sampled = sample_top_p(logits, sub, top_p_row[:, None])
-                    nxt = jnp.where(greedy_row, jnp.argmax(logits, -1),
+                    topp_inc = jnp.concatenate(
+                        [top_p_row[groups[g][0]:groups[g][0] + groups[g][1]]
+                         for g in inc])
+                    greedy_inc = jnp.concatenate(
+                        [greedy_row[groups[g][0]:groups[g][0] + groups[g][1]]
+                         for g in inc])
+                    sampled = sample_top_p(logits, sub, topp_inc[:, None])
+                    nxt = jnp.where(greedy_inc, jnp.argmax(logits, -1),
                                     sampled)
                 nxt = nxt.astype(jnp.int32)
-                toks = toks.at[i].set(nxt)
-                return (out.cache, nxt[:, None], rng, toks)
+                # scatter included pools' tokens back to global slot
+                # order; excluded pools keep their pending token
+                nxt_full = last[:, 0]
+                row0 = 0
+                for g in inc:
+                    off, Sg = groups[g]
+                    nxt_full = nxt_full.at[off:off + Sg].set(
+                        nxt[row0:row0 + Sg])
+                    row0 += Sg
+                toks = toks.at[i].set(nxt_full)
+                return (tuple(new_caches), nxt_full[:, None], rng, toks)
 
             toks = jnp.zeros((K, S), jnp.int32)
-            st = (cache, last, rng, toks)
+            st = (caches, last, rng, toks)
             st = lax.fori_loop(0, K, body, st)
             return st
 
         self._decode_cache[key] = decode_block
         return decode_block
 
-    def _spec_decode_fn(self):
+    def _spec_decode_fn(self, actives: tuple):
         """One specialization per capacity rung: sync_every MACRO steps,
         each = device prompt-lookup draft (gamma proposals per slot from
         the most recent earlier occurrence of the last spec_ngram
@@ -1246,72 +1409,88 @@ class ContinuousServer:
         prefix + 1 (1..gamma+1), so emitted tokens are ALWAYS a prefix
         of the verify argmaxes y — the host just takes cnt[m, s] tokens
         of y[m, s]."""
-        key = (self.Tphys, "spec")
+        key = (tuple(self.Tphys), actives, "spec")
         if key in self._decode_cache:
             return self._decode_cache[key]
-        c, S, cl = self.cfg, self.S, self.caption_len
+        c, cl = self.cfg, self.caption_len
         M, G, N = self.sync_every, self.spec_gamma, self.spec_ngram
         Tcap = self.T
         W = Tcap - N - G  # candidate window starts (static)
-        step_tt = jnp.full((S, G + 1), self.sp2_id, jnp.int32)
-        b_ix = jnp.arange(S)
+        groups = self.groups
+        inc = [g for g in range(len(groups)) if actives[g]]
+        S = self.S
 
         @jax.jit
-        def spec_block(params, cache, last, tokens, cap_mask):
+        def spec_block(params, caches, last, tokens, cap_mask):
             def macro(m, st):
-                cache, last, tokens, out_toks, out_cnt = st
-                idx = cache.index  # [S]
-                # record the pending token at its position
-                tokens = tokens.at[b_ix, jnp.clip(idx, 0, Tcap - 1)].set(
-                    last[:, 0])
-                # lookup key: the last N consumed tokens (ends at idx)
-                key_pos = jnp.clip(
-                    idx[:, None] - (N - 1) + jnp.arange(N)[None, :],
-                    0, Tcap - 1)
-                kkey = tokens[b_ix[:, None], key_pos]  # [S, N]
-                eq = jnp.ones((S, W), bool)
-                for j in range(N):
-                    eq &= tokens[:, j:j + W] == kkey[:, j:j + 1]
-                tpos = jnp.arange(W)[None, :]
-                # window must END strictly before the current occurrence
-                eq &= tpos + N - 1 < idx[:, None]
-                eq &= (idx >= N)[:, None]
-                found = jnp.any(eq, axis=1)
-                t_star = jnp.where(
-                    found, W - 1 - jnp.argmax(eq[:, ::-1], axis=1), 0)
-                prop_pos = t_star[:, None] + N + jnp.arange(G)[None, :]
-                props = tokens[b_ix[:, None], prop_pos]  # [S, G]
-                # no match: propose the pending token repeated (free to
-                # verify; rejection keeps exactness)
-                props = jnp.where(found[:, None], props, last)
-                tokens = tokens.at[
-                    b_ix[:, None],
-                    jnp.clip(idx[:, None] + 1 + jnp.arange(G)[None, :],
-                             0, Tcap - 1)].set(props)
-                # ONE verify forward over [pending, props]
-                inp = jnp.concatenate([last, props], axis=1)  # [S, G+1]
-                pos = jnp.minimum(idx[:, None] + jnp.arange(G + 1)[None, :],
-                                  c.n_positions - 1)
-                out = gpt2.forward(
-                    params, c, inp, token_type_ids=step_tt,
-                    position_ids=pos, cache=cache,
-                    encoder_attention_mask=cap_mask if cl else None)
-                y = jnp.argmax(out.logits, -1).astype(jnp.int32)  # [S, G+1]
-                match = props == y[:, :G]
-                a = jnp.where(jnp.all(match, axis=1), G,
-                              jnp.argmin(match.astype(jnp.int32), axis=1))
-                cnt = a + 1  # emitted = y[:, :cnt]
-                new_last = jnp.take_along_axis(y, a[:, None], axis=1)
-                # roll the cursor back to the accepted prefix (the junk
-                # K/V above it is invisible and overwritten later)
-                cache = out.cache._replace(index=idx + cnt)
-                out_toks = out_toks.at[m].set(y)
-                out_cnt = out_cnt.at[m].set(cnt.astype(jnp.int32))
-                return (cache, new_last, tokens, out_toks, out_cnt)
+                caches, last, tokens, out_toks, out_cnt = st
+                new_caches = list(caches)
+                for g in inc:
+                    off, Sg = groups[g]
+                    cache = caches[g]
+                    b_ix = jnp.arange(Sg)
+                    tok_g = tokens[off:off + Sg]          # [Sg, T]
+                    last_g = last[off:off + Sg]           # [Sg, 1]
+                    idx = cache.index                     # [Sg]
+                    # record the pending token at its position
+                    tok_g = tok_g.at[b_ix, jnp.clip(idx, 0, Tcap - 1)].set(
+                        last_g[:, 0])
+                    # lookup key: the last N consumed tokens (ends at idx)
+                    key_pos = jnp.clip(
+                        idx[:, None] - (N - 1) + jnp.arange(N)[None, :],
+                        0, Tcap - 1)
+                    kkey = tok_g[b_ix[:, None], key_pos]  # [Sg, N]
+                    eq = jnp.ones((Sg, W), bool)
+                    for j in range(N):
+                        eq &= tok_g[:, j:j + W] == kkey[:, j:j + 1]
+                    tpos = jnp.arange(W)[None, :]
+                    # window must END strictly before this occurrence
+                    eq &= tpos + N - 1 < idx[:, None]
+                    eq &= (idx >= N)[:, None]
+                    found = jnp.any(eq, axis=1)
+                    t_star = jnp.where(
+                        found, W - 1 - jnp.argmax(eq[:, ::-1], axis=1), 0)
+                    prop_pos = t_star[:, None] + N + jnp.arange(G)[None, :]
+                    props = tok_g[b_ix[:, None], prop_pos]  # [Sg, G]
+                    # no match: propose the pending token repeated (free
+                    # to verify; rejection keeps exactness)
+                    props = jnp.where(found[:, None], props, last_g)
+                    tok_g = tok_g.at[
+                        b_ix[:, None],
+                        jnp.clip(idx[:, None] + 1 + jnp.arange(G)[None, :],
+                                 0, Tcap - 1)].set(props)
+                    # ONE verify forward over [pending, props]
+                    inp = jnp.concatenate([last_g, props], axis=1)
+                    pos = jnp.minimum(
+                        idx[:, None] + jnp.arange(G + 1)[None, :],
+                        c.n_positions - 1)
+                    out = gpt2.forward(
+                        params, c, inp,
+                        token_type_ids=jnp.full((Sg, G + 1), self.sp2_id,
+                                                jnp.int32),
+                        position_ids=pos, cache=cache,
+                        encoder_attention_mask=(cap_mask[off:off + Sg]
+                                                if cl else None))
+                    y = jnp.argmax(out.logits, -1).astype(jnp.int32)
+                    match = props == y[:, :G]
+                    a = jnp.where(jnp.all(match, axis=1), G,
+                                  jnp.argmin(match.astype(jnp.int32),
+                                             axis=1))
+                    cnt = a + 1  # emitted = y[:, :cnt]
+                    new_last = jnp.take_along_axis(y, a[:, None], axis=1)
+                    # roll the cursor back to the accepted prefix (the
+                    # junk K/V above it is invisible, overwritten later)
+                    new_caches[g] = out.cache._replace(index=idx + cnt)
+                    tokens = tokens.at[off:off + Sg].set(tok_g)
+                    last = last.at[off:off + Sg].set(new_last)
+                    out_toks = out_toks.at[m, off:off + Sg].set(y)
+                    out_cnt = out_cnt.at[m, off:off + Sg].set(
+                        cnt.astype(jnp.int32))
+                return (tuple(new_caches), last, tokens, out_toks, out_cnt)
 
             out_toks = jnp.zeros((M, S, G + 1), jnp.int32)
             out_cnt = jnp.zeros((M, S), jnp.int32)
-            st = (cache, last, tokens, out_toks, out_cnt)
+            st = (caches, last, tokens, out_toks, out_cnt)
             return lax.fori_loop(0, M, macro, st)
 
         self._decode_cache[key] = spec_block
@@ -1327,21 +1506,27 @@ class ContinuousServer:
         mirror is exact again before the next dispatch)."""
         all_greedy = all(s.req.greedy for s in self.slots if s.active)
         spec = bool(self.spec_gamma) and all_greedy
+        # pools with no active row are excluded from the block program
+        # (their cache/last pass through untouched)
+        actives = tuple(any(self.slots[i].active for i in self._group_slots(g))
+                        for g in range(len(self.groups)))
         t0 = _time.time()
+        caches = tuple(self.caches)
         if spec:
-            decode = self._spec_decode_fn()
+            decode = self._spec_decode_fn(actives)
             with self._ctx():
-                (self.cache, self.last, self.tokens, toks, cnts) = decode(
-                    self.params, self.cache, self.last, self.tokens,
+                (caches, self.last, self.tokens, toks, cnts) = decode(
+                    self.params, caches, self.last, self.tokens,
                     self.cap_mask if self.caption_len else None)
         else:
-            decode = self._decode_fn(all_greedy)
+            decode = self._decode_fn(all_greedy, actives)
             with self._ctx():
-                (self.cache, self.last, self.rng, toks) = decode(
-                    self.params, self.cache, self.last,
+                (caches, self.last, self.rng, toks) = decode(
+                    self.params, caches, self.last,
                     self.cap_mask if self.caption_len else None,
                     self.rng, self.greedy_row, self.top_p_row)
             cnts = None
+        self.caches = list(caches)
         self._tick("block_dispatch", t0)
         block_id = self._block_ctr
         self._block_ctr += 1

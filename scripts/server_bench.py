@@ -55,6 +55,11 @@ RATE = float(os.environ.get("SERVER_RATE", 0))
 # measuring admission interference online: LONG_FRAC of the requests get
 # LONG_LEN-token prompts
 CHUNK = int(os.environ.get("SERVER_CHUNK", 0))
+# length-tiered slot pools: LONG_SLOTS slots form a separate long pool
+# (own cache buffer + rung); requests route by expected final length vs
+# LONG_THRESHOLD (0 = default: the prefill bucket)
+LONG_SLOTS = int(os.environ.get("SERVER_LONG_SLOTS", 0))
+LONG_THRESHOLD = int(os.environ.get("SERVER_LONG_THRESHOLD", 0))
 LONG_FRAC = float(os.environ.get("SERVER_LONG_FRAC", 0))
 LONG_LEN = int(os.environ.get("SERVER_LONG_LEN", 896))
 # dynamic static batching launches when full OR the oldest request has
@@ -115,7 +120,9 @@ def main():
                            prompt_bucket=64, sync_every=SYNC,
                            cache_len=cache_len, cache_grow_step=GROW,
                            pipeline=PIPE, spec_gamma=SPEC,
-                           spec_ngram=SPEC_N, prefill_chunk=CHUNK)
+                           spec_ngram=SPEC_N, prefill_chunk=CHUNK,
+                           long_slots=LONG_SLOTS,
+                           long_threshold=LONG_THRESHOLD or None)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -137,7 +144,8 @@ def main():
                     + ("_pipe" if PIPE else "")
                     + (f"_spec{SPEC}n{SPEC_N}" if SPEC else "")
                     + (f"_chunk{CHUNK}" if CHUNK else "")
-                    + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else ""),
+                    + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else "")
+                    + (f"_tier{LONG_SLOTS}" if LONG_SLOTS else ""),
           "requests": REQUESTS,
           **({"spec_accept": round(srv.spec_accepted
                                    / max(srv.spec_proposed, 1), 3)}
@@ -236,7 +244,8 @@ def online(cfg, params, srv, prompts, budgets, eos_id, long_idx=()):
     lats = sorted(r.latency_s for r in srv.results.values())
     row = {"config": f"online_server_S{SLOTS}_rate{RATE:g}"
                      + (f"_chunk{CHUNK}" if CHUNK else "")
-                     + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else ""),
+                     + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else "")
+                     + (f"_tier{LONG_SLOTS}" if LONG_SLOTS else ""),
            "requests": REQUESTS, "rate_req_s": RATE,
            "wall_s": round(wall, 2),
            "latency_p50_s": round(float(np.percentile(lats, 50)), 3),

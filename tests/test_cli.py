@@ -203,6 +203,19 @@ def test_serve_mode(workspace, monkeypatch):
     assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_spec] \
         == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
 
+    # --serve_long_slots (length-tiered pools): same exact greedy output
+    out_tier = workspace / "responses_tier.jsonl"
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=3", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", "--serve_long_slots=1",
+        "--serve_long_threshold=12",
+        f"--requests_file={reqs}", f"--serve_output={out_tier}",
+    ])
+    rows_tier = [json.loads(l) for l in open(out_tier) if l.strip()]
+    assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_tier] \
+        == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
+
 
 def test_serve_mode_chunked_rejection(workspace, monkeypatch):
     """--serve_prefill_chunk through the CLI: long prompts admit in

@@ -106,7 +106,7 @@ def test_cache_growth_preserves_greedy(setup):
                            max_prompt=32, prompt_bucket=16, sync_every=4,
                            cache_len=96, cache_grow_step=16)
     # smallest rung covering prompt_bucket + one block, not the full T
-    assert srv.Tphys == 32 and srv.T == 96
+    assert srv.Tphys == [32] and srv.T == 96
     budgets = [16, 16, 16, 48, 16, 16, 16, 16]
     rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=b, greedy=True))
             for p, b in zip(prompts, budgets)]
@@ -285,10 +285,11 @@ def test_mesh_dp_server_shards_slots(setup):
     srv, meshed = _serve_greedy(rep, cfg, prompts, mesh, slots=4)
     assert meshed == single
     # state committed AND preserved through prefill/join/decode programs
-    for arr in (srv.cache.k, srv.cache.index, srv.emo_slot):
+    for arr in (srv.caches[0].k, srv.caches[0].index, srv.emo_slot):
         spec = arr.sharding.spec
         assert "data" in str(spec), (arr.shape, spec)
-    shard_rows = {s.data.shape for s in srv.cache.index.addressable_shards}
+    shard_rows = {s.data.shape
+                  for s in srv.caches[0].index.addressable_shards}
     assert shard_rows == {(1,)}  # 4 slots / 4 devices
 
     with pytest.raises(ValueError, match="divisible by the mesh data"):
@@ -471,6 +472,14 @@ def test_mesh_spec_serving_matches_single_device(setup):
     (1, dict(slots=2, sync_every=2, spec_gamma=2, spec_ngram=2)),
     (2, dict(slots=3, sync_every=4, pipeline=True)),
     (3, dict(slots=2, sync_every=3, prefill_chunk=16)),
+    # length-tiered pools, alone and composed with the other modes
+    (4, dict(slots=4, sync_every=3, long_slots=2, long_threshold=24)),
+    (5, dict(slots=4, sync_every=2, long_slots=2, long_threshold=20,
+             spec_gamma=2, spec_ngram=2)),
+    (6, dict(slots=4, sync_every=3, long_slots=1, long_threshold=24,
+             prefill_chunk=16)),
+    (7, dict(slots=4, sync_every=4, long_slots=2, long_threshold=24,
+             pipeline=True)),
 ])
 def test_randomized_admission_stress(setup, seed, kw):
     """Property check over a RANDOM admission schedule: any interleaving
@@ -874,3 +883,104 @@ def test_busy_covers_chunked_admission(setup):
     assert set(results) == {r_short, r_long}
     want_l, _ = oracle_greedy(params, cfg, long_p, 4)
     assert results[r_long].tokens == want_l
+
+
+# -- length-tiered slot pools -------------------------------------------
+
+
+def test_tiered_pools_isolate_long_rows(setup):
+    """One long LIVE row must not widen the cache every short slot
+    reads: with long_slots, the long request grows only the LONG pool's
+    rung while the short pool stays at its narrow rung — and greedy
+    output through both pools stays byte-identical to generate."""
+    cfg, params = setup
+    rng = np.random.default_rng(30)
+    shorts = [rng.integers(0, 50, (n,)).tolist() for n in (7, 12, 9)]
+    long_p = rng.integers(0, 50, (120,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=4, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=128, prompt_bucket=16, sync_every=4,
+                           cache_grow_step=16, long_slots=1,
+                           long_threshold=64)
+    r_long = srv.submit(Request(prompt_ids=long_p, max_new_tokens=24,
+                                greedy=True))
+    r_shorts = [srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                   greedy=True)) for p in shorts]
+    results = {}
+    saw_tier_split = False
+    for _ in range(100):
+        if not srv.busy():
+            break
+        for r in srv.step():
+            results[r.request_id] = r
+        if srv.Tphys[1] >= 128 and srv.Tphys[0] <= 32:
+            saw_tier_split = True
+    assert saw_tier_split, (srv.Tphys, "long row widened the short pool")
+    assert srv._slot_group(3) == 1  # slot 3 is the long pool
+    want, emo = oracle_greedy(params, cfg, long_p, 24)
+    assert results[r_long].tokens == want
+    for rid, p in zip(r_shorts, shorts):
+        want, _ = oracle_greedy(params, cfg, p, 8)
+        assert results[rid].tokens == want
+
+
+def test_tiered_short_overflow_and_long_defers(setup):
+    """Pool policy: short requests overflow into idle long slots when
+    the short pool is full; long requests never take short slots (they
+    wait instead)."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    shorts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 9)]
+    longs = [rng.integers(0, 50, (70,)).tolist() for _ in range(2)]
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=96, prompt_bucket=16, sync_every=2,
+                           cache_grow_step=16, long_slots=1,
+                           long_threshold=48)
+    # two shorts into a 1-slot short pool: the second must overflow
+    # into the idle long slot and both admit in the first step
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=4, greedy=True))
+            for p in shorts]
+    srv.step()
+    assert all(s.active for s in srv.slots), "overflow into long slot"
+    results = srv.run_until_drained()
+    for rid, p in zip(rids, shorts):
+        want, _ = oracle_greedy(params, cfg, p, 4)
+        assert results[rid].tokens == want
+
+    srv.reset()
+    # two longs into a 1-slot long pool: the second must WAIT (the
+    # short slot stays free for short traffic)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=4, greedy=True))
+            for p in longs]
+    srv.step()
+    active = [i for i, s in enumerate(srv.slots) if s.active]
+    assert active == [1], (active, "long request must not take slot 0")
+    results = srv.run_until_drained()
+    assert results[rids[1]].steps_waited > 0
+    for rid, p in zip(rids, longs):
+        want, _ = oracle_greedy(params, cfg, p, 4)
+        assert results[rid].tokens == want
+
+
+def test_tiered_pool_hint_and_sessions(setup):
+    """Request.pool='long' pins a short first turn into the long pool;
+    its session continuations then extend there (pinned to the pool
+    that admitted them), staying byte-identical to a fresh generate of
+    the full history."""
+    cfg, params = setup
+    rng = np.random.default_rng(32)
+    opener = rng.integers(0, 50, (10,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=96, prompt_bucket=16, sync_every=4,
+                           cache_grow_step=16, long_slots=1,
+                           long_threshold=48)
+    r1 = srv.submit(Request(prompt_ids=opener, max_new_tokens=6,
+                            greedy=True, session_id="s", pool="long"))
+    res = srv.run_until_drained()
+    assert srv.slots[2].parked and srv.slots[2].session == "s"
+    history = opener + res[r1].tokens
+    turn2 = history + rng.integers(0, 50, (8,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=turn2, max_new_tokens=6,
+                            greedy=True, session_id="s"))
+    res = srv.run_until_drained()
+    want, _ = oracle_greedy(params, cfg, turn2, 6)
+    assert res[r2].tokens == want
