@@ -185,13 +185,18 @@ def build_argparser() -> argparse.ArgumentParser:
                         "this many slots as a LONG pool with its own KV "
                         "cache and capacity rung, so one long request no "
                         "longer widens the cache every short slot reads "
-                        "(requests route by prompt + max_new_tokens vs "
+                        "(requests route by prompt + max_new_tokens - 1 "
+                        "— the final KV cursor — vs "
                         "--serve_long_threshold, or per-request "
                         "'pool': 'long'|'short'). 0 disables.")
     p.add_argument("--serve_long_threshold", type=int, default=None,
                    help="serve mode: expected final length above which a "
-                        "request routes to the long pool (default: the "
-                        "prefill bucket max_prompt).")
+                        "request routes to the long pool. Default: with "
+                        "--requests_file, the (1 - K/S) quantile of the "
+                        "file's expected final lengths (max_prompt — the "
+                        "library default — is the LONGEST prompt's bucket "
+                        "there, which would route everything short); with "
+                        "--serve_http, max_prompt, with a warning.")
     p.add_argument("--serve_pipeline", action="store_true",
                    help="serve mode: throughput mode — dispatch each decode "
                         "block before harvesting the previous one, hiding "
@@ -524,6 +529,13 @@ def run_serve(cfg: TrainConfig, args):
         max_prompt = max(
             64, (min(cfg.max_len, mcfg.n_positions - args.serve_sync - 1)
                  // 64) * 64)
+        if args.serve_long_slots and args.serve_long_threshold is None:
+            print(f"WARNING: --serve_long_slots without "
+                  f"--serve_long_threshold defaults the threshold to "
+                  f"max_prompt={max_prompt}; requests only route long "
+                  f"above that. Set the threshold to your short-traffic "
+                  f"ceiling (or send per-request 'pool' hints) so the "
+                  f"tier actually separates your workload.")
         srv = ContinuousServer(
             params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
             sp2_id=st.sp2_id, max_prompt=max_prompt,
@@ -578,6 +590,23 @@ def run_serve(cfg: TrainConfig, args):
     cache_len = min(mcfg.n_positions,
                     max(cfg.max_len, longest + args.serve_sync + 1,
                         max_prompt + 1))
+    long_threshold = args.serve_long_threshold
+    if args.serve_long_slots and long_threshold is None:
+        # Workload-aware default. The library default (max_prompt) is
+        # the LONGEST prompt's bucket here, which would route every
+        # request short and silently no-op the tier. Route roughly the
+        # long-pool slot share of traffic long: the (1 - K/S) quantile
+        # of expected final lengths (prompt + max_new - 1, the final KV
+        # cursor), bucketed down so the short rung stays narrow.
+        exp = sorted(len(q.prompt_ids) + q.max_new_tokens - 1
+                     for q, _ in reqs)
+        if exp:
+            frac = 1.0 - args.serve_long_slots / max(cfg.batch_size, 1)
+            q_ix = min(int(len(exp) * frac), len(exp) - 1)
+            long_threshold = max(64, (exp[q_ix] // 64) * 64)
+            print(f"--serve_long_threshold not set; using "
+                  f"{long_threshold} (the {100 * frac:.0f}th percentile "
+                  f"of expected final lengths in the requests file)")
     srv = ContinuousServer(
         params, mcfg, slots=cfg.batch_size, eos_id=st.eos_id,
         sp2_id=st.sp2_id, max_prompt=max_prompt, cache_len=cache_len,
@@ -587,7 +616,7 @@ def run_serve(cfg: TrainConfig, args):
         spec_ngram=args.serve_spec_ngram,
         prefill_chunk=args.serve_prefill_chunk,
         long_slots=args.serve_long_slots,
-        long_threshold=args.serve_long_threshold)
+        long_threshold=long_threshold)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

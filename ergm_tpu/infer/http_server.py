@@ -9,8 +9,10 @@ boundaries, with optional per-block streaming.
                       "max_new_tokens": 64, "greedy": true,
                       "top_p": 0.95, "seed": 0, "stream": false,
                       "caption_ids": [...] | "caption": "...",
-                      "session_id": "chat-42"}   # multi-turn: next turn
+                      "session_id": "chat-42",  # multi-turn: next turn
                       # prefills only its new tokens (see server.Request)
+                      "pool": "long"|"short"}   # tiered pools: pin the
+                      # slot pool (default: route by expected length)
       -> {"tokens": [...], "text": "...", "emotion_id": k,
           "latency_s": s}                            (stream=false)
       -> JSON lines {"tokens": [...], "text": ..., "done": false} ...

@@ -15,8 +15,9 @@ it: one decode step over
 gpt2 geometry, bf16, random params, sync_every=32 steps per block (the
 throughput config the mix bench uses). Prints ms/step for each.
 """
-import functools
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +70,6 @@ def measure(cfg, params, caches_spec, sync=32, iters=5):
     last = jnp.zeros((S_total, 1), jnp.int32)
     fn = make_block(cfg, caches_spec, sync)
     t0 = time.time()
-    import numpy as np
     np.asarray(fn(params, caches, last)[1])
     compile_s = time.time() - t0
     # chained dispatches; one fetch at the end (device executions

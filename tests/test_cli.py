@@ -216,6 +216,21 @@ def test_serve_mode(workspace, monkeypatch):
     assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_tier] \
         == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
 
+    # tiering WITHOUT an explicit threshold: the CLI derives a
+    # workload-quantile default (the library default, max_prompt, is
+    # the longest prompt's bucket here and would route everything
+    # short — review finding). Output must still be exact.
+    out_tier_auto = workspace / "responses_tier_auto.jsonl"
+    _run_cli(workspace, [
+        "--mode=serve", "--data_dir=data", "--model_type=tiny",
+        "--batch_size=3", "--max_len=64", "--dtype=float32",
+        "--serve_sync=2", "--serve_long_slots=1",
+        f"--requests_file={reqs}", f"--serve_output={out_tier_auto}",
+    ])
+    rows_ta = [json.loads(l) for l in open(out_tier_auto) if l.strip()]
+    assert [(r["index"], r["tokens"], r["emotion_id"]) for r in rows_ta] \
+        == [(r["index"], r["tokens"], r["emotion_id"]) for r in rows]
+
 
 def test_serve_mode_chunked_rejection(workspace, monkeypatch):
     """--serve_prefill_chunk through the CLI: long prompts admit in
