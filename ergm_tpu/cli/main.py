@@ -148,7 +148,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--requests_file", type=str, default=None,
                    help="serve mode: JSONL requests — {'prompt': [ids...]} "
                         "or {'text': '...'} (text needs --tokenizer_dir); "
-                        "optional max_new_tokens/top_p/greedy/seed/"
+                        "optional max_new_tokens/top_p/temperature/"
+                        "greedy/seed/"
                         "caption_ids/arrival_s/session_id/pool per line "
                         "(session_id: multi-turn continuation — the next "
                         "turn's full prompt prefills only its new tokens "

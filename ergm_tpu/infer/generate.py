@@ -129,6 +129,7 @@ def generate(
     caption_ids: Optional[jnp.ndarray] = None,
     caption_mask: Optional[jnp.ndarray] = None,  # [B, Lc] 1=real caption token
     greedy: bool = False,
+    temperature: float = 1.0,  # logit divisor before top-p (1.0 = reference)
     logical_cap: Optional[int] = None,
     sample_top_k: int = 64,  # 0 => exact full-sort nucleus (parity mode)
     sample_approx: bool = True,  # False => exact top-k (lax.top_k)
@@ -177,6 +178,12 @@ def generate(
     def sample(logits, key):
         if greedy:
             return jnp.argmax(logits, axis=-1)
+        if temperature != 1.0:
+            # scale BEFORE the nucleus cutoff (standard semantics: the
+            # tempered distribution defines the top-p set). The
+            # reference sampler is temperature-free (src/main.py:259-270
+            # divides by nothing), so 1.0 is parity.
+            logits = logits / jnp.maximum(temperature, 1e-6)
         if sample_top_k:
             return sample_top_p(logits, key, top_p, top_k=sample_top_k,
                                 approx=sample_approx)

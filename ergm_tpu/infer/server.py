@@ -94,6 +94,10 @@ class Request:
     max_new_tokens: int = 128
     greedy: bool = False
     top_p: float = 0.95
+    # sampling temperature (logit divisor, applied before the top-p
+    # cutoff). 1.0 = the reference's temperature-free sampler
+    # (src/main.py:259-270); greedy rows ignore it.
+    temperature: float = 1.0
     seed: int = 0
     # streaming: called once per harvested block with
     # (request_id, new_tokens, done) — new_tokens are the tokens this
@@ -150,10 +154,15 @@ def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
     pool = payload.get("pool")
     if pool is not None and pool not in ("short", "long"):
         raise ValueError("pool must be 'short' or 'long'")
+    temp = float(payload.get("temperature", 1.0))
+    if temp < 0.0:
+        raise ValueError("temperature must be >= 0")
     return Request(
         prompt_ids=ids, caption_ids=caps,
         max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
-        greedy=bool(payload.get("greedy", False)),
+        # temperature 0 IS greedy (the usual API convention)
+        greedy=bool(payload.get("greedy", False)) or temp == 0.0,
+        temperature=temp if temp > 0.0 else 1.0,
         top_p=float(payload.get("top_p", default_top_p)),
         seed=int(payload.get("seed", default_seed)),
         session_id=str(sid) if sid is not None else None,
@@ -500,7 +509,8 @@ class ContinuousServer:
             self.caches[g] = c._replace(index=put(c.index, sh["row"]),
                                         **kv, **cross)
         for name in ("last", "cap_mask", "greedy_row",
-                     "top_p_row", "first_tok", "emo_slot", "tokens"):
+                     "top_p_row", "temp_row", "first_tok", "emo_slot",
+                     "tokens"):
             if getattr(self, name, None) is not None:
                 setattr(self, name, put(getattr(self, name), sh["row"]))
         self.rng = put(self.rng, sh["rep"])
@@ -543,6 +553,7 @@ class ContinuousServer:
         self.rng = jax.random.PRNGKey(seed)
         self.greedy_row = jnp.zeros((self.S,), bool)
         self.top_p_row = jnp.full((self.S,), 0.95, jnp.float32)
+        self.temp_row = jnp.ones((self.S,), jnp.float32)
         self.first_tok = jnp.full((self.S,), self.eos_id, jnp.int32)
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
         # speculative serving: device token buffer — tokens[s, p] is the
@@ -744,7 +755,8 @@ class ContinuousServer:
         sp2 = self.sp2_id
 
         @jax.jit
-        def prefill(params, ids, meta, topp, tts, img, aud, cap_ids, cap_mask):
+        def prefill(params, ids, meta, topp, temps, tts, img, aud,
+                    cap_ids, cap_mask):
             length = meta[2]
             # group sampler key from the lead request's seed + admission
             # counter (derived in-jit; host-side key math costs a fetch)
@@ -765,7 +777,9 @@ class ContinuousServer:
                 if cl and cap_mask is not None else None)
             logits = out.logits[:, -1, :]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            sampled = sample_top_p(logits, key, topp[:, None]).astype(jnp.int32)
+            sampled = sample_top_p(
+                logits / jnp.maximum(temps, 1e-6)[:, None], key,
+                topp[:, None]).astype(jnp.int32)
             return out.cache, greedy_tok, sampled, out.emotion_logits
 
         self._prefill_cache[(pb, gb)] = prefill
@@ -796,9 +810,9 @@ class ContinuousServer:
 
         @jax.jit
         def join(cache, last, cap_mask_all,
-                 greedy_all, topp_all, first_all, emo_all,
+                 greedy_all, topp_all, temp_all, first_all, emo_all,
                  temp, emotion, greedy_tok, sampled_tok,
-                 meta, topp_g, cap_mask_g, tokens_all, ids_g):
+                 meta, topp_g, temps_g, cap_mask_g, tokens_all, ids_g):
             (slots_g, valid_i, length_g, greedy_i, _seeds_g, _ctr_g) = meta
             valid_g = valid_i.astype(bool)
             greedy_flags_g = greedy_i.astype(bool)
@@ -852,6 +866,7 @@ class ContinuousServer:
             greedy_all = greedy_all.at[glob_idx].set(greedy_flags_g,
                                                      mode="drop")
             topp_all = topp_all.at[glob_idx].set(topp_g, mode="drop")
+            temp_all = temp_all.at[glob_idx].set(temps_g, mode="drop")
             first_all = first_all.at[glob_idx].set(first, mode="drop")
             # emotion logits are defined at the PROMPT's last token
             # (Result contract)
@@ -861,7 +876,8 @@ class ContinuousServer:
                 cap_mask_all = cap_mask_all.at[glob_idx].set(cap_mask_g,
                                                              mode="drop")
             return (cache, last, cap_mask_all,
-                    greedy_all, topp_all, first_all, emo_all, tokens_all)
+                    greedy_all, topp_all, temp_all, first_all, emo_all,
+                    tokens_all)
 
         self._join_cache[(pb, gb, g)] = join
         return join
@@ -881,6 +897,7 @@ class ContinuousServer:
         self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
         meta[5] = self._admit_ctr
         topp = np.full((gb,), 0.95, np.float32)
+        temps = np.ones((gb,), np.float32)
         any_tts = any(e[2].token_type_ids is not None for e in entries)
         any_mod = any(e[2].img is not None or e[2].aud is not None
                       for e in entries)
@@ -910,6 +927,7 @@ class ContinuousServer:
             meta[:4, r] = (slot_idx, 1, Lp, int(bool(req.greedy)))
             meta[4, r] = req.seed
             topp[r] = float(req.top_p)
+            temps[r] = float(req.temperature)
         # pad rows duplicate zeros with valid=0
 
         def put(x):
@@ -917,24 +935,25 @@ class ContinuousServer:
 
         prefill = self._prefill_fn(pb, gb)
         ids_dev = jnp.asarray(ids)
-        meta_dev, topp_dev, cap_mask_dev = (jnp.asarray(meta),
-                                            jnp.asarray(topp),
-                                            jnp.asarray(cap_mask))
+        meta_dev, topp_dev, temps_dev, cap_mask_dev = (jnp.asarray(meta),
+                                                       jnp.asarray(topp),
+                                                       jnp.asarray(temps),
+                                                       jnp.asarray(cap_mask))
         with self._ctx():
             temp, greedy_tok, sampled_tok, emotion = prefill(
-                self.params, ids_dev, meta_dev, topp_dev,
+                self.params, ids_dev, meta_dev, topp_dev, temps_dev,
                 put(tts), put(img), put(aud), put(cap_ids),
                 cap_mask_dev if any_cap else None)
 
             join = self._join_fn(pb, gb, g)
             (self.caches[g], self.last, self.cap_mask,
-             self.greedy_row, self.top_p_row, self.first_tok,
-             self.emo_slot, self.tokens) = join(
+             self.greedy_row, self.top_p_row, self.temp_row,
+             self.first_tok, self.emo_slot, self.tokens) = join(
                 self.caches[g], self.last, self.cap_mask,
-                self.greedy_row, self.top_p_row, self.first_tok,
-                self.emo_slot,
+                self.greedy_row, self.top_p_row, self.temp_row,
+                self.first_tok, self.emo_slot,
                 temp, emotion, greedy_tok, sampled_tok,
-                meta_dev, topp_dev, cap_mask_dev,
+                meta_dev, topp_dev, temps_dev, cap_mask_dev,
                 self.tokens, ids_dev if self.spec_gamma else None)
 
         for slot_idx, rid, req, sub, wall in entries:
@@ -976,8 +995,8 @@ class ContinuousServer:
 
         @jax.jit
         def extend(params, cache, last_all, greedy_g_all, topp_all,
-                   first_all, emo_all, tokens_g_all, cap_mask_all,
-                   ids, tts, meta, topp_g):
+                   temp_all, first_all, emo_all, tokens_g_all,
+                   cap_mask_all, ids, tts, meta, topp_g, temps_g):
             ext = meta[0].astype(bool)
             start, dlen = meta[1], meta[2]
             greedy_i = meta[3].astype(bool)
@@ -998,19 +1017,22 @@ class ContinuousServer:
                 out.logits, jlast[:, None, None], axis=1)[:, 0]  # [Sg, V]
             gkey = jax.random.fold_in(
                 jax.random.PRNGKey(jnp.sum(meta[4])), meta[5, 0])
-            sampled = sample_top_p(logits, gkey,
-                                   topp_g[:, None]).astype(jnp.int32)
+            sampled = sample_top_p(
+                logits / jnp.maximum(temps_g, 1e-6)[:, None], gkey,
+                topp_g[:, None]).astype(jnp.int32)
             first = jnp.where(greedy_i,
                               jnp.argmax(logits, -1).astype(jnp.int32),
                               sampled)
             last = last_all[off:off + Sg]
             greedy_all = greedy_g_all[off:off + Sg]
             topp_slice = topp_all[off:off + Sg]
+            temp_slice = temp_all[off:off + Sg]
             first_slice = first_all[off:off + Sg]
             emo_slice = emo_all[off:off + Sg]
             last = jnp.where(ext[:, None], first[:, None], last)
             greedy_all = jnp.where(ext, greedy_i, greedy_all)
             topp_slice = jnp.where(ext, topp_g, topp_slice)
+            temp_slice = jnp.where(ext, temps_g, temp_slice)
             first_slice = jnp.where(ext, first, first_slice)
             emo_slice = jnp.where(ext[:, None],
                                   out.emotion_logits.astype(emo_all.dtype),
@@ -1018,6 +1040,7 @@ class ContinuousServer:
             last_all = last_all.at[off:off + Sg].set(last)
             greedy_g_all = greedy_g_all.at[off:off + Sg].set(greedy_all)
             topp_all = topp_all.at[off:off + Sg].set(topp_slice)
+            temp_all = temp_all.at[off:off + Sg].set(temp_slice)
             first_all = first_all.at[off:off + Sg].set(first_slice)
             emo_all = emo_all.at[off:off + Sg].set(emo_slice)
             if spec:
@@ -1030,8 +1053,8 @@ class ContinuousServer:
                                  ids, cur)
                 tokens_all = tokens_all.at[b_ix[:, None], t_ix].set(neww)
                 tokens_g_all = tokens_g_all.at[off:off + Sg].set(tokens_all)
-            return (cache, last_all, greedy_g_all, topp_all, first_all,
-                    emo_all, tokens_g_all)
+            return (cache, last_all, greedy_g_all, topp_all, temp_all,
+                    first_all, emo_all, tokens_g_all)
 
         self._decode_cache[key] = extend
         return extend
@@ -1056,6 +1079,7 @@ class ContinuousServer:
         self._admit_ctr = getattr(self, "_admit_ctr", 0) + 1
         meta[5] = self._admit_ctr
         topp = np.full((Sg,), 0.95, np.float32)
+        temps = np.ones((Sg,), np.float32)
         for e in entries:
             i, d = e["slot"] - off, len(e["ids"])
             ids[i, :d] = e["ids"]
@@ -1067,15 +1091,17 @@ class ContinuousServer:
             meta[3, i] = int(bool(e["req"].greedy))
             meta[4, i] = e["req"].seed
             topp[i] = float(e["req"].top_p)
+            temps[i] = float(e["req"].temperature)
         extend = self._extend_fn(pbd, g)
         with self._ctx():
             (self.caches[g], self.last, self.greedy_row, self.top_p_row,
-             self.first_tok, self.emo_slot, self.tokens) = extend(
+             self.temp_row, self.first_tok, self.emo_slot,
+             self.tokens) = extend(
                 self.params, self.caches[g], self.last, self.greedy_row,
-                self.top_p_row, self.first_tok, self.emo_slot,
-                self.tokens, self.cap_mask if cl else None,
+                self.top_p_row, self.temp_row, self.first_tok,
+                self.emo_slot, self.tokens, self.cap_mask if cl else None,
                 jnp.asarray(ids), jnp.asarray(tts), jnp.asarray(meta),
-                jnp.asarray(topp))
+                jnp.asarray(topp), jnp.asarray(temps))
         for e in entries:
             s = self.slots[e["slot"]]
             s.request_id = e["rid"]
@@ -1339,7 +1365,7 @@ class ContinuousServer:
 
         @jax.jit
         def decode_block(params, caches, last, cap_mask,
-                         rng, greedy_row, top_p_row):
+                         rng, greedy_row, top_p_row, temp_row):
             def body(i, st):
                 caches, last, rng, toks = st
                 logits_parts = []
@@ -1373,10 +1399,15 @@ class ContinuousServer:
                     topp_inc = jnp.concatenate(
                         [top_p_row[groups[g][0]:groups[g][0] + groups[g][1]]
                          for g in inc])
+                    temp_inc = jnp.concatenate(
+                        [temp_row[groups[g][0]:groups[g][0] + groups[g][1]]
+                         for g in inc])
                     greedy_inc = jnp.concatenate(
                         [greedy_row[groups[g][0]:groups[g][0] + groups[g][1]]
                          for g in inc])
-                    sampled = sample_top_p(logits, sub, topp_inc[:, None])
+                    sampled = sample_top_p(
+                        logits / jnp.maximum(temp_inc, 1e-6)[:, None],
+                        sub, topp_inc[:, None])
                     nxt = jnp.where(greedy_inc, jnp.argmax(logits, -1),
                                     sampled)
                 nxt = nxt.astype(jnp.int32)
@@ -1524,7 +1555,8 @@ class ContinuousServer:
                 (caches, self.last, self.rng, toks) = decode(
                     self.params, caches, self.last,
                     self.cap_mask if self.caption_len else None,
-                    self.rng, self.greedy_row, self.top_p_row)
+                    self.rng, self.greedy_row, self.top_p_row,
+                    self.temp_row)
             cnts = None
         self.caches = list(caches)
         self._tick("block_dispatch", t0)

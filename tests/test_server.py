@@ -984,3 +984,61 @@ def test_tiered_pool_hint_and_sessions(setup):
     res = srv.run_until_drained()
     want, _ = oracle_greedy(params, cfg, turn2, 6)
     assert res[r2].tokens == want
+
+
+def test_temperature_near_zero_matches_greedy(setup):
+    """Per-row temperature (logit divisor before the nucleus cutoff):
+    a temp->0 sampled row with top_p=1.0 concentrates all nucleus mass
+    on the argmax, so its stream is byte-identical to a greedy request
+    on the same prompt — while a hot-temperature row shares the same
+    decode blocks and greedy rows ignore temperature entirely."""
+    cfg, params = setup
+    rng = np.random.default_rng(33)
+    p = rng.integers(0, 50, (9,)).tolist()
+    q = rng.integers(0, 50, (13,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=3, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    r_cold = srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                temperature=1e-4, top_p=1.0, seed=5))
+    r_hot = srv.submit(Request(prompt_ids=q, max_new_tokens=8,
+                               temperature=3.0, top_p=1.0, seed=7))
+    r_greedy = srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                  greedy=True, temperature=9.0))
+    results = srv.run_until_drained()
+    want, _ = oracle_greedy(params, cfg, p, 8)
+    assert results[r_cold].tokens == want, (results[r_cold].tokens, want)
+    assert results[r_greedy].tokens == want
+    toks = results[r_hot].tokens
+    assert 1 <= len(toks) <= 8 and all(0 <= t < VOCAB for t in toks)
+
+
+def test_temperature_session_extension(setup):
+    """Temperature is carried by the session-extension (incremental
+    prefill) admission program too, not just full-prefill joins."""
+    cfg, params = setup
+    rng = np.random.default_rng(34)
+    p1 = rng.integers(0, 50, (11,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=6, greedy=True,
+                            session_id="t"))
+    res1 = srv.run_until_drained()[r1]
+    p2 = p1 + res1.tokens + rng.integers(0, 50, (5,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=6,
+                            temperature=1e-4, top_p=1.0, session_id="t"))
+    res2 = srv.run_until_drained()[r2]
+    assert "admit_ext" in srv._phase  # the extension path actually ran
+    want, _ = oracle_greedy(params, cfg, p2, 6)
+    assert res2.tokens == want, (res2.tokens, want)
+
+
+def test_temperature_request_parsing():
+    """request_from_json: temperature field, 0 => greedy (API
+    convention), negative rejected."""
+    from ergm_tpu.infer.server import request_from_json
+    r = request_from_json({"prompt": [1, 2], "temperature": 0.7})
+    assert r.temperature == pytest.approx(0.7) and not r.greedy
+    r0 = request_from_json({"prompt": [1, 2], "temperature": 0})
+    assert r0.greedy and r0.temperature == 1.0
+    with pytest.raises(ValueError):
+        request_from_json({"prompt": [1, 2], "temperature": -0.5})
