@@ -149,7 +149,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="serve mode: JSONL requests — {'prompt': [ids...]} "
                         "or {'text': '...'} (text needs --tokenizer_dir); "
                         "optional max_new_tokens/top_p/temperature/"
-                        "greedy/seed/"
+                        "greedy/seed/stop/"
                         "caption_ids/arrival_s/session_id/pool per line "
                         "(session_id: multi-turn continuation — the next "
                         "turn's full prompt prefills only its new tokens "

@@ -8,7 +8,7 @@ boundaries, with optional per-block streaming.
     POST /generate   {"prompt": [ids...] | "text": "...",
                       "max_new_tokens": 64, "greedy": true,
                       "top_p": 0.95, "temperature": 1.0,  # 0 = greedy
-                      "seed": 0, "stream": false,
+                      "seed": 0, "stop": [[ids...], ...], "stream": false,
                       "caption_ids": [...] | "caption": "...",
                       "session_id": "chat-42",  # multi-turn: next turn
                       # prefills only its new tokens (see server.Request)

@@ -99,6 +99,14 @@ class Request:
     # (src/main.py:259-270); greedy rows ignore it.
     temperature: float = 1.0
     seed: int = 0
+    # stop sequences: token-id sequences that end generation when the
+    # emitted stream ends with one (the matched sequence stays in the
+    # output, like eos). [[ids...], ...]; a flat [ids...] is accepted
+    # as one sequence. Matching is exact on token ids — text stops must
+    # be encoded client-side and can miss occurrences split across BPE
+    # token boundaries. Host-side at block harvest: no device cost, and
+    # the slot frees like any finished row.
+    stop: Optional[List[List[int]]] = None
     # streaming: called once per harvested block with
     # (request_id, new_tokens, done) — new_tokens are the tokens this
     # block added (eos included if emitted; junk past eos already
@@ -126,6 +134,23 @@ class Request:
     # session rows stay in the pool that admitted them; "short"
     # forces the short pool. None = route by length.
     pool: Optional[str] = None
+
+
+def _norm_stop(stop) -> Optional[List[List[int]]]:
+    """Normalize a stop spec to [[ids...], ...]: a flat [ids...] means
+    one sequence; empty sequences are rejected (they would match every
+    position)."""
+    if not stop:
+        return None
+    if all(isinstance(t, int) and not isinstance(t, bool) for t in stop):
+        stop = [list(stop)]
+    out = []
+    for seq in stop:
+        seq = [int(t) for t in seq]
+        if not seq:
+            raise ValueError("empty stop sequence")
+        out.append(seq)
+    return out
 
 
 def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
@@ -158,6 +183,7 @@ def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
     if temp < 0.0:
         raise ValueError("temperature must be >= 0")
     return Request(
+        stop=_norm_stop(payload.get("stop")),
         prompt_ids=ids, caption_ids=caps,
         max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
         # temperature 0 IS greedy (the usual API convention)
@@ -594,6 +620,7 @@ class ContinuousServer:
         return len(req.prompt_ids) - len(log) + 1
 
     def submit(self, req: Request) -> int:
+        req.stop = _norm_stop(req.stop)
         if len(req.prompt_ids) > self.max_prompt and not self.prefill_chunk:
             # session continuations only prefill the DELTA, so the full
             # dialogue history may exceed the prefill bucket — as long
@@ -1613,10 +1640,20 @@ class ContinuousServer:
         return finished
 
     def _done(self, s: _Slot) -> bool:
-        return bool(s.generated) and (
-            s.generated[-1] == self.eos_id
-            or len(s.generated) >= s.req.max_new_tokens
-            or len(s.req.prompt_ids) + len(s.generated) >= self.cfg.n_positions)
+        if not s.generated:
+            return False
+        if (s.generated[-1] == self.eos_id
+                or len(s.generated) >= s.req.max_new_tokens
+                or (len(s.req.prompt_ids) + len(s.generated)
+                    >= self.cfg.n_positions)):
+            return True
+        if s.req.stop:
+            g = s.generated
+            for seq in s.req.stop:
+                n = len(seq)
+                if n and len(g) >= n and g[-n:] == seq:
+                    return True
+        return False
 
     def _finish(self, slot_idx: int, emotion: np.ndarray) -> Result:
         s = self.slots[slot_idx]

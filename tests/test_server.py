@@ -1042,3 +1042,52 @@ def test_temperature_request_parsing():
     assert r0.greedy and r0.temperature == 1.0
     with pytest.raises(ValueError):
         request_from_json({"prompt": [1, 2], "temperature": -0.5})
+
+
+def test_stop_sequences(setup):
+    """Per-request stop sequences end generation when the output ends
+    with one; the match stays in the output (like eos) and no token
+    past it is emitted or streamed."""
+    cfg, params = setup
+    rng = np.random.default_rng(35)
+    p = rng.integers(0, 50, (9,)).tolist()
+    full, _ = oracle_greedy(params, cfg, p, 8)
+    assert len(full) >= 4  # the greedy stream is long enough to cut
+
+    def cut(stream, seqs):
+        # earliest end position whose tail matches a stop sequence
+        for e in range(1, len(stream) + 1):
+            if any(e >= len(q) and stream[e - len(q):e] == q for q in seqs):
+                return stream[:e]
+        return stream
+
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    chunks = []
+    # 2-token stop drawn from the stream; flat list = one sequence
+    r_two = srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True,
+                               stop=full[1:3]))
+    # 1-token stop on the FIRST token (prefill-emitted)
+    r_first = srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                 greedy=True, stop=[[full[0]]],
+                                 stream_cb=lambda rid, new, done:
+                                     chunks.append(list(new))))
+    # non-matching stop: full stream
+    r_none = srv.submit(Request(prompt_ids=p, max_new_tokens=8,
+                                greedy=True, stop=[[VOCAB - 1]]))
+    res = srv.run_until_drained()
+    assert res[r_two].tokens == cut(full, [full[1:3]])
+    assert res[r_first].tokens == full[:1]
+    assert res[r_none].tokens == full
+    assert sum(chunks, []) == full[:1]  # nothing streamed past the stop
+
+
+def test_stop_parsing_and_validation():
+    from ergm_tpu.infer.server import request_from_json
+    r = request_from_json({"prompt": [1, 2], "stop": [5, 6]})
+    assert r.stop == [[5, 6]]
+    r = request_from_json({"prompt": [1, 2], "stop": [[5], [6, 7]]})
+    assert r.stop == [[5], [6, 7]]
+    assert request_from_json({"prompt": [1, 2]}).stop is None
+    with pytest.raises(ValueError):
+        request_from_json({"prompt": [1, 2], "stop": [[]]})
