@@ -149,7 +149,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="serve mode: JSONL requests — {'prompt': [ids...]} "
                         "or {'text': '...'} (text needs --tokenizer_dir); "
                         "optional max_new_tokens/top_p/temperature/"
-                        "greedy/seed/stop/"
+                        "greedy/seed/stop/logprobs/"
                         "caption_ids/arrival_s/session_id/pool per line "
                         "(session_id: multi-turn continuation — the next "
                         "turn's full prompt prefills only its new tokens "
@@ -649,6 +649,8 @@ def run_serve(cfg: TrainConfig, args):
         row = {"index": rid_to_idx[rid], "tokens": res.tokens,
                "emotion_id": int(np.argmax(res.emotion_logits)),
                "latency_s": round(res.latency_s, 3)}
+        if res.logprobs is not None:
+            row["logprobs"] = [round(x, 5) for x in res.logprobs]
         if tokenizer is not None:
             stop = res.tokens[:-1] if (res.tokens and
                                        res.tokens[-1] == st.eos_id) \

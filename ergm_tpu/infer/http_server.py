@@ -8,7 +8,8 @@ boundaries, with optional per-block streaming.
     POST /generate   {"prompt": [ids...] | "text": "...",
                       "max_new_tokens": 64, "greedy": true,
                       "top_p": 0.95, "temperature": 1.0,  # 0 = greedy
-                      "seed": 0, "stop": [[ids...], ...], "stream": false,
+                      "seed": 0, "stop": [[ids...], ...],
+                      "logprobs": false, "stream": false,
                       "caption_ids": [...] | "caption": "...",
                       "session_id": "chat-42",  # multi-turn: next turn
                       # prefills only its new tokens (see server.Request)
@@ -275,6 +276,8 @@ class ServerFrontend:
             reply, stream = entry
             row = {"emotion_id": int(np.argmax(res.emotion_logits)),
                    "latency_s": round(res.latency_s, 4)}
+            if res.logprobs is not None:
+                row["logprobs"] = [round(x, 5) for x in res.logprobs]
             if stream:
                 row["done"] = True
                 final = self._decode(res.tokens)

@@ -107,6 +107,12 @@ class Request:
     # token boundaries. Host-side at block harvest: no device cost, and
     # the slot frees like any finished row.
     stop: Optional[List[List[int]]] = None
+    # return per-token logprobs of the emitted tokens (under the FULL
+    # untempered softmax, not renormalized to the nucleus — the usual
+    # serving-API semantics). Costs one log-softmax per decode step and
+    # a tiny [K, S] fetch per block while any logprobs row is active,
+    # and disables the speculative fast path for those blocks.
+    logprobs: bool = False
     # streaming: called once per harvested block with
     # (request_id, new_tokens, done) — new_tokens are the tokens this
     # block added (eos included if emitted; junk past eos already
@@ -184,6 +190,7 @@ def request_from_json(payload, tokenizer=None, *, default_max_new: int = 128,
         raise ValueError("temperature must be >= 0")
     return Request(
         stop=_norm_stop(payload.get("stop")),
+        logprobs=bool(payload.get("logprobs", False)),
         prompt_ids=ids, caption_ids=caps,
         max_new_tokens=int(payload.get("max_new_tokens", default_max_new)),
         # temperature 0 IS greedy (the usual API convention)
@@ -202,6 +209,8 @@ class Result:
     emotion_logits: np.ndarray   # [num_emotions] from the prompt's last token
     steps_waited: int            # server steps between submit and admission
     latency_s: float = 0.0       # submit -> finish wall clock
+    # per-token logprobs parallel to ``tokens`` (Request.logprobs=True)
+    logprobs: Optional[List[float]] = None
 
 
 @dataclass
@@ -209,6 +218,7 @@ class _Slot:
     request_id: int = -1
     req: Optional[Request] = None
     generated: List[int] = field(default_factory=list)
+    lps: List[float] = field(default_factory=list)  # logprobs, if requested
     has_first: bool = False      # first token harvested from the block fetch
     submitted_step: int = 0
     submitted_wall: float = 0.0
@@ -535,8 +545,8 @@ class ContinuousServer:
             self.caches[g] = c._replace(index=put(c.index, sh["row"]),
                                         **kv, **cross)
         for name in ("last", "cap_mask", "greedy_row",
-                     "top_p_row", "temp_row", "first_tok", "emo_slot",
-                     "tokens"):
+                     "top_p_row", "temp_row", "first_tok", "first_lp",
+                     "emo_slot", "tokens"):
             if getattr(self, name, None) is not None:
                 setattr(self, name, put(getattr(self, name), sh["row"]))
         self.rng = put(self.rng, sh["rep"])
@@ -581,6 +591,7 @@ class ContinuousServer:
         self.top_p_row = jnp.full((self.S,), 0.95, jnp.float32)
         self.temp_row = jnp.ones((self.S,), jnp.float32)
         self.first_tok = jnp.full((self.S,), self.eos_id, jnp.int32)
+        self.first_lp = jnp.zeros((self.S,), jnp.float32)
         self.emo_slot = jnp.zeros((self.S, c.num_emotions), jnp.float32)
         # speculative serving: device token buffer — tokens[s, p] is the
         # token CONSUMED at logical position p of slot s (prompt written
@@ -727,6 +738,7 @@ class ContinuousServer:
                 s.req = None
                 s.request_id = -1
                 s.generated = []
+                s.lps = []
                 return True
         return self.results.pop(request_id, None) is not None
 
@@ -807,7 +819,12 @@ class ContinuousServer:
             sampled = sample_top_p(
                 logits / jnp.maximum(temps, 1e-6)[:, None], key,
                 topp[:, None]).astype(jnp.int32)
-            return out.cache, greedy_tok, sampled, out.emotion_logits
+            # first-token logprobs under the untempered full softmax
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp_g = jnp.take_along_axis(lsm, greedy_tok[:, None], -1)[:, 0]
+            lp_s = jnp.take_along_axis(lsm, sampled[:, None], -1)[:, 0]
+            return (out.cache, greedy_tok, sampled, lp_g, lp_s,
+                    out.emotion_logits)
 
         self._prefill_cache[(pb, gb)] = prefill
         return prefill
@@ -837,9 +854,10 @@ class ContinuousServer:
 
         @jax.jit
         def join(cache, last, cap_mask_all,
-                 greedy_all, topp_all, temp_all, first_all, emo_all,
-                 temp, emotion, greedy_tok, sampled_tok,
-                 meta, topp_g, temps_g, cap_mask_g, tokens_all, ids_g):
+                 greedy_all, topp_all, temp_all, first_all, first_lp_all,
+                 emo_all, temp, emotion, greedy_tok, sampled_tok,
+                 lp_g, lp_s, meta, topp_g, temps_g, cap_mask_g,
+                 tokens_all, ids_g):
             (slots_g, valid_i, length_g, greedy_i, _seeds_g, _ctr_g) = meta
             valid_g = valid_i.astype(bool)
             greedy_flags_g = greedy_i.astype(bool)
@@ -895,6 +913,9 @@ class ContinuousServer:
             topp_all = topp_all.at[glob_idx].set(topp_g, mode="drop")
             temp_all = temp_all.at[glob_idx].set(temps_g, mode="drop")
             first_all = first_all.at[glob_idx].set(first, mode="drop")
+            first_lp = jnp.where(greedy_flags_g, lp_g, lp_s)
+            first_lp_all = first_lp_all.at[glob_idx].set(first_lp,
+                                                         mode="drop")
             # emotion logits are defined at the PROMPT's last token
             # (Result contract)
             emo_all = emo_all.at[glob_idx].set(
@@ -903,8 +924,8 @@ class ContinuousServer:
                 cap_mask_all = cap_mask_all.at[glob_idx].set(cap_mask_g,
                                                              mode="drop")
             return (cache, last, cap_mask_all,
-                    greedy_all, topp_all, temp_all, first_all, emo_all,
-                    tokens_all)
+                    greedy_all, topp_all, temp_all, first_all,
+                    first_lp_all, emo_all, tokens_all)
 
         self._join_cache[(pb, gb, g)] = join
         return join
@@ -967,7 +988,7 @@ class ContinuousServer:
                                                        jnp.asarray(temps),
                                                        jnp.asarray(cap_mask))
         with self._ctx():
-            temp, greedy_tok, sampled_tok, emotion = prefill(
+            temp, greedy_tok, sampled_tok, lp_g, lp_s, emotion = prefill(
                 self.params, ids_dev, meta_dev, topp_dev, temps_dev,
                 put(tts), put(img), put(aud), put(cap_ids),
                 cap_mask_dev if any_cap else None)
@@ -975,11 +996,12 @@ class ContinuousServer:
             join = self._join_fn(pb, gb, g)
             (self.caches[g], self.last, self.cap_mask,
              self.greedy_row, self.top_p_row, self.temp_row,
-             self.first_tok, self.emo_slot, self.tokens) = join(
+             self.first_tok, self.first_lp, self.emo_slot,
+             self.tokens) = join(
                 self.caches[g], self.last, self.cap_mask,
                 self.greedy_row, self.top_p_row, self.temp_row,
-                self.first_tok, self.emo_slot,
-                temp, emotion, greedy_tok, sampled_tok,
+                self.first_tok, self.first_lp, self.emo_slot,
+                temp, emotion, greedy_tok, sampled_tok, lp_g, lp_s,
                 meta_dev, topp_dev, temps_dev, cap_mask_dev,
                 self.tokens, ids_dev if self.spec_gamma else None)
 
@@ -993,6 +1015,7 @@ class ContinuousServer:
             s.admitted_step = self.server_step
             s.admitted_block = self._block_ctr
             s.generated = []
+            s.lps = []
             s.has_first = False
             s.phys_len = len(req.prompt_ids)
         self._tick("admit", t0)
@@ -1022,8 +1045,9 @@ class ContinuousServer:
 
         @jax.jit
         def extend(params, cache, last_all, greedy_g_all, topp_all,
-                   temp_all, first_all, emo_all, tokens_g_all,
-                   cap_mask_all, ids, tts, meta, topp_g, temps_g):
+                   temp_all, first_all, first_lp_all, emo_all,
+                   tokens_g_all, cap_mask_all, ids, tts, meta, topp_g,
+                   temps_g):
             ext = meta[0].astype(bool)
             start, dlen = meta[1], meta[2]
             greedy_i = meta[3].astype(bool)
@@ -1050,17 +1074,21 @@ class ContinuousServer:
             first = jnp.where(greedy_i,
                               jnp.argmax(logits, -1).astype(jnp.int32),
                               sampled)
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            first_lp = jnp.take_along_axis(lsm, first[:, None], -1)[:, 0]
             last = last_all[off:off + Sg]
             greedy_all = greedy_g_all[off:off + Sg]
             topp_slice = topp_all[off:off + Sg]
             temp_slice = temp_all[off:off + Sg]
             first_slice = first_all[off:off + Sg]
+            flp_slice = first_lp_all[off:off + Sg]
             emo_slice = emo_all[off:off + Sg]
             last = jnp.where(ext[:, None], first[:, None], last)
             greedy_all = jnp.where(ext, greedy_i, greedy_all)
             topp_slice = jnp.where(ext, topp_g, topp_slice)
             temp_slice = jnp.where(ext, temps_g, temp_slice)
             first_slice = jnp.where(ext, first, first_slice)
+            flp_slice = jnp.where(ext, first_lp, flp_slice)
             emo_slice = jnp.where(ext[:, None],
                                   out.emotion_logits.astype(emo_all.dtype),
                                   emo_slice)
@@ -1069,6 +1097,7 @@ class ContinuousServer:
             topp_all = topp_all.at[off:off + Sg].set(topp_slice)
             temp_all = temp_all.at[off:off + Sg].set(temp_slice)
             first_all = first_all.at[off:off + Sg].set(first_slice)
+            first_lp_all = first_lp_all.at[off:off + Sg].set(flp_slice)
             emo_all = emo_all.at[off:off + Sg].set(emo_slice)
             if spec:
                 tokens_all = tokens_g_all[off:off + Sg]
@@ -1081,7 +1110,7 @@ class ContinuousServer:
                 tokens_all = tokens_all.at[b_ix[:, None], t_ix].set(neww)
                 tokens_g_all = tokens_g_all.at[off:off + Sg].set(tokens_all)
             return (cache, last_all, greedy_g_all, topp_all, temp_all,
-                    first_all, emo_all, tokens_g_all)
+                    first_all, first_lp_all, emo_all, tokens_g_all)
 
         self._decode_cache[key] = extend
         return extend
@@ -1122,11 +1151,12 @@ class ContinuousServer:
         extend = self._extend_fn(pbd, g)
         with self._ctx():
             (self.caches[g], self.last, self.greedy_row, self.top_p_row,
-             self.temp_row, self.first_tok, self.emo_slot,
+             self.temp_row, self.first_tok, self.first_lp, self.emo_slot,
              self.tokens) = extend(
                 self.params, self.caches[g], self.last, self.greedy_row,
                 self.top_p_row, self.temp_row, self.first_tok,
-                self.emo_slot, self.tokens, self.cap_mask if cl else None,
+                self.first_lp, self.emo_slot, self.tokens,
+                self.cap_mask if cl else None,
                 jnp.asarray(ids), jnp.asarray(tts), jnp.asarray(meta),
                 jnp.asarray(topp), jnp.asarray(temps))
         for e in entries:
@@ -1141,6 +1171,7 @@ class ContinuousServer:
                 s.admitted_step = self.server_step
                 s.admitted_block = self._block_ctr
                 s.generated = []
+                s.lps = []
                 s.has_first = False
                 s.phys_len = len(e["req"].prompt_ids)
                 self._chunks.pop(e["slot"], None)
@@ -1370,7 +1401,8 @@ class ContinuousServer:
 
     # -- decode -----------------------------------------------------------
 
-    def _decode_fn(self, all_greedy: bool, actives: tuple):
+    def _decode_fn(self, all_greedy: bool, actives: tuple,
+                   want_lp: bool = False):
         # one specialization per (capacity rungs, included pools,
         # all-greedy) triple: when every active row is greedy the block
         # skips the nucleus sampler entirely (an approx-top-k +
@@ -1382,7 +1414,7 @@ class ContinuousServer:
         # the single-pool program over the short pool.
         # The rng chain is not consumed by greedy blocks; sampled
         # streams are scheduler-dependent by design either way.
-        key = (tuple(self.Tphys), actives, all_greedy)
+        key = (tuple(self.Tphys), actives, all_greedy, want_lp)
         if key in self._decode_cache:
             return self._decode_cache[key]
         c, S, cl = self.cfg, self.S, self.caption_len
@@ -1394,7 +1426,7 @@ class ContinuousServer:
         def decode_block(params, caches, last, cap_mask,
                          rng, greedy_row, top_p_row, temp_row):
             def body(i, st):
-                caches, last, rng, toks = st
+                caches, last, rng, toks, lps = st
                 logits_parts = []
                 new_caches = list(caches)
                 for g in inc:
@@ -1438,20 +1470,35 @@ class ContinuousServer:
                     nxt = jnp.where(greedy_inc, jnp.argmax(logits, -1),
                                     sampled)
                 nxt = nxt.astype(jnp.int32)
+                if want_lp:
+                    # emitted-token logprobs (untempered full softmax);
+                    # a separate specialization so logprob-free traffic
+                    # never pays the log_softmax
+                    lsm = jax.nn.log_softmax(
+                        logits.astype(jnp.float32), axis=-1)
+                    lp = jnp.take_along_axis(lsm, nxt[:, None], -1)[:, 0]
                 # scatter included pools' tokens back to global slot
                 # order; excluded pools keep their pending token
                 nxt_full = last[:, 0]
+                lp_full = jnp.zeros((S,), jnp.float32)
                 row0 = 0
                 for g in inc:
                     off, Sg = groups[g]
                     nxt_full = nxt_full.at[off:off + Sg].set(
                         nxt[row0:row0 + Sg])
+                    if want_lp:
+                        lp_full = lp_full.at[off:off + Sg].set(
+                            lp[row0:row0 + Sg])
                     row0 += Sg
                 toks = toks.at[i].set(nxt_full)
-                return (tuple(new_caches), nxt_full[:, None], rng, toks)
+                if want_lp:
+                    lps = lps.at[i].set(lp_full)
+                return (tuple(new_caches), nxt_full[:, None], rng, toks,
+                        lps)
 
             toks = jnp.zeros((K, S), jnp.int32)
-            st = (caches, last, rng, toks)
+            lps0 = jnp.zeros((K, S), jnp.float32)
+            st = (caches, last, rng, toks, lps0)
             st = lax.fori_loop(0, K, body, st)
             return st
 
@@ -1563,7 +1610,11 @@ class ContinuousServer:
         from the fetched counts (spec mode is synchronous-only, so the
         mirror is exact again before the next dispatch)."""
         all_greedy = all(s.req.greedy for s in self.slots if s.active)
-        spec = bool(self.spec_gamma) and all_greedy
+        want_lp = any(s.active and s.req.logprobs for s in self.slots)
+        # spec macro steps have no per-token logit fetch path; logprob
+        # rows ride the plain block instead (same fallback shape as the
+        # mixed-sampler case)
+        spec = bool(self.spec_gamma) and all_greedy and not want_lp
         # pools with no active row are excluded from the block program
         # (their cache/last pass through untouched)
         actives = tuple(any(self.slots[i].active for i in self._group_slots(g))
@@ -1576,15 +1627,18 @@ class ContinuousServer:
                 (caches, self.last, self.tokens, toks, cnts) = decode(
                     self.params, caches, self.last, self.tokens,
                     self.cap_mask if self.caption_len else None)
+            lps = None
         else:
-            decode = self._decode_fn(all_greedy, actives)
+            decode = self._decode_fn(all_greedy, actives, want_lp)
             with self._ctx():
-                (caches, self.last, self.rng, toks) = decode(
+                (caches, self.last, self.rng, toks, lps) = decode(
                     self.params, caches, self.last,
                     self.cap_mask if self.caption_len else None,
                     self.rng, self.greedy_row, self.top_p_row,
                     self.temp_row)
             cnts = None
+            if not want_lp:
+                lps = None
         self.caches = list(caches)
         self._tick("block_dispatch", t0)
         block_id = self._block_ctr
@@ -1594,25 +1648,29 @@ class ContinuousServer:
             for s in self.slots:
                 if s.active:
                     s.phys_len += self.sync_every
-        return (block_id, spec, toks, cnts, self.first_tok, self.emo_slot)
+        return (block_id, spec, toks, cnts, lps, self.first_tok,
+                self.first_lp, self.emo_slot)
 
     def _harvest(self, inflight) -> List[Result]:
         """Fetch one block's outputs (the block's ONE host round trip)
         and do the token bookkeeping. Skips slots admitted after the
         block was dispatched (pipelined mode: their tokens start in the
         NEXT block)."""
-        block_id, spec, toks, cnts, first_tok, emo_slot = inflight
+        block_id, spec, toks, cnts, lps, first_tok, first_lp = inflight[:7]
+        emo_slot = inflight[7]
         t0 = _time.time()
-        toks_h, cnts_h, first_h, emo_h = jax.device_get(
-            (toks, cnts, first_tok, emo_slot))
+        toks_h, cnts_h, lps_h, first_h, flp_h, emo_h = jax.device_get(
+            (toks, cnts, lps, first_tok, first_lp, emo_slot))
         t0 = self._tick("block_wait", t0)
         finished = []
         for i, s in enumerate(self.slots):
             if not s.active or s.admitted_block > block_id:
                 continue
             n_before = len(s.generated)
+            track_lp = s.req.logprobs and lps_h is not None
             if not s.has_first:
                 s.generated = [int(first_h[i])]
+                s.lps = [float(flp_h[i])] if s.req.logprobs else []
                 s.has_first = True
             if spec:
                 for m in range(self.sync_every):
@@ -1629,6 +1687,8 @@ class ContinuousServer:
                     if self._done(s):
                         break
                     s.generated.append(int(toks_h[k, i]))
+                    if track_lp:
+                        s.lps.append(float(lps_h[k, i]))
             done = self._done(s)
             if s.req.stream_cb is not None:
                 new = s.generated[n_before:]
@@ -1660,7 +1720,10 @@ class ContinuousServer:
         res = Result(request_id=s.request_id, tokens=list(s.generated),
                      emotion_logits=np.asarray(emotion),
                      steps_waited=s.admitted_step - s.submitted_step,
-                     latency_s=_time.time() - s.submitted_wall)
+                     latency_s=_time.time() - s.submitted_wall,
+                     logprobs=(list(s.lps[:len(s.generated)])
+                               if s.req is not None and s.req.logprobs
+                               else None))
         self.results[s.request_id] = res
         s.active = False
         if s.req is not None and s.req.session_id:
@@ -1681,6 +1744,7 @@ class ContinuousServer:
             self.sessions[sid] = slot_idx
         s.req = None
         s.generated = []
+        s.lps = []
         s.has_first = False
         return res
 

@@ -1091,3 +1091,68 @@ def test_stop_parsing_and_validation():
     assert request_from_json({"prompt": [1, 2]}).stop is None
     with pytest.raises(ValueError):
         request_from_json({"prompt": [1, 2], "stop": [[]]})
+
+
+def _oracle_lsm(params, cfg, seq):
+    """log-softmax logits over one plain forward of ``seq``."""
+    ids = jnp.asarray(np.asarray(seq)[None], jnp.int32)
+    tts = jnp.full_like(ids, SP2)
+    out = jax.jit(lambda pr, i, t: gpt2.forward(pr, cfg, i,
+                                                token_type_ids=t))(
+        params, ids, tts)
+    return np.asarray(jax.nn.log_softmax(
+        out.logits[0].astype(jnp.float32), axis=-1))
+
+
+def test_logprobs_match_oracle(setup):
+    """Request.logprobs: emitted-token logprobs equal a plain forward's
+    log-softmax at each position; rows that did not ask get None and
+    their streams are unchanged by the logprob specialization."""
+    cfg, params = setup
+    rng = np.random.default_rng(36)
+    p = rng.integers(0, 50, (9,)).tolist()
+    q = rng.integers(0, 50, (12,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    r_lp = srv.submit(Request(prompt_ids=p, max_new_tokens=6, greedy=True,
+                              logprobs=True))
+    r_plain = srv.submit(Request(prompt_ids=q, max_new_tokens=6,
+                                 greedy=True))
+    res = srv.run_until_drained()
+    assert res[r_plain].logprobs is None
+    assert res[r_plain].tokens == oracle_greedy(params, cfg, q, 6)[0]
+    toks, lps = res[r_lp].tokens, res[r_lp].logprobs
+    assert toks == oracle_greedy(params, cfg, p, 6)[0]
+    assert len(lps) == len(toks)
+    lsm = _oracle_lsm(params, cfg, p + toks)
+    for k, t in enumerate(toks):
+        assert abs(lps[k] - float(lsm[len(p) - 1 + k, t])) < 1e-3, k
+
+
+def test_logprobs_session_extension(setup):
+    """The session-extension admission program carries the first
+    token's logprob too."""
+    cfg, params = setup
+    rng = np.random.default_rng(37)
+    p1 = rng.integers(0, 50, (10,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    r1 = srv.submit(Request(prompt_ids=p1, max_new_tokens=5, greedy=True,
+                            session_id="lp"))
+    res1 = srv.run_until_drained()[r1]
+    p2 = p1 + res1.tokens + rng.integers(0, 50, (4,)).tolist()
+    r2 = srv.submit(Request(prompt_ids=p2, max_new_tokens=5, greedy=True,
+                            logprobs=True, session_id="lp"))
+    res2 = srv.run_until_drained()[r2]
+    assert "admit_ext" in srv._phase
+    toks, lps = res2.tokens, res2.logprobs
+    assert len(lps) == len(toks)
+    lsm = _oracle_lsm(params, cfg, p2 + toks)
+    for k, t in enumerate(toks):
+        assert abs(lps[k] - float(lsm[len(p2) - 1 + k, t])) < 1e-3, k
+
+
+def test_logprobs_request_parsing():
+    from ergm_tpu.infer.server import request_from_json
+    assert request_from_json({"prompt": [1], "logprobs": True}).logprobs
+    assert not request_from_json({"prompt": [1]}).logprobs
