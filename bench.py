@@ -70,7 +70,23 @@ def main():
     # vs 0.56 s/step steady — see README "cold starts"). The cache is
     # content-addressed, so code changes still recompile. Opt out with
     # ERGM_NO_COMPILE_CACHE=1.
-    enable_compilation_cache()
+    cache_dir = enable_compilation_cache()
+    # hit/miss evidence for the cold-compile investigation (VERDICT r3
+    # next #6): count cache entries before/after. A compile_s in the
+    # minutes WITH a pre-populated cache means the cache missed (or the
+    # remote-compile helper bypasses it); entries_after > entries_before
+    # pins a miss+fill. The round-3 finding: ~/.cache is wiped between
+    # driver rounds (the dir's ctime each round is the round's own first
+    # bench run), so every round's FIRST compile of a program is cold —
+    # warm numbers require a same-session prior run of the same program.
+    def cache_entries():
+        try:
+            return len(os.listdir(cache_dir)) if cache_dir else -1
+        except OSError:
+            return -1
+    entries_before = cache_entries()
+    print(f"compile cache: dir={cache_dir} entries={entries_before}",
+          file=sys.stderr)
 
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({jax.default_backend()})", file=sys.stderr)
@@ -105,7 +121,11 @@ def main():
     out = run(params, ids, tts, imgs, auds, caps, jax.random.PRNGKey(0))
     np.asarray(out.lengths)
     compile_s = time.time() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    entries_after = cache_entries()
+    cache_hit = entries_after == entries_before
+    print(f"compile+first run: {compile_s:.1f}s "
+          f"(cache entries {entries_before} -> {entries_after}: "
+          f"{'HIT/replay' if cache_hit else 'MISS/fill'})", file=sys.stderr)
 
     times = []
     for i in range(REPS):
@@ -171,6 +191,7 @@ def main():
                 + ")",
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
+        "compile_cache": "hit" if cache_hit else "miss",
     }))
 
 

@@ -90,8 +90,17 @@ def run_variant(name: str) -> dict:
     from ergm_tpu.models import gpt2
 
     kv, mode = name.split("-")
+    # trunk attribution (round 4): a trailing digit runs the variant at
+    # that many layers — per-layer trunk cost and the layer-independent
+    # fixed cost separate by linear fit (e.g. int8-noattn6 vs
+    # int8-noattn's 12 layers)
+    n_layer = 12
+    if mode and mode[-1].isdigit():
+        n_layer = int(mode[-1])
+        mode = mode[:-1]
     cfg = ModelConfig.from_model_type(
         "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
+        n_layer=n_layer,
         kv_cache_dtype="int8" if kv == "int8" else "auto",
         # AB_WEIGHT=int8: weight-only quantized serving (kernel_q path)
         weight_dtype=os.environ.get("AB_WEIGHT", "auto"),
@@ -100,8 +109,11 @@ def run_variant(name: str) -> dict:
                    if mode in ("samplelse", "approx", "bf16k") else None)
 
     real_mha = gpt2.multihead_attention
+    real_mlp = gpt2._mlp
     if mode == "noattn":
         gpt2.multihead_attention = lambda q, k, v, **kw: q
+    if mode == "nomlp":
+        gpt2._mlp = lambda h, p, **kw: jnp.zeros_like(h)
     try:
         params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
         if cfg.weight_dtype == "int8":
@@ -170,7 +182,7 @@ def run_variant(name: str) -> dict:
                 np.asarray(o[1])
             times.append((time.time() - t0) / CHAIN)
         best = min(times)
-        return {"variant": name, "chain": CHAIN,
+        return {"variant": name, "chain": CHAIN, "n_layer": cfg.n_layer,
                 "weight": cfg.weight_dtype, "B": B,
                 "best_s": round(best, 4),
                 "tok_per_s": round(B * NEW / best, 1),
@@ -179,6 +191,7 @@ def run_variant(name: str) -> dict:
                 "times": [round(t, 4) for t in times]}
     finally:
         gpt2.multihead_attention = real_mha
+        gpt2._mlp = real_mlp
 
 
 def main():

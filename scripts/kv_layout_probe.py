@@ -98,48 +98,64 @@ def merged_int8_step(q, Km, Vm, ksm, vsm, mask, scale):
 
 
 def build(variant, B, T, key):
-    ks = jax.random.split(key, 6)
     scale = 1.0 / D ** 0.5
-    # ~3/4 filled cache tail mask, uniform across rows (shape [B, T])
-    filled = (3 * T) // 4
-    mask = jnp.where(jnp.arange(T)[None, :] < filled, 0.0, -1e9)
-    mask = jnp.broadcast_to(mask, (B, T)).astype(jnp.float32)
-    q0 = jax.random.normal(ks[0], (B, HD), jnp.bfloat16)
 
-    if variant == "per_head":
-        K = jax.random.normal(ks[1], (12, B, H, T, D), jnp.bfloat16)
-        V = jax.random.normal(ks[2], (12, B, H, T, D), jnp.bfloat16)
-        step = lambda q, xs: (per_head_step(q, xs[0], xs[1], mask, scale), None)
-        xs = (K, V)
-    elif variant == "merged":
-        K = jax.random.normal(ks[1], (12, B, T, HD), jnp.bfloat16)
-        V = jax.random.normal(ks[2], (12, B, T, HD), jnp.bfloat16)
-        step = lambda q, xs: (merged_step(q, xs[0], xs[1], mask, scale), None)
-        xs = (K, V)
-    elif variant == "per_head_int8":
-        K = jax.random.randint(ks[1], (12, B, H, T, D), -127, 127, jnp.int8)
-        V = jax.random.randint(ks[2], (12, B, H, T, D), -127, 127, jnp.int8)
-        ksc = jax.random.uniform(ks[3], (12, B, H, T, 1), jnp.float32, 0.01, 0.02)
-        vsc = jax.random.uniform(ks[4], (12, B, H, T, 1), jnp.float32, 0.01, 0.02)
-        step = lambda q, xs: (per_head_int8_step(q, *xs, mask, scale), None)
-        xs = (K, V, ksc, vsc)
-    elif variant == "merged_int8":
-        K = jax.random.randint(ks[1], (12, B, T, HD), -127, 127, jnp.int8)
-        V = jax.random.randint(ks[2], (12, B, T, HD), -127, 127, jnp.int8)
-        ksc = jax.random.uniform(ks[3], (12, B, T, H), jnp.float32, 0.01, 0.02)
-        vsc = jax.random.uniform(ks[4], (12, B, T, H), jnp.float32, 0.01, 0.02)
-        step = lambda q, xs: (merged_int8_step(q, *xs, mask, scale), None)
-        xs = (K, V, ksc, vsc)
-    else:
+    # ALL array creation runs inside one jitted setup program: EAGER ops
+    # at GB scale are ~100x slower through the axon tunnel (measured:
+    # 84.6 s for one eager 1.2 GB jax.random.normal vs 8.9 s jitted
+    # incl. compile, 0.7 s steady) — the original eager build made the
+    # probe look wedged.
+    def setup(key):
+        ks = jax.random.split(key, 6)
+        filled = (3 * T) // 4  # ~3/4 filled cache tail mask [B, T]
+        mask = jnp.where(jnp.arange(T)[None, :] < filled, 0.0, -1e9)
+        mask = jnp.broadcast_to(mask, (B, T)).astype(jnp.float32)
+        q0 = jax.random.normal(ks[0], (B, HD), jnp.bfloat16)
+        if variant == "per_head":
+            K = jax.random.normal(ks[1], (12, B, H, T, D), jnp.bfloat16)
+            V = jax.random.normal(ks[2], (12, B, H, T, D), jnp.bfloat16)
+            return q0, (K, V), mask
+        if variant == "merged":
+            K = jax.random.normal(ks[1], (12, B, T, HD), jnp.bfloat16)
+            V = jax.random.normal(ks[2], (12, B, T, HD), jnp.bfloat16)
+            return q0, (K, V), mask
+        if variant == "per_head_int8":
+            K = jax.random.randint(ks[1], (12, B, H, T, D), -127, 127, jnp.int8)
+            V = jax.random.randint(ks[2], (12, B, H, T, D), -127, 127, jnp.int8)
+            ksc = jax.random.uniform(ks[3], (12, B, H, T, 1), jnp.float32, 0.01, 0.02)
+            vsc = jax.random.uniform(ks[4], (12, B, H, T, 1), jnp.float32, 0.01, 0.02)
+            return q0, (K, V, ksc, vsc), mask
+        if variant == "merged_int8":
+            K = jax.random.randint(ks[1], (12, B, T, HD), -127, 127, jnp.int8)
+            V = jax.random.randint(ks[2], (12, B, T, HD), -127, 127, jnp.int8)
+            ksc = jax.random.uniform(ks[3], (12, B, T, H), jnp.float32, 0.01, 0.02)
+            vsc = jax.random.uniform(ks[4], (12, B, T, H), jnp.float32, 0.01, 0.02)
+            return q0, (K, V, ksc, vsc), mask
         raise ValueError(variant)
 
-    def n_steps(n, q0):
+    q0, xs, mask = jax.jit(setup)(key)
+
+    if variant == "per_head":
+        step = lambda q, x, m: (per_head_step(q, x[0], x[1], m, scale), None)
+    elif variant == "merged":
+        step = lambda q, x, m: (merged_step(q, x[0], x[1], m, scale), None)
+    elif variant == "per_head_int8":
+        step = lambda q, x, m: (per_head_int8_step(q, *x, m, scale), None)
+    else:
+        step = lambda q, x, m: (merged_int8_step(q, *x, m, scale), None)
+
+    # NOTE: xs/mask must be ARGUMENTS of the jitted fn, not closure
+    # captures — captured device arrays embed as HLO constants, and the
+    # ~GB cache tensors then serialize through the remote-compile tunnel
+    # (observed: a 10+ minute compile stall for this trivial program)
+    def n_steps(n, q0, xs, mask):
         def body(_, q):
-            q, _n = lax.scan(step, q, xs)
+            q, _n = lax.scan(lambda q, x: step(q, x, mask), q, xs)
             return q
         return lax.fori_loop(0, n, body, q0)
 
-    return functools.partial(jax.jit, static_argnums=0)(n_steps), q0
+    jitted = functools.partial(jax.jit, static_argnums=0)(n_steps)
+    return (lambda n, q: jitted(n, q, xs, mask)), q0
 
 
 def time_n(fn, n, q0):
@@ -157,7 +173,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", file=sys.stderr)
     out_path = os.path.join(REPO, "results", "kv_layout_probe.jsonl")
-    shapes = [(128, 384), (256, 256), (64, 384)]
+    shapes = [(256, 256), (128, 384), (64, 384)]  # headline shape first
     for B, T in shapes:
         for variant in ("per_head", "merged", "per_head_int8", "merged_int8"):
             fn, q0 = build(variant, B, T, jax.random.PRNGKey(0))

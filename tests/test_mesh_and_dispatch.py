@@ -207,3 +207,77 @@ def test_xl_head_geometry_tp_matches_single_device():
     assert np.isfinite(single)
     assert meshed == pytest.approx(single, rel=1e-6)
     assert all(np.all(np.isfinite(g)) for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_xl_true_geometry_zero1_tp_train_step():
+    """VERDICT r3 next #7: the xl "mesh territory" claim at TRUE widths.
+    A full TRAIN step (AdamW, ZeRO-1 sharded moments, Megatron TP) on a
+    data=2 x model=4 mesh at gpt2-xl's real geometry — D=1600, 25 heads,
+    4800 qkv columns / 4 = 1200 per shard — with depth reduced to 2
+    layers (depth changes memory, not the sharding problem; the head
+    split 25 x 64 and every feature-dim shard are exactly xl's).
+    Asserts: finite decreasing loss, optimizer moments physically
+    sharded over data, params sharded over model, all preserved by the
+    donated-step round trip."""
+    import optax
+
+    from ergm_tpu.core.config import ModelConfig
+    from ergm_tpu.core.mesh import (make_mesh, shard_opt_state, shard_params,
+                                    zero1_sharding_tree)
+    from ergm_tpu.models import gpt2
+    from ergm_tpu.core.mesh import batch_sharding
+    from ergm_tpu.train.steps import create_train_state, make_train_step
+
+    assert jax.device_count() == 8
+    cfg = ModelConfig.from_model_type(
+        "gpt2-xl", n_layer=2, vocab_size=128, n_positions=64,
+        dtype="float32", embd_pdrop=0.0, attn_pdrop=0.0, resid_pdrop=0.0,
+        use_cross_attention=True)
+    assert (cfg.n_head, cfg.n_embd) == (25, 1600)
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    tx = optax.adamw(1e-4)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 128, (4, 32)), jnp.int32)
+    batch = {"input_ids": ids, "token_type_ids": ids, "labels": ids,
+             "emotion_labels": jnp.asarray(rng.integers(0, 7, (4,)),
+                                           jnp.int32),
+             "valid": jnp.ones((4,), bool),
+             "seq_lengths": jnp.full((4,), 32, jnp.int32)}
+
+    with mesh:
+        params = shard_params(gpt2.init_params(jax.random.PRNGKey(0), cfg),
+                              mesh)
+        state = create_train_state(params, tx)
+        state = state._replace(
+            opt_state=shard_opt_state(state.opt_state, mesh))
+        opt_shardings = zero1_sharding_tree(state.opt_state, mesh)
+        step = make_train_step(cfg, tx, mesh=mesh,
+                               opt_shardings=opt_shardings)
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in batch.items()}
+
+        def n_data_sharded(tree):
+            leaves = [x for x in jax.tree_util.tree_leaves(tree)
+                      if hasattr(x, "size") and x.size >= 2 and x.ndim >= 1]
+            return sum(x.addressable_shards[0].data.size * 2 <= x.size
+                       for x in leaves), len(leaves)
+
+        sharded0, total0 = n_data_sharded(state.opt_state)
+        assert sharded0 >= total0 // 2, (sharded0, total0)
+
+        losses = []
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, metrics = step(state, batch, key)
+            losses.append(float(metrics["loss"]))
+
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+    # the donated step preserved the ZeRO-1 layout
+    sharded1, total1 = n_data_sharded(state.opt_state)
+    assert sharded1 >= sharded0, (sharded1, sharded0)
+    # the qkv kernel stays model-sharded at xl width (4800 / 4 = 1200)
+    qkv = state.params["blocks"]["attn"]["c_attn"]["kernel"]
+    assert qkv.shape[-1] == 4800
+    assert qkv.addressable_shards[0].data.shape[-1] == 1200
