@@ -48,6 +48,10 @@ KV_DTYPE = os.environ.get("BENCH_KV", "int8")
 # int8 weights were measured a wash there (see results/decode_ablation
 # .jsonl); the B=1 section has its own BENCH_B1_WEIGHT (int8 wins there).
 WEIGHT_DTYPE = os.environ.get("BENCH_WEIGHT", "auto")
+# Cross-attention cache dtype: int8 with factored per-(token, head)
+# scales is the round-4 default (4.33 vs 4.44 ms/step at B=256,
+# greedy-parity-tested; results/decode_ablation.jsonl int8-combo).
+CROSS_DTYPE = os.environ.get("BENCH_CROSS", "int8")
 # Each timed rep issues CHAIN back-to-back invocations and fetches once:
 # the tunnel transport has a fixed per-invocation host overhead (~30 ms
 # fetch + an RPC pipeline floor), so single-invocation wall times
@@ -93,7 +97,8 @@ def main():
 
     cfg = ModelConfig.from_model_type(
         MODEL_TYPE, vocab_size=50271, dtype="bfloat16", modality_dim=768,
-        kv_cache_dtype=KV_DTYPE, weight_dtype=WEIGHT_DTYPE)
+        kv_cache_dtype=KV_DTYPE, weight_dtype=WEIGHT_DTYPE,
+        cross_kv_dtype=CROSS_DTYPE)
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(gpt2.params_for_inference(params, cfg))
 
@@ -188,6 +193,7 @@ def main():
         "unit": f"utt/s/chip (B={BATCH}, prompt={PROMPT_LEN}, new={NEW_TOKENS}, "
                 f"{MODEL_TYPE}, kv={KV_DTYPE}"
                 + (f", w={WEIGHT_DTYPE}" if WEIGHT_DTYPE != "auto" else "")
+                + (f", cross={CROSS_DTYPE}" if CROSS_DTYPE != "auto" else "")
                 + ")",
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
@@ -219,7 +225,11 @@ def run_b1_latency(base_cfg):
     # makes the artifact a distribution, not a point (VERDICT r2 #3)
     reps = int(os.environ.get("BENCH_B1_REPS", 6))
 
-    cfg = base_cfg.replace(weight_dtype=wdtype, kv_cache_dtype=kv)
+    # B=1 is per-op-latency bound: the factored cross-int8 multiply adds
+    # ops for bytes it doesn't need to save — keep the bf16 cross cache
+    cfg = base_cfg.replace(weight_dtype=wdtype, kv_cache_dtype=kv,
+                           cross_kv_dtype=os.environ.get("BENCH_B1_CROSS",
+                                                         "auto"))
     params = gpt2.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(gpt2.params_for_inference(params, cfg))
     rng = np.random.default_rng(1)

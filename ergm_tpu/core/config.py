@@ -127,8 +127,18 @@ class ModelConfig:
     decode_scan_unroll: int = 1
     # "auto" stores decode K/V in the compute dtype; "int8" quantizes the
     # self-attention cache with per-(token, head) scales, halving the
-    # cache-read bandwidth that dominates long decode.
+    # cache-read bandwidth that dominates long decode; "int4" halves it
+    # again (jnp.int4 is a native packed TPU dtype) — a serving option
+    # whose quality cost is quantified separately (larger per-value
+    # error at 4-bit mantissas; see tests/test_int8_kv.py int4 cases).
     kv_cache_dtype: str = "auto"
+    # Cross-attention (caption) cache storage: "auto" keeps the compute
+    # dtype; "int8" stores the merged-head ck/cv int8 with
+    # per-(token, head) scales FACTORED out of the lane-grouped decode
+    # reductions (round-3 declined dequantize-then-attend; the factored
+    # form measured 0.32 vs 0.51 ms/step bf16 at B=256 —
+    # results/int4_kv_probe.jsonl).
+    cross_kv_dtype: str = "auto"
     # Serving weight storage: "auto" keeps the compute dtype; "int8"
     # stores dense kernels as int8 + per-out-channel scales
     # (models/gpt2.py quantize_params_int8). Measured +7% at B=1 decode

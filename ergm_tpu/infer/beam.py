@@ -112,7 +112,8 @@ def beam_search(
     out = gpt2.forward(params, config, input_ids, token_type_ids=token_type_ids,
                        position_ids=prompt_pos, attention_mask=mask,
                        imgs=imgs, auds=auds, caption_ids=caption_ids,
-                       encoder_attention_mask=caption_mask, cache=cache)
+                       encoder_attention_mask=caption_mask, cache=cache,
+                       prefix_prefill=True, compute_logits="last")
     emotion_logits = out.emotion_logits
     logp0 = jax.nn.log_softmax(out.logits[:, -1].astype(jnp.float32), axis=-1)  # [B, V]
     V = logp0.shape[-1]

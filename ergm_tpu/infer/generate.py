@@ -172,7 +172,11 @@ def generate(
                        attention_mask=mask,
                        imgs=imgs, auds=auds, caption_ids=caption_ids,
                        encoder_attention_mask=caption_mask,
-                       cache=cache)
+                       cache=cache, prefix_prefill=True,
+                       # only the final position is sampled: the dense
+                       # [B, Lp, V] f32 prefill logits (6.6 GB at the
+                       # B=256 bench shape) were pure waste
+                       compute_logits="last")
     emotion_logits = out.emotion_logits
 
     def sample(logits, key):

@@ -295,7 +295,8 @@ class ContinuousServer:
                  spec_gamma: int = 0, spec_ngram: int = 3,
                  prefill_chunk: int = 0,
                  long_slots: int = 0,
-                 long_threshold: Optional[int] = None):
+                 long_threshold: Optional[int] = None,
+                 adaptive_block: bool = True):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -318,7 +319,35 @@ class ContinuousServer:
                              f"length {self.T}")
         self.caption_len = caption_len if c.use_cross_attention else 0
         self.sync_every = sync_every
+        # Finish-aware block sizing (round 4, VERDICT r3 next #2): the
+        # remaining budget of every active row is KNOWN, so a block of
+        # sync_every steps is wasteful when many rows end mid-block
+        # (their slots junk-decode instead of refilling — slot_util
+        # 0.675 on the mixed offline bench). Each dispatch picks the
+        # block length n from a small ladder {sync, sync/2, sync/4}
+        # maximizing useful-tokens per wall second,
+        #   score(n) = sum_i min(remaining_i, n) / (rt + n * t_step),
+        # with rt (fixed per-block host+dispatch overhead) and t_step
+        # (per-token device time) fit online from observed block walls.
+        # Synchronous mode only (pipelined walls overlap, so the fit
+        # would be garbage); spec blocks keep sync_every macro steps.
+        self.adaptive_block = adaptive_block and not pipeline
+        ladder = sorted({sync_every, max(sync_every // 2, 1),
+                         max(sync_every // 4, 1)}, reverse=True)
+        self._block_ladder = [n for n in ladder if n >= 1]
+        self._block_obs: List[tuple] = []  # (n, wall_s) ring, max 16
         self.mod_dim = modality_dim or c.modality_dim
+        if c.kv_cache_dtype == "int4":
+            raise ValueError(
+                "kv_cache_dtype='int4' is a generate-path serving option; "
+                "the continuous server's per-slot-cursor scatter writes "
+                "are not validated for the packed-nibble cache (use "
+                "'int8' or 'auto' here)")
+        if c.cross_kv_dtype == "int8":
+            raise ValueError(
+                "cross_kv_dtype='int8' is a generate-path option; the "
+                "server's chunked-prefill cache merge does not carry the "
+                "cross scales (use 'auto' here)")
         if c.kv_cache_dtype == "int8" and jax.default_backend() == "tpu":
             import warnings
             warnings.warn(
@@ -842,7 +871,11 @@ class ContinuousServer:
                 imgs=img, auds=aud,
                 caption_ids=cap_ids if cl and cap_ids is not None else None,
                 encoder_attention_mask=cap_mask
-                if cl and cap_mask is not None else None)
+                if cl and cap_mask is not None else None,
+                prefix_prefill=True,  # fresh cache: index == 0
+                # uniform right-aligned prompts: only the final position
+                # is sampled — skip the [gb, pb, V] f32 logits
+                compute_logits="last")
             logits = out.logits[:, -1, :]
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             sampled = sample_top_p(
@@ -1089,12 +1122,17 @@ class ContinuousServer:
                 cache=cache._replace(index=vis),
                 encoder_attention_mask=(cap_mask_all[off:off + Sg]
                                         if cl else None),
-                seq_lengths=jnp.clip(dlen, 1, pbd))
+                seq_lengths=jnp.clip(dlen, 1, pbd),
+                # per-row last positions vary (ragged deltas): gather
+                # the [Sg, D] last-hidden rows and run lm_head on them
+                # instead of materializing [Sg, pbd, V] f32 logits
+                compute_logits=False)
             cache = out.cache._replace(
                 index=jnp.where(ext, start + dlen, orig_index))
             jlast = jnp.clip(dlen - 1, 0, pbd - 1)
-            logits = jnp.take_along_axis(
-                out.logits, jlast[:, None, None], axis=1)[:, 0]  # [Sg, V]
+            h_last = jnp.take_along_axis(
+                out.hidden, jlast[:, None, None], axis=1)  # [Sg, 1, D]
+            logits = gpt2.lm_logits(params, h_last)[:, 0]  # [Sg, V]
             gkey = jax.random.fold_in(
                 jax.random.PRNGKey(jnp.sum(meta[4])), meta[5, 0])
             sampled = sample_top_p(
@@ -1430,8 +1468,60 @@ class ContinuousServer:
 
     # -- decode -----------------------------------------------------------
 
+    def _pick_block_len(self) -> int:
+        """Finish-aware block length: maximize useful tokens per wall
+        second over the ladder, given each active row's known remaining
+        budget (stop sequences can only end rows EARLIER, so remaining
+        is an upper bound and the score an optimistic estimate)."""
+        if not self.adaptive_block:
+            return self.sync_every
+        rem = []
+        for s in self.slots:
+            if s.active:
+                r = s.req.max_new_tokens - len(s.generated)
+                if not s.has_first:
+                    r -= 1  # the prefill token arrives at this harvest
+                rem.append(max(r, 1))
+        if not rem:
+            return self.sync_every
+        rt, step = self._block_cost_fit()
+        best, best_score = self.sync_every, -1.0
+        for n in self._block_ladder:
+            useful = sum(min(r, n) for r in rem)
+            score = useful / (rt + n * step)
+            if score > best_score:
+                best, best_score = n, score
+        return best
+
+    def _block_cost_fit(self):
+        """(rt, t_step) least-squares fit from observed (n, wall) block
+        pairs; transport-shaped defaults before two distinct lengths
+        have been seen."""
+        obs = self._block_obs
+        ns = {n for n, _ in obs}
+        if len(ns) < 2:
+            return 0.03, 0.005
+        N = len(obs)
+        sx = sum(n for n, _ in obs)
+        sy = sum(w for _, w in obs)
+        sxx = sum(n * n for n, _ in obs)
+        sxy = sum(n * w for n, w in obs)
+        denom = N * sxx - sx * sx
+        step = (N * sxy - sx * sy) / denom
+        rt = (sy - step * sx) / N
+        # a degenerate fit (negative slope/intercept from noise) falls
+        # back to safe defaults rather than poisoning the score
+        if step <= 0 or rt < 0:
+            return 0.03, 0.005
+        return rt, step
+
+    def _note_block(self, n: int, wall: float) -> None:
+        self._block_obs.append((n, wall))
+        if len(self._block_obs) > 16:
+            self._block_obs.pop(0)
+
     def _decode_fn(self, all_greedy: bool, actives: tuple,
-                   want_lp: bool = False):
+                   want_lp: bool = False, block_len: Optional[int] = None):
         # one specialization per (capacity rungs, included pools,
         # all-greedy) triple: when every active row is greedy the block
         # skips the nucleus sampler entirely (an approx-top-k +
@@ -1443,11 +1533,13 @@ class ContinuousServer:
         # the single-pool program over the short pool.
         # The rng chain is not consumed by greedy blocks; sampled
         # streams are scheduler-dependent by design either way.
-        key = (tuple(self.Tphys), actives, all_greedy, want_lp)
+        if block_len is None:
+            block_len = self.sync_every
+        key = (tuple(self.Tphys), actives, all_greedy, want_lp, block_len)
         if key in self._decode_cache:
             return self._decode_cache[key]
         c, S, cl = self.cfg, self.S, self.caption_len
-        K = self.sync_every
+        K = block_len
         groups = self.groups
         inc = [g for g in range(len(groups)) if actives[g]]
 
@@ -1651,6 +1743,7 @@ class ContinuousServer:
         t0 = _time.time()
         caches = tuple(self.caches)
         if spec:
+            n = self.sync_every
             decode = self._spec_decode_fn(actives)
             with self._ctx():
                 (caches, self.last, self.tokens, toks, cnts) = decode(
@@ -1658,7 +1751,8 @@ class ContinuousServer:
                     self.cap_mask if self.caption_len else None)
             lps = None
         else:
-            decode = self._decode_fn(all_greedy, actives, want_lp)
+            n = self._pick_block_len()
+            decode = self._decode_fn(all_greedy, actives, want_lp, n)
             with self._ctx():
                 (caches, self.last, self.rng, toks, lps) = decode(
                     self.params, caches, self.last,
@@ -1669,16 +1763,16 @@ class ContinuousServer:
             if not want_lp:
                 lps = None
         self.caches = list(caches)
-        self._tick("block_dispatch", t0)
+        dispatch_s = self._tick("block_dispatch", t0) - t0
         block_id = self._block_ctr
         self._block_ctr += 1
         self.server_step += 1
         if not spec:
             for s in self.slots:
                 if s.active:
-                    s.phys_len += self.sync_every
+                    s.phys_len += n
         return (block_id, spec, toks, cnts, lps, self.first_tok,
-                self.first_lp, self.emo_slot)
+                self.first_lp, self.emo_slot, n, dispatch_s)
 
     def _harvest(self, inflight) -> List[Result]:
         """Fetch one block's outputs (the block's ONE host round trip)
@@ -1686,11 +1780,16 @@ class ContinuousServer:
         block was dispatched (pipelined mode: their tokens start in the
         NEXT block)."""
         block_id, spec, toks, cnts, lps, first_tok, first_lp = inflight[:7]
-        emo_slot = inflight[7]
+        emo_slot, blk_n, dispatch_s = inflight[7:10]
         t0 = _time.time()
         toks_h, cnts_h, lps_h, first_h, flp_h, emo_h = jax.device_get(
             (toks, cnts, lps, first_tok, first_lp, emo_slot))
+        wait_s = _time.time() - t0
         t0 = self._tick("block_wait", t0)
+        if not spec and not self.pipeline:
+            # feed the finish-aware block-length cost model (the fit is
+            # only meaningful when dispatch+wait cover the whole block)
+            self._note_block(blk_n, dispatch_s + wait_s)
         finished = []
         for i, s in enumerate(self.slots):
             if not s.active or s.admitted_block > block_id:
@@ -1712,7 +1811,7 @@ class ContinuousServer:
                             break
                         s.generated.append(int(toks_h[m, i, k]))
             else:
-                for k in range(self.sync_every):
+                for k in range(blk_n):
                     if self._done(s):
                         break
                     s.generated.append(int(toks_h[k, i]))

@@ -210,11 +210,14 @@ def _speculative_run(
 
     common = dict(token_type_ids=token_type_ids, imgs=imgs, auds=auds,
                   caption_ids=caption_ids, encoder_attention_mask=caption_mask)
-    t_out = gpt2.forward(params, c, input_ids, cache=t_cache, **pre, **common)
+    t_out = gpt2.forward(params, c, input_ids, cache=t_cache,
+                         prefix_prefill=True, compute_logits="last",
+                         **pre, **common)
     d_cache0 = None
     if not ngram:
         d_out = gpt2.forward(dparams, dcfg, input_ids, cache=d_cache,
-                             compute_logits=False, **pre, **common)
+                             prefix_prefill=True, compute_logits=False,
+                             **pre, **common)
         d_cache0 = d_out.cache
     emotion_logits = t_out.emotion_logits
 

@@ -381,9 +381,11 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
                   caption_len: int = 0, dtype=None,
                   per_row_index: bool = False) -> KVCache:
     c = config
-    quant = c.kv_cache_dtype == "int8"
+    quant = c.kv_cache_dtype in ("int8", "int4")
     dtype = dtype or (jnp.int8 if quant else c.compute_dtype)
-    shape = (c.n_layer, batch, c.n_head, max_len, c.head_dim)
+    # int4: two values hand-packed per int8 byte (see _quantize_kv)
+    dm = c.head_dim // 2 if c.kv_cache_dtype == "int4" else c.head_dim
+    shape = (c.n_layer, batch, c.n_head, max_len, dm)
     k = jnp.zeros(shape, dtype)
     v = jnp.zeros(shape, dtype)
     ks = vs = None
@@ -391,7 +393,7 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         sshape = (c.n_layer, batch, c.n_head, max_len, 1)
         ks = jnp.zeros(sshape, jnp.float32)
         vs = jnp.zeros(sshape, jnp.float32)
-    ck = cv = None
+    ck = cv = cks = cvs = None
     if c.use_cross_attention and caption_len > 0:
         # merged-head layout [L, B, Lc, H*Dh]: the minor dims (Lc, H*Dh)
         # are tile-aligned on TPU, unlike the per-head [..., Lc, Dh=64]
@@ -399,25 +401,77 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         # the cross-cache read traffic of every decode step (seen in the
         # compiled HLO layouts; the cache is read in full each step).
         cshape = (c.n_layer, batch, caption_len, c.n_head * c.head_dim)
-        ck = jnp.zeros(cshape, c.compute_dtype)
-        cv = jnp.zeros(cshape, c.compute_dtype)
+        cquant = c.cross_kv_dtype == "int8"
+        ck = jnp.zeros(cshape, jnp.int8 if cquant else c.compute_dtype)
+        cv = jnp.zeros(cshape, jnp.int8 if cquant else c.compute_dtype)
+        if cquant:
+            # per-(token, head) scales, factored OUT of the lane-grouped
+            # decode reductions (_cross_attention)
+            csshape = (c.n_layer, batch, caption_len, c.n_head)
+            cks = jnp.zeros(csshape, jnp.float32)
+            cvs = jnp.zeros(csshape, jnp.float32)
     index = jnp.zeros((batch,) if per_row_index else (), jnp.int32)
     return KVCache(k=k, v=v, index=index, ck=ck, cv=cv,
-                   k_scale=ks, v_scale=vs)
+                   k_scale=ks, v_scale=vs, ck_scale=cks, cv_scale=cvs)
 
 
-def _quantize_kv(x: jnp.ndarray):
-    """[..., D] -> (int8 values, fp32 scale [..., 1])."""
+def _quantize_kv(x: jnp.ndarray, bits: int = 8):
+    """[..., D] -> (int8 values, fp32 scale [..., 1]).
+
+    ``bits=4``: values quantize to [-7, 7] and PACK two per byte into
+    [..., D//2] int8 — the native jnp.int4 dtype cannot transfer
+    through the axon device runtime (materializing any int4 array
+    recursion-faults), so 4-bit storage is hand-packed. Packing is
+    halves-based (low nibbles hold x[..., :D/2], high nibbles
+    x[..., D/2:]) so _unpack_int4's concat restores the original
+    element order with no interleave shuffle."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = amax / 127.0
+    lim = 127.0 if bits == 8 else 7.0
+    scale = amax / lim
     safe = jnp.where(scale == 0.0, 1.0, scale)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / safe), -127, 127).astype(jnp.int8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / safe),
+                 -lim, lim).astype(jnp.int8)
+    if bits == 4:
+        q = _pack_int4(q)
     return q, scale
+
+
+def _pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """int8 values in [-7, 7], [..., D] -> [..., D//2] two-per-byte."""
+    D = q.shape[-1]
+    lo = q[..., : D // 2] & jnp.int8(15)
+    hi = q[..., D // 2:] << jnp.int8(4)
+    return hi | lo
+
+
+def _unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """[..., D//2] packed -> [..., D] int8 in [-7, 7] (sign-extended via
+    arithmetic shifts; element order restored by the halves layout)."""
+    lo = (p << jnp.int8(4)) >> jnp.int8(4)
+    hi = p >> jnp.int8(4)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 # ---------------------------------------------------------------------------
 # Transformer forward
 # ---------------------------------------------------------------------------
+
+
+def lm_logits(params: Params, hidden: jnp.ndarray) -> jnp.ndarray:
+    """lm_head tied to wte (src/model.py:600): [B, L, D] hidden ->
+    [B, L, V] f32 logits, handling the int8-quantized serving embedding.
+    Callers that need only SOME positions should slice/gather hidden
+    first — the [B, L, V] f32 product is the single largest tensor a
+    full-sequence call materializes (6.6 GB at B=256, L=128, V=50k)."""
+    wte_p = params["wte"]
+    if "embedding_q" in wte_p:  # int8 serving: scale on the logit axis
+        return jnp.einsum(
+            "bld,vd->blv", hidden, wte_p["embedding_q"].astype(hidden.dtype),
+            preferred_element_type=jnp.float32, precision="highest",
+        ) * wte_p["embedding_scale"][:, 0].astype(jnp.float32)
+    return jnp.einsum(
+        "bld,vd->blv", hidden, wte_p["embedding"].astype(hidden.dtype),
+        preferred_element_type=jnp.float32, precision="highest")
 
 
 class ModelOutput(NamedTuple):
@@ -469,7 +523,8 @@ def _self_attention(h, p, li, *, config, attn_mask, deterministic, rng):
 
 
 def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
-                           *, config, attn_mask, cache_index, deterministic, rng):
+                           *, config, attn_mask, cache_index, deterministic,
+                           rng, prefix_prefill: bool = False):
     """Decode self-attention over the carried full cache.
 
     Writes ONLY the new tokens' K/V into the (li, :, :, index:index+L, :)
@@ -494,6 +549,40 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     L = h.shape[1]
     q, k, v = _qkv_heads(h, p, c)
     vec = cache_index.ndim == 1 if hasattr(cache_index, "ndim") else False
+    if prefix_prefill and L > 1 and not vec:
+        # Initial prompt prefill (caller guarantees cache_index == 0):
+        # attend DIRECTLY over the freshly computed k/v — a square
+        # causal problem the Pallas flash/block kernels take — instead
+        # of writing the cache and attending over the dequantized
+        # [B, H, L, T] buffer slice, which materializes the full f32
+        # logit tensor over the UNFILLED tail too (4.8 GB at the B=256
+        # bench shape; prefill measured 93 ms vs a ~37 ms flops bound
+        # before this path). The cache still receives the quantized
+        # write below; only the attention source changes (fresh bf16
+        # k/v vs their quantize->dequantize round trip — strictly less
+        # quantization error on the prompt tokens).
+        if ks_full is not None:
+            kv_bits4 = 4 if c.kv_cache_dtype == "int4" else 8
+            kq, ksc = _quantize_kv(k, kv_bits4)
+            vq, vsc = _quantize_kv(v, kv_bits4)
+            idx5 = (li_int, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    cache_index, jnp.zeros((), jnp.int32))
+            k_full = lax.dynamic_update_slice(k_full, kq[None].astype(k_full.dtype), idx5)
+            v_full = lax.dynamic_update_slice(v_full, vq[None].astype(v_full.dtype), idx5)
+            ks_full = lax.dynamic_update_slice(ks_full, ksc[None], idx5)
+            vs_full = lax.dynamic_update_slice(vs_full, vsc[None], idx5)
+        else:
+            idx5 = (li_int, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    cache_index, jnp.zeros((), jnp.int32))
+            k_full = lax.dynamic_update_slice(k_full, k[None].astype(k_full.dtype), idx5)
+            v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
+        m = None if attn_mask is None else attn_mask[:, :L]
+        out = multihead_attention(
+            q, k, v, causal=True, kv_mask=m, q_mask=m,
+            scale=_attn_scale(c, li), impl=c.attention_impl,
+        )
+        return (_attn_project(out, p, c, deterministic, rng),
+                k_full, v_full, ks_full, vs_full)
     zero = jnp.zeros((), jnp.int32)
     dt = c.compute_dtype
     T = k_full.shape[-2]
@@ -551,8 +640,9 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     kv_mask = tail if attn_mask is None else attn_mask[:, :T] * tail
 
     if ks_full is not None:
-        kq, ksc = _quantize_kv(k)
-        vq, vsc = _quantize_kv(v)
+        kv_bits = 4 if c.kv_cache_dtype == "int4" else 8
+        kq, ksc = _quantize_kv(k, kv_bits)
+        vq, vsc = _quantize_kv(v, kv_bits)
         k_full = _write(k_full, kq)
         v_full = _write(v_full, vq)
         ks_full = _write(ks_full, ksc)
@@ -572,6 +662,9 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             ks_all = lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False)
             vq_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
             vs_all = lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False)
+            if kv_bits == 4:
+                kq_all = _unpack_int4(kq_all)
+                vq_all = _unpack_int4(vq_all)
             s = jnp.einsum("bhqd,bhtd->bhqt", q.astype(dt), kq_all.astype(dt),
                            preferred_element_type=jnp.float32,
                            precision="highest") * scale
@@ -583,10 +676,18 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
                              precision="highest")
             return (_attn_project(out, p, c, deterministic, rng),
                     k_full, v_full, ks_full, vs_full)
-        # multi-token (prefill) with an int8 cache: dequantize the slice
-        k_all = (lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False).astype(dt)
+        # multi-token (prefill) / short-cache path with a quantized
+        # cache: dequantize the slice (the convert + multiply fuse into
+        # the attention operand read; int4 adds an unpack that fuses the
+        # same way)
+        kq_all = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
+        vq_all = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+        if kv_bits == 4:
+            kq_all = _unpack_int4(kq_all)
+            vq_all = _unpack_int4(vq_all)
+        k_all = (kq_all.astype(dt)
                  * lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False).astype(dt))
-        v_all = (lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False).astype(dt)
+        v_all = (vq_all.astype(dt)
                  * lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False).astype(dt))
     else:
         k_full = _write(k_full, k)
@@ -674,9 +775,17 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
         # <=1e-3 parity bar)
         prod = ck.astype(jnp.float32) * qf.astype(jnp.float32)[:, None, :]
         s = prod.reshape(B, Lc, H, Dh).sum(-1) * scale
+        if len(cached_kv) == 4:
+            # int8 cross cache: per-(token, head) scales factor OUT of
+            # both reductions (the raw int8 cache feeds the multiply;
+            # measured 0.32 vs 0.51 ms/step bf16, results/int4_kv_probe
+            # .jsonl)
+            s = s * cached_kv[2].astype(jnp.float32)
         if enc_mask is not None:
             s = s + (1.0 - enc_mask.astype(jnp.float32))[:, :, None] * -1e9
         pr = jax.nn.softmax(s, axis=1)                 # over Lc
+        if len(cached_kv) == 4:
+            pr = pr * cached_kv[3].astype(jnp.float32)
         w = jnp.broadcast_to(pr[:, :, :, None], (B, Lc, H, Dh))
         w = w.reshape(B, Lc, H * Dh)
         out = (cv.astype(jnp.float32) * w).sum(axis=1)  # [B, H*Dh] merged
@@ -690,6 +799,12 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
         B = q.shape[0]
         k_r = cached_kv[0].reshape(B, -1, c.n_head, c.head_dim)  # [B, Lc, H, Dh]
         v_r = cached_kv[1].reshape(B, -1, c.n_head, c.head_dim)
+        if len(cached_kv) == 4:
+            # int8 cross cache on the multi-token (spec verify) path:
+            # dequantize the slice with the per-(token, head) scales
+            dt = h.dtype
+            k_r = k_r.astype(dt) * cached_kv[2].astype(dt)[..., None]
+            v_r = v_r.astype(dt) * cached_kv[3].astype(dt)[..., None]
         scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
         if c.scale_attn_by_inverse_layer_idx:
             scale = scale / (li + 1.0)
@@ -751,6 +866,7 @@ def transformer(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
+    prefix_prefill: bool = False,  # static: cache_index is known 0 (initial prompt)
 ):
     """GPT2Model.forward equivalent (reference: src/model.py:420-596).
 
@@ -843,12 +959,16 @@ def transformer(
         # read once for attention (XLA aliases the carry buffer, so the
         # cache is genuinely updated in place across layers and steps).
         if decode:
-            h, k_full, v_full, ks_full, vs_full, ck_full, cv_full = carry
+            (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full,
+             cks_full, cvs_full) = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
             if ck_full is not None and enc is None:
                 ckv = (lax.dynamic_index_in_dim(ck_full, li_int, 0, keepdims=False),
                        lax.dynamic_index_in_dim(cv_full, li_int, 0, keepdims=False))
+                if cks_full is not None:
+                    ckv += (lax.dynamic_index_in_dim(cks_full, li_int, 0, keepdims=False),
+                            lax.dynamic_index_in_dim(cvs_full, li_int, 0, keepdims=False))
             else:
                 ckv = None
         else:
@@ -864,6 +984,7 @@ def transformer(
                 attn_in, p["attn"], li, li_int, k_full, v_full, ks_full, vs_full,
                 config=c, attn_mask=attention_mask, cache_index=past_len,
                 deterministic=deterministic, rng=layer_rng,
+                prefix_prefill=prefix_prefill,
             )
         else:
             attn_out, _ = _self_attention(
@@ -896,11 +1017,27 @@ def transformer(
                     b, nh, lc, hd = x.shape
                     return x.transpose(0, 2, 1, 3).reshape(b, lc, nh * hd)
 
+                mk, mv = _merge_kv(new_ckv[0]), _merge_kv(new_ckv[1])
+                if cks_full is not None:
+                    # int8 cross cache: quantize per (token, head) over
+                    # the Dh groups of the merged minor dim
+                    def _cquant(m):
+                        b, lc, hd = m.shape
+                        g = m.reshape(b, lc, c.n_head, c.head_dim)
+                        q, s = _quantize_kv(g)
+                        return q.reshape(b, lc, hd), s[..., 0]
+                    mk, sk = _cquant(mk)
+                    mv, sv = _cquant(mv)
+                    cks_full = lax.dynamic_update_index_in_dim(
+                        cks_full, sk, li_int, 0)
+                    cvs_full = lax.dynamic_update_index_in_dim(
+                        cvs_full, sv, li_int, 0)
                 ck_full = lax.dynamic_update_index_in_dim(
-                    ck_full, _merge_kv(new_ckv[0]).astype(ck_full.dtype), li_int, 0)
+                    ck_full, mk.astype(ck_full.dtype), li_int, 0)
                 cv_full = lax.dynamic_update_index_in_dim(
-                    cv_full, _merge_kv(new_ckv[1]).astype(cv_full.dtype), li_int, 0)
-            return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full), None
+                    cv_full, mv.astype(cv_full.dtype), li_int, 0)
+            return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full,
+                    cks_full, cvs_full), None
         return h, None
 
     block_fn = block
@@ -928,18 +1065,20 @@ def transformer(
     xs = (blocks_p, layer_ids)
     if decode:
         carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                 cache.ck, cache.cv)
+                 cache.ck, cache.cv, cache.ck_scale, cache.cv_scale)
         # single-token decode steps may unroll the layer scan: the
         # per-token cost at small batch is latency-bound on ~70 tiny
         # matmuls, and unrolling lets XLA prefetch the next layer's
         # weights while the current one computes (scan carries serialize
         # that). Prefill (L>1) keeps the rolled scan: compute-bound.
         unroll = c.decode_scan_unroll if L == 1 else 1
-        (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv), _ = \
+        (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv,
+         new_cks, new_cvs), _ = \
             lax.scan(block_fn, carry, xs, unroll=max(unroll, 1))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
                             ck=new_ck, cv=new_cv,
-                            k_scale=new_ks, v_scale=new_vs)
+                            k_scale=new_ks, v_scale=new_vs,
+                            ck_scale=new_cks, cv_scale=new_cvs)
     else:
         h, _ = lax.scan(block_fn, h, xs)
         new_cache = None
@@ -1027,8 +1166,9 @@ def forward(
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
+    prefix_prefill: bool = False,  # static: initial prompt prefill (cache.index==0)
     seq_lengths: Optional[jnp.ndarray] = None,
-    compute_logits: bool = True,
+    compute_logits=True,  # True | False | "last" (final position only)
     mesh=None,  # jax.sharding.Mesh: enables the sharded fused LM loss
 ) -> ModelOutput:
     """GPT2LMHeadModel.forward equivalent (reference: src/model.py:654-737).
@@ -1049,23 +1189,21 @@ def forward(
         caption_ids=caption_ids, encoder_hidden_states=encoder_hidden_states,
         encoder_attention_mask=encoder_attention_mask,
         deterministic=deterministic, rng=rng, cache=cache,
+        prefix_prefill=prefix_prefill,
     )
 
     # lm_head tied to wte (src/model.py:600); fp32 logits for the loss path.
     # compute_logits=False (training) skips the dense [B, L, V] logits and
     # computes the LM loss chunked instead (see chunked_lm_loss).
+    # compute_logits="last" computes them for the FINAL position only —
+    # the decode-prefill case, where the full-sequence [B, L, V] f32
+    # logits (6.6 GB at B=256, L=128) would be materialized just to
+    # sample one token per row.
     wte_p = params["wte"]
     logits = None
     if compute_logits:
-        if "embedding_q" in wte_p:  # int8 serving: scale on the logit axis
-            logits = jnp.einsum(
-                "bld,vd->blv", hidden, wte_p["embedding_q"].astype(hidden.dtype),
-                preferred_element_type=jnp.float32, precision="highest",
-            ) * wte_p["embedding_scale"][:, 0].astype(jnp.float32)
-        else:
-            logits = jnp.einsum(
-                "bld,vd->blv", hidden, wte_p["embedding"].astype(hidden.dtype),
-                preferred_element_type=jnp.float32, precision="highest")
+        lm_in = hidden[:, -1:, :] if compute_logits == "last" else hidden
+        logits = lm_logits(params, lm_in)
     # emotion head on the final hidden state (src/model.py:700-701)
     if seq_lengths is not None:
         idx = jnp.clip(seq_lengths.astype(jnp.int32) - 1, 0, hidden.shape[1] - 1)
@@ -1078,6 +1216,9 @@ def forward(
 
     loss = lm_loss = emo_loss = None
     if labels is not None:
+        if compute_logits == "last":
+            raise ValueError("compute_logits='last' cannot serve an LM loss "
+                             "(labels given); use True or False")
         if logits is not None:
             lm_loss = cross_entropy(logits[:, :-1, :], labels[:, 1:], ignore_index=-100)
         else:

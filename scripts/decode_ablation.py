@@ -101,7 +101,9 @@ def run_variant(name: str) -> dict:
     cfg = ModelConfig.from_model_type(
         "gpt2", vocab_size=50271, dtype="bfloat16", modality_dim=768,
         n_layer=n_layer,
-        kv_cache_dtype="int8" if kv == "int8" else "auto",
+        kv_cache_dtype=kv if kv in ("int8", "int4") else "auto",
+        # AB_CROSS=int8: factored-scale int8 cross cache (round 4)
+        cross_kv_dtype=os.environ.get("AB_CROSS", "auto"),
         # AB_WEIGHT=int8: weight-only quantized serving (kernel_q path)
         weight_dtype=os.environ.get("AB_WEIGHT", "auto"),
         decode_scan_unroll=int(os.environ.get("AB_UNROLL", 1)))
@@ -136,7 +138,10 @@ def run_variant(name: str) -> dict:
                 mask, jnp.ones((B, PROMPT), jnp.float32), (0, 0))
             out = gpt2.forward(params, cfg, ids, attention_mask=mask,
                                imgs=imgs, auds=auds, caption_ids=caps,
-                               cache=cache, compute_logits=not fixed_mode)
+                               cache=cache, prefix_prefill=True,
+                               # mirrors infer/generate.py: prefill
+                               # samples only the final position
+                               compute_logits="last" if not fixed_mode else False)
             last = (jnp.full((B, 1), 123, jnp.int32) if fixed_mode
                     else jnp.argmax(out.logits[:, -1, :], -1)[:, None].astype(jnp.int32))
 
@@ -183,6 +188,8 @@ def run_variant(name: str) -> dict:
             times.append((time.time() - t0) / CHAIN)
         best = min(times)
         return {"variant": name, "chain": CHAIN, "n_layer": cfg.n_layer,
+                "unroll": cfg.decode_scan_unroll,
+                "cross": cfg.cross_kv_dtype,
                 "weight": cfg.weight_dtype, "B": B,
                 "best_s": round(best, 4),
                 "tok_per_s": round(B * NEW / best, 1),

@@ -206,3 +206,25 @@ def test_capless_row_in_mixed_batch_is_a_noop():
     # the captioned row must still differ from its caption-free version
     capless0 = jax.jit(lambda p: gpt2.forward(p, cfg, ids[0:1]).logits)(params)
     assert float(np.abs(np.asarray(mixed[0]) - np.asarray(capless0[0])).max()) > 1e-4
+
+
+def test_cross_kv_int8_greedy_agreement(trained_with_captions):
+    """cross_kv_dtype='int8' (factored-scale merged cross cache): greedy
+    caption-conditioned decode agrees with the bf16 cross cache on the
+    trained model, and still DEPENDS on the caption."""
+    from ergm_tpu.infer.generate import generate_batch
+
+    params, mcfg, st = trained_with_captions
+    prompt = [st.bos_id, st.sp1_id]
+    cap_a = [st.cap_bos_id, 5, 6, 7, 8, 9, st.cap_eos_id]
+    cap_b = [st.cap_bos_id, 40, 41, 42, 43, 44, st.cap_eos_id]
+    outs = {}
+    for cross in ("auto", "int8"):
+        c = mcfg.replace(cross_kv_dtype=cross)
+        o, _ = generate_batch(
+            params, c, [prompt, prompt], captions=[cap_a, cap_b],
+            max_len=32, eos_id=st.eos_id, sp2_id=st.sp2_id, greedy=True,
+            max_new_tokens=8)
+        outs[cross] = o
+    assert outs["auto"] == outs["int8"], outs
+    assert outs["int8"][0] != outs["int8"][1]

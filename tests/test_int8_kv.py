@@ -130,3 +130,77 @@ def test_factored_int8_attention_long_cache(trained):
                      rng=jax.random.PRNGKey(0))
         outs[kv] = np.asarray(g.tokens)[0, 8:int(g.lengths[0])].tolist()
     assert outs["auto"] == outs["int8"], outs
+
+
+def test_int4_pack_unpack_roundtrip():
+    """Halves-based nibble packing is exact for values in [-7, 7] and
+    restores element order (models/gpt2.py _pack_int4/_unpack_int4)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-7, 8, (3, 5, 64)), jnp.int8)
+    packed = gpt2._pack_int4(x)
+    assert packed.shape == (3, 5, 32)
+    np.testing.assert_array_equal(np.asarray(gpt2._unpack_int4(packed)),
+                                  np.asarray(x))
+
+
+def test_int4_kv_quality_on_trained_model(trained):
+    """int4 (packed-nibble) cache quality on the trained model: looser
+    gates than int8 (4-bit mantissas), but the distribution must stay
+    close and greedy agreement high — the numbers documented for the
+    serving option."""
+    params, mcfg, st, ds = trained
+    ex = ds.examples[0]
+    n_hist = next(i for i, l in enumerate(ex.labels) if l != -100)
+    n_hist = max(n_hist, 2)
+    prompt = ex.input_ids[:n_hist]
+    cont = ex.input_ids[n_hist:n_hist + 12]
+
+    p_ref = _stepwise_probs(params, mcfg, prompt, cont, "auto")
+    p_int4 = _stepwise_probs(params, mcfg, prompt, cont, "int4")
+
+    tv = 0.5 * np.abs(p_ref - p_int4).sum(axis=-1)
+    idx = np.arange(len(cont))
+    ppl_ref = float(np.exp(-np.log(np.maximum(p_ref[idx, cont], 1e-20)).mean()))
+    ppl_int4 = float(np.exp(-np.log(np.maximum(p_int4[idx, cont], 1e-20)).mean()))
+    agree = float((p_ref.argmax(-1) == p_int4.argmax(-1)).mean())
+    print(f"int4-vs-ref: TV mean={tv.mean():.4f} max={tv.max():.4f} "
+          f"ppl_ref={ppl_ref:.4f} ppl_int4={ppl_int4:.4f} greedy_agree={agree:.2f}")
+    assert tv.mean() < 0.15, f"mean TV {tv.mean():.4f} too high"
+    assert abs(np.log(ppl_int4 / ppl_ref)) < 0.25, (ppl_ref, ppl_int4)
+    assert agree >= 0.9
+
+
+def test_int4_kv_greedy_decode_agreement(trained):
+    """Greedy decode through the int4 cache stays on-distribution: the
+    generation must agree with the bf16 cache on the sharp overfit
+    model (same bar int8 clears)."""
+    from ergm_tpu.infer.generate import generate
+
+    params, mcfg, st, ds = trained
+    ex = ds.examples[1]
+    prompt = jnp.asarray([ex.input_ids[:8]])
+    outs = {}
+    for kv in ("auto", "int4"):
+        c = mcfg.replace(kv_cache_dtype=kv)
+        g = generate(params, c, prompt, 8, max_len=32, eos_id=st.eos_id,
+                     sp2_id=st.sp2_id, greedy=True, rng=jax.random.PRNGKey(0))
+        outs[kv] = np.asarray(g.tokens)[0, 8:int(g.lengths[0])].tolist()
+    assert outs["auto"] == outs["int4"], outs
+
+
+def test_int4_factored_long_cache_agreement(trained):
+    """The T>=512 factored path also unpacks nibbles before the raw-int
+    einsum; greedy agreement through it."""
+    from ergm_tpu.infer.generate import generate
+
+    params, mcfg, st, ds = trained
+    ex = ds.examples[2]
+    prompt = jnp.asarray([ex.input_ids[:8]])
+    outs = {}
+    for kv in ("auto", "int4"):
+        c = mcfg.replace(kv_cache_dtype=kv, n_positions=1024)
+        g = generate(params, c, prompt, 8, max_len=512, eos_id=st.eos_id,
+                     sp2_id=st.sp2_id, greedy=True, logical_cap=24,
+                     rng=jax.random.PRNGKey(0))
+        outs[kv] = np.asarray(g.tokens)[0, 8:int(g.lengths[0])].tolist()
+    assert outs["auto"] == outs["int4"], outs
