@@ -335,7 +335,6 @@ class ContinuousServer:
         ladder = sorted({sync_every, max(sync_every // 2, 1),
                          max(sync_every // 4, 1)}, reverse=True)
         self._block_ladder = [n for n in ladder if n >= 1]
-        self._block_obs: List[tuple] = []  # (n, wall_s) ring, max 16
         self.mod_dim = modality_dim or c.modality_dim
         if c.kv_cache_dtype == "int4":
             raise ValueError(
@@ -615,6 +614,7 @@ class ContinuousServer:
         self._chunks: Dict[int, dict] = {}
         self._next_id = 0
         self.server_step = 0
+        self.block_len_hist: Dict[int, int] = {}  # n -> dispatch count
         self.grows = 0
         self.shrinks = 0
         self._inflight = None
@@ -1469,56 +1469,34 @@ class ContinuousServer:
     # -- decode -----------------------------------------------------------
 
     def _pick_block_len(self) -> int:
-        """Finish-aware block length: maximize useful tokens per wall
-        second over the ladder, given each active row's known remaining
-        budget (stop sequences can only end rows EARLIER, so remaining
-        is an upper bound and the score an optimistic estimate)."""
-        if not self.adaptive_block:
+        """Drain-aware block length. A general finish-aware scorer
+        (useful tokens per wall second over the ladder, online-fit
+        costs) was built and MEASURED WORSE on the offline mix (85.8 vs
+        95.8 utt/s, results/server_bench.jsonl adaptive A/B): shrinking
+        mid-stream blocks reclaims junk slots but fragments admission
+        into more refill waves, each paying a full padded prefill
+        program — the prefill fragmentation out-costs the junk saved.
+        What survives is the DRAIN case: with an empty queue and no
+        pending chunks there is nothing to refill, so the final blocks
+        of a burst shrink to the smallest ladder length covering the
+        longest remaining budget — pure junk-step saving (stop
+        sequences only end rows earlier, so remaining is a safe upper
+        bound)."""
+        if not self.adaptive_block or self.queue or self._chunks:
             return self.sync_every
-        rem = []
+        max_rem = 0
         for s in self.slots:
             if s.active:
                 r = s.req.max_new_tokens - len(s.generated)
                 if not s.has_first:
                     r -= 1  # the prefill token arrives at this harvest
-                rem.append(max(r, 1))
-        if not rem:
+                max_rem = max(max_rem, r)
+        if max_rem <= 0:
             return self.sync_every
-        rt, step = self._block_cost_fit()
-        best, best_score = self.sync_every, -1.0
-        for n in self._block_ladder:
-            useful = sum(min(r, n) for r in rem)
-            score = useful / (rt + n * step)
-            if score > best_score:
-                best, best_score = n, score
-        return best
-
-    def _block_cost_fit(self):
-        """(rt, t_step) least-squares fit from observed (n, wall) block
-        pairs; transport-shaped defaults before two distinct lengths
-        have been seen."""
-        obs = self._block_obs
-        ns = {n for n, _ in obs}
-        if len(ns) < 2:
-            return 0.03, 0.005
-        N = len(obs)
-        sx = sum(n for n, _ in obs)
-        sy = sum(w for _, w in obs)
-        sxx = sum(n * n for n, _ in obs)
-        sxy = sum(n * w for n, w in obs)
-        denom = N * sxx - sx * sx
-        step = (N * sxy - sx * sy) / denom
-        rt = (sy - step * sx) / N
-        # a degenerate fit (negative slope/intercept from noise) falls
-        # back to safe defaults rather than poisoning the score
-        if step <= 0 or rt < 0:
-            return 0.03, 0.005
-        return rt, step
-
-    def _note_block(self, n: int, wall: float) -> None:
-        self._block_obs.append((n, wall))
-        if len(self._block_obs) > 16:
-            self._block_obs.pop(0)
+        for n in reversed(self._block_ladder):  # smallest first
+            if n >= max_rem:
+                return n
+        return self.sync_every
 
     def _decode_fn(self, all_greedy: bool, actives: tuple,
                    want_lp: bool = False, block_len: Optional[int] = None):
@@ -1556,14 +1534,17 @@ class ContinuousServer:
                     # per-slot cursors: cache.index[i] IS slot i's
                     # logical length; visibility (kpos <= index) is
                     # enforced inside the cached attention — no mask
-                    # array at all
+                    # array at all. K/V writes go to the staging
+                    # buffers at the uniform step index i (see
+                    # KVCache.sk); the flush below commits them to the
+                    # main cache once per block.
                     pos = jnp.minimum(cache.index,
                                       c.n_positions - 1)[:, None]
                     out = gpt2.forward(
                         params, c, last[off:off + Sg],
                         token_type_ids=jnp.full((Sg, 1), self.sp2_id,
                                                 jnp.int32),
-                        position_ids=pos, cache=cache,
+                        position_ids=pos, cache=cache, stage_index=i,
                         encoder_attention_mask=(cap_mask[off:off + Sg]
                                                 if cl else None))
                     logits_parts.append(out.logits[:, -1, :])
@@ -1619,9 +1600,24 @@ class ContinuousServer:
 
             toks = jnp.zeros((K, S), jnp.int32)
             lps0 = jnp.zeros((K, S), jnp.float32)
-            st = (caches, last, rng, toks, lps0)
-            st = lax.fori_loop(0, K, body, st)
-            return st
+            # staged block decode: per-group staging buffers, flushed
+            # into the main cache once after the K steps (amortizing the
+            # per-row scatter — ~1.2 ms of every 12-layer step at S=64 —
+            # and, for int8 caches, quantizing once per block instead of
+            # the pathological per-step int8 scatter)
+            caches = list(caches)
+            for g in inc:
+                off, Sg = groups[g]
+                sshape = (c.n_layer, Sg, c.n_head, K, c.head_dim)
+                caches[g] = caches[g]._replace(
+                    sk=jnp.zeros(sshape, c.compute_dtype),
+                    sv=jnp.zeros(sshape, c.compute_dtype))
+            st = (tuple(caches), last, rng, toks, lps0)
+            caches, last, rng, toks, lps0 = lax.fori_loop(0, K, body, st)
+            caches = list(caches)
+            for g in inc:
+                caches[g] = gpt2.flush_staging(caches[g], K, c)
+            return tuple(caches), last, rng, toks, lps0
 
         self._decode_cache[key] = decode_block
         return decode_block
@@ -1763,7 +1759,8 @@ class ContinuousServer:
             if not want_lp:
                 lps = None
         self.caches = list(caches)
-        dispatch_s = self._tick("block_dispatch", t0) - t0
+        self.block_len_hist[n] = self.block_len_hist.get(n, 0) + 1
+        self._tick("block_dispatch", t0)
         block_id = self._block_ctr
         self._block_ctr += 1
         self.server_step += 1
@@ -1772,7 +1769,7 @@ class ContinuousServer:
                 if s.active:
                     s.phys_len += n
         return (block_id, spec, toks, cnts, lps, self.first_tok,
-                self.first_lp, self.emo_slot, n, dispatch_s)
+                self.first_lp, self.emo_slot, n)
 
     def _harvest(self, inflight) -> List[Result]:
         """Fetch one block's outputs (the block's ONE host round trip)
@@ -1780,16 +1777,11 @@ class ContinuousServer:
         block was dispatched (pipelined mode: their tokens start in the
         NEXT block)."""
         block_id, spec, toks, cnts, lps, first_tok, first_lp = inflight[:7]
-        emo_slot, blk_n, dispatch_s = inflight[7:10]
+        emo_slot, blk_n = inflight[7:9]
         t0 = _time.time()
         toks_h, cnts_h, lps_h, first_h, flp_h, emo_h = jax.device_get(
             (toks, cnts, lps, first_tok, first_lp, emo_slot))
-        wait_s = _time.time() - t0
         t0 = self._tick("block_wait", t0)
-        if not spec and not self.pipeline:
-            # feed the finish-aware block-length cost model (the fit is
-            # only meaningful when dispatch+wait cover the whole block)
-            self._note_block(blk_n, dispatch_s + wait_s)
         finished = []
         for i, s in enumerate(self.slots):
             if not s.active or s.admitted_block > block_id:

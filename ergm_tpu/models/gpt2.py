@@ -375,6 +375,19 @@ class KVCache(NamedTuple):
     v_scale: Optional[jnp.ndarray] = None
     ck_scale: Optional[jnp.ndarray] = None
     cv_scale: Optional[jnp.ndarray] = None
+    # Staged block-decode buffers (the continuous server's per-slot-
+    # cursor mode, round 4): within one decode block, each step writes
+    # its new K/V into ``sk``/``sv`` [L, B, H, Kblock, Dh] (compute
+    # dtype) at the UNIFORM scalar step index — a cheap
+    # dynamic_update_slice like the generate path — instead of the
+    # per-row scatter that cost ~1.2 ms of every 12-layer step at S=64
+    # (and compiled/ran pathologically for int8). Attention reads the
+    # main cache (rows' flushed prefixes) concatenated with the staging
+    # tail; the server's block program flushes staging into the main
+    # cache ONCE per block. ``sk``/``sv`` are transient: None outside a
+    # block program.
+    sk: Optional[jnp.ndarray] = None
+    sv: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
@@ -452,6 +465,58 @@ def _unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
+def flush_staging(cache: KVCache, K: int, config: ModelConfig) -> KVCache:
+    """Commit a decode block's staged K/V (``sk``/``sv``,
+    [L, B, H, K, Dh]) into the main cache at each row's pre-block
+    cursor (``index - K``), then drop the staging buffers.
+
+    The continuous server's staged block decode writes each step's K/V
+    at a uniform scalar index (a cheap dynamic_update_slice); this ONE
+    per-block scatter replaces ``sync_every`` per-step per-row scatters
+    and, for quantized caches, quantizes once per block — from the
+    ORIGINAL compute-dtype values, so the committed ints are
+    byte-identical to the per-step path's (greedy server parity with
+    ``generate`` holds through the staging round-trip)."""
+    c = config
+    if cache.sk is None:
+        return cache
+    start = cache.index - K                            # [B] pre-block cursors
+    B = cache.k.shape[1]
+    b_ix = jnp.arange(B)[:, None]                      # [B, 1]
+    t_ix = start[:, None] + jnp.arange(K)[None, :]     # [B, K]
+    ixs = (slice(None), b_ix, slice(None), t_ix)
+
+    def _scatter(full, new):                           # new [L, B, H, K, Dm]
+        # advanced indices [B, K] around the sliced L/H axes -> value
+        # layout [B, K, L, H, Dm]; junk rows past capacity drop
+        val = new.transpose(1, 3, 0, 2, 4).astype(full.dtype)
+        Dm = full.shape[-1]
+        if full.dtype == jnp.int8 and Dm % 4 == 0:
+            # int8 scatters compile pathologically on v5e (see _write);
+            # pack 4 lanes into int32, scatter, bitcast back
+            shp = full.shape
+            f32 = lax.bitcast_convert_type(
+                full.reshape(*shp[:-1], Dm // 4, 4), jnp.int32)
+            n32 = lax.bitcast_convert_type(
+                val.reshape(*val.shape[:-1], Dm // 4, 4), jnp.int32)
+            f32 = f32.at[(*ixs, slice(None))].set(n32, mode="drop")
+            return lax.bitcast_convert_type(f32, jnp.int8).reshape(shp)
+        return full.at[ixs].set(val, mode="drop")
+
+    if cache.k_scale is not None:
+        bits = 4 if c.kv_cache_dtype == "int4" else 8
+        kq, ksc = _quantize_kv(cache.sk, bits)
+        vq, vsc = _quantize_kv(cache.sv, bits)
+        return cache._replace(
+            k=_scatter(cache.k, kq), v=_scatter(cache.v, vq),
+            k_scale=_scatter(cache.k_scale, ksc),
+            v_scale=_scatter(cache.v_scale, vsc),
+            sk=None, sv=None)
+    return cache._replace(k=_scatter(cache.k, cache.sk),
+                          v=_scatter(cache.v, cache.sv),
+                          sk=None, sv=None)
+
+
 # ---------------------------------------------------------------------------
 # Transformer forward
 # ---------------------------------------------------------------------------
@@ -524,7 +589,8 @@ def _self_attention(h, p, li, *, config, attn_mask, deterministic, rng):
 
 def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
                            *, config, attn_mask, cache_index, deterministic,
-                           rng, prefix_prefill: bool = False):
+                           rng, prefix_prefill: bool = False,
+                           sk_full=None, sv_full=None, stage_index=None):
     """Decode self-attention over the carried full cache.
 
     Writes ONLY the new tokens' K/V into the (li, :, :, index:index+L, :)
@@ -549,6 +615,61 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
     L = h.shape[1]
     q, k, v = _qkv_heads(h, p, c)
     vec = cache_index.ndim == 1 if hasattr(cache_index, "ndim") else False
+    if sk_full is not None and vec and L == 1:
+        # STAGED block decode (server): write this step's K/V into the
+        # staging buffer at the uniform scalar ``stage_index`` (a cheap
+        # dynamic_update_slice — no per-row scatter), attend over the
+        # main cache's flushed prefixes + the staging tail. The server
+        # flushes staging into the main cache once per block.
+        dt_ = c.compute_dtype
+        idx5 = (li_int, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                stage_index, jnp.zeros((), jnp.int32))
+        sk_full = lax.dynamic_update_slice(sk_full, k.astype(sk_full.dtype)[None], idx5)
+        sv_full = lax.dynamic_update_slice(sv_full, v.astype(sv_full.dtype)[None], idx5)
+        Tm = k_full.shape[-2]
+        B_ = k.shape[0]
+        kpos_m = jax.lax.broadcasted_iota(jnp.int32, (1, Tm), 1)
+        # main holds [0, index[b] - j): logical length minus unflushed
+        main_mask = (kpos_m < (cache_index - stage_index)[:, None]).astype(jnp.float32)
+        Ks = sk_full.shape[-2]
+        spos = jax.lax.broadcasted_iota(jnp.int32, (1, Ks), 1)
+        stage_mask = jnp.broadcast_to((spos <= stage_index).astype(jnp.float32),
+                                      (B_, Ks))
+        k_main = lax.dynamic_index_in_dim(k_full, li_int, 0, keepdims=False)
+        v_main = lax.dynamic_index_in_dim(v_full, li_int, 0, keepdims=False)
+        if ks_full is not None:
+            if c.kv_cache_dtype == "int4":
+                k_main = _unpack_int4(k_main)
+                v_main = _unpack_int4(v_main)
+            k_main = (k_main.astype(dt_)
+                      * lax.dynamic_index_in_dim(ks_full, li_int, 0, keepdims=False).astype(dt_))
+            v_main = (v_main.astype(dt_)
+                      * lax.dynamic_index_in_dim(vs_full, li_int, 0, keepdims=False).astype(dt_))
+        sk_tail = lax.dynamic_index_in_dim(sk_full, li_int, 0, keepdims=False)
+        sv_tail = lax.dynamic_index_in_dim(sv_full, li_int, 0, keepdims=False)
+        if ks_full is not None:
+            # byte-parity with generate's per-step-quantized cache:
+            # within-block reads must see the same quantize->dequantize
+            # roundtrip the flushed cache will hold (flush_staging
+            # quantizes from the ORIGINAL values, so the committed ints
+            # equal generate's; this makes the in-flight tail agree too)
+            bits = 4 if c.kv_cache_dtype == "int4" else 8
+            qk, qks = _quantize_kv(sk_tail, bits)
+            qv, qvs = _quantize_kv(sv_tail, bits)
+            if bits == 4:
+                qk, qv = _unpack_int4(qk), _unpack_int4(qv)
+            sk_tail = qk.astype(dt_) * qks.astype(dt_)
+            sv_tail = qv.astype(dt_) * qvs.astype(dt_)
+        k_all_ = jnp.concatenate([k_main, sk_tail], axis=2)
+        v_all_ = jnp.concatenate([v_main, sv_tail], axis=2)
+        kv_mask_ = jnp.concatenate(
+            [jnp.broadcast_to(main_mask, (B_, Tm)), stage_mask], axis=-1)
+        out = multihead_attention(
+            q, k_all_, v_all_, causal=False, kv_mask=kv_mask_,
+            scale=_attn_scale(c, li), impl=c.attention_impl,
+        )
+        return (_attn_project(out, p, c, deterministic, rng),
+                k_full, v_full, ks_full, vs_full, sk_full, sv_full)
     if prefix_prefill and L > 1 and not vec:
         # Initial prompt prefill (caller guarantees cache_index == 0):
         # attend DIRECTLY over the freshly computed k/v — a square
@@ -582,7 +703,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             scale=_attn_scale(c, li), impl=c.attention_impl,
         )
         return (_attn_project(out, p, c, deterministic, rng),
-                k_full, v_full, ks_full, vs_full)
+                k_full, v_full, ks_full, vs_full, sk_full, sv_full)
     zero = jnp.zeros((), jnp.int32)
     dt = c.compute_dtype
     T = k_full.shape[-2]
@@ -675,7 +796,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             out = jnp.einsum("bhqt,bhtd->bhqd", pv, vq_all.astype(dt),
                              precision="highest")
             return (_attn_project(out, p, c, deterministic, rng),
-                    k_full, v_full, ks_full, vs_full)
+                    k_full, v_full, ks_full, vs_full, sk_full, sv_full)
         # multi-token (prefill) / short-cache path with a quantized
         # cache: dequantize the slice (the convert + multiply fuse into
         # the attention operand read; int4 adds an unpack that fuses the
@@ -725,7 +846,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         impl=c.attention_impl,
     )
     return (_attn_project(out, p, c, deterministic, rng),
-            k_full, v_full, ks_full, vs_full)
+            k_full, v_full, ks_full, vs_full, sk_full, sv_full)
 
 
 def _capless_row_gate(out, enc_mask):
@@ -867,6 +988,7 @@ def transformer(
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     prefix_prefill: bool = False,  # static: cache_index is known 0 (initial prompt)
+    stage_index=None,  # scalar step-in-block index (staged server decode)
 ):
     """GPT2Model.forward equivalent (reference: src/model.py:420-596).
 
@@ -960,7 +1082,7 @@ def transformer(
         # cache is genuinely updated in place across layers and steps).
         if decode:
             (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full,
-             cks_full, cvs_full) = carry
+             cks_full, cvs_full, sk_full, sv_full) = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
             if ck_full is not None and enc is None:
@@ -980,11 +1102,13 @@ def transformer(
         # self-attention (pre-LN residual, src/model.py:297-309)
         attn_in = layer_norm(h, p["ln_1"], c.layer_norm_epsilon)
         if decode:
-            attn_out, k_full, v_full, ks_full, vs_full = _self_attention_cached(
+            (attn_out, k_full, v_full, ks_full, vs_full, sk_full,
+             sv_full) = _self_attention_cached(
                 attn_in, p["attn"], li, li_int, k_full, v_full, ks_full, vs_full,
                 config=c, attn_mask=attention_mask, cache_index=past_len,
                 deterministic=deterministic, rng=layer_rng,
                 prefix_prefill=prefix_prefill,
+                sk_full=sk_full, sv_full=sv_full, stage_index=stage_index,
             )
         else:
             attn_out, _ = _self_attention(
@@ -1037,7 +1161,7 @@ def transformer(
                 cv_full = lax.dynamic_update_index_in_dim(
                     cv_full, mv.astype(cv_full.dtype), li_int, 0)
             return (h, k_full, v_full, ks_full, vs_full, ck_full, cv_full,
-                    cks_full, cvs_full), None
+                    cks_full, cvs_full, sk_full, sv_full), None
         return h, None
 
     block_fn = block
@@ -1065,7 +1189,8 @@ def transformer(
     xs = (blocks_p, layer_ids)
     if decode:
         carry = (h, cache.k, cache.v, cache.k_scale, cache.v_scale,
-                 cache.ck, cache.cv, cache.ck_scale, cache.cv_scale)
+                 cache.ck, cache.cv, cache.ck_scale, cache.cv_scale,
+                 cache.sk, cache.sv)
         # single-token decode steps may unroll the layer scan: the
         # per-token cost at small batch is latency-bound on ~70 tiny
         # matmuls, and unrolling lets XLA prefetch the next layer's
@@ -1073,12 +1198,13 @@ def transformer(
         # that). Prefill (L>1) keeps the rolled scan: compute-bound.
         unroll = c.decode_scan_unroll if L == 1 else 1
         (h, new_k, new_v, new_ks, new_vs, new_ck, new_cv,
-         new_cks, new_cvs), _ = \
+         new_cks, new_cvs, new_sk, new_sv), _ = \
             lax.scan(block_fn, carry, xs, unroll=max(unroll, 1))
         new_cache = KVCache(k=new_k, v=new_v, index=cache.index + L,
                             ck=new_ck, cv=new_cv,
                             k_scale=new_ks, v_scale=new_vs,
-                            ck_scale=new_cks, cv_scale=new_cvs)
+                            ck_scale=new_cks, cv_scale=new_cvs,
+                            sk=new_sk, sv=new_sv)
     else:
         h, _ = lax.scan(block_fn, h, xs)
         new_cache = None
@@ -1167,6 +1293,7 @@ def forward(
     rng: Optional[jax.Array] = None,
     cache: Optional[KVCache] = None,
     prefix_prefill: bool = False,  # static: initial prompt prefill (cache.index==0)
+    stage_index=None,  # scalar step-in-block index (staged server decode)
     seq_lengths: Optional[jnp.ndarray] = None,
     compute_logits=True,  # True | False | "last" (final position only)
     mesh=None,  # jax.sharding.Mesh: enables the sharded fused LM loss
@@ -1189,7 +1316,7 @@ def forward(
         caption_ids=caption_ids, encoder_hidden_states=encoder_hidden_states,
         encoder_attention_mask=encoder_attention_mask,
         deterministic=deterministic, rng=rng, cache=cache,
-        prefix_prefill=prefix_prefill,
+        prefix_prefill=prefix_prefill, stage_index=stage_index,
     )
 
     # lm_head tied to wte (src/model.py:600); fp32 logits for the loss path.

@@ -65,6 +65,8 @@ LONG_LEN = int(os.environ.get("SERVER_LONG_LEN", 896))
 # dynamic static batching launches when full OR the oldest request has
 # waited WINDOW seconds
 WINDOW = float(os.environ.get("SERVER_WINDOW", 0.5))
+# finish-aware adaptive block sizing (round 4); 0 pins every block to SYNC
+ADAPTIVE = os.environ.get("SERVER_ADAPTIVE", "1") not in ("0", "false")
 
 
 def emit(row):
@@ -122,7 +124,8 @@ def main():
                            pipeline=PIPE, spec_gamma=SPEC,
                            spec_ngram=SPEC_N, prefill_chunk=CHUNK,
                            long_slots=LONG_SLOTS,
-                           long_threshold=LONG_THRESHOLD or None)
+                           long_threshold=LONG_THRESHOLD or None,
+                           adaptive_block=ADAPTIVE)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -156,7 +159,10 @@ def main():
           "decode_tok_per_s": round(got_new / wall, 1),
           "grows": srv.grows, "shrinks": srv.shrinks,
           "grow_step": srv.grow_step, "blocks": srv.server_step,
-          "slot_util": round(got_new / max(srv.server_step * SYNC * SLOTS, 1), 3),
+          "slot_util": round(got_new / max(
+              sum(n * c for n, c in srv.block_len_hist.items()) * SLOTS, 1), 3),
+          "block_len_hist": dict(sorted(srv.block_len_hist.items())),
+          "adaptive_block": ADAPTIVE,
           "phases_s": {k: round(v, 2)
                        for k, v in sorted(srv.phase_seconds.items())},
           "warmup_s": round(warmup_s, 1),
