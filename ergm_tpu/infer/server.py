@@ -347,14 +347,12 @@ class ContinuousServer:
                 "cross_kv_dtype='int8' is a generate-path option; the "
                 "server's chunked-prefill cache merge does not carry the "
                 "cross scales (use 'auto' here)")
-        if c.kv_cache_dtype == "int8" and jax.default_backend() == "tpu":
-            import warnings
-            warnings.warn(
-                "int8 KV with per-slot serving cursors measured ~80x the "
-                "bfloat16 decode step on v5e (the int8 per-row write/layout "
-                "machinery, results/decode_ablation.jsonl server_int8_kv); "
-                "it stays available for memory-bound configurations, but "
-                "the serving default is the bf16 cache")
+        # int8 KV in the server runs the STAGED block decode (round 4):
+        # steps write bf16 staging at a uniform index and ONE per-block
+        # flush quantizes+scatters — the per-step int8 scatter that
+        # measured ~80x the bf16 step in round 3 is gone. Greedy output
+        # stays byte-identical to generate's int8 path
+        # (tests/test_server.py::test_int8_kv_server_matches_generate).
         # Bucketed PHYSICAL cache capacity: decode reads the whole KV
         # buffer every step (at S=64, T=512 the cache is ~5x the weight
         # bytes — the dominant read). With per-slot cursors the needed
@@ -1534,10 +1532,11 @@ class ContinuousServer:
                     # per-slot cursors: cache.index[i] IS slot i's
                     # logical length; visibility (kpos <= index) is
                     # enforced inside the cached attention — no mask
-                    # array at all. K/V writes go to the staging
-                    # buffers at the uniform step index i (see
+                    # array at all. Quantized caches write K/V into the
+                    # staging buffers at the uniform step index i (see
                     # KVCache.sk); the flush below commits them to the
-                    # main cache once per block.
+                    # main cache once per block. bf16 caches scatter
+                    # per step (sk=None; measured faster, see below).
                     pos = jnp.minimum(cache.index,
                                       c.n_positions - 1)[:, None]
                     out = gpt2.forward(
@@ -1600,23 +1599,29 @@ class ContinuousServer:
 
             toks = jnp.zeros((K, S), jnp.int32)
             lps0 = jnp.zeros((K, S), jnp.float32)
-            # staged block decode: per-group staging buffers, flushed
-            # into the main cache once after the K steps (amortizing the
-            # per-row scatter — ~1.2 ms of every 12-layer step at S=64 —
-            # and, for int8 caches, quantizing once per block instead of
-            # the pathological per-step int8 scatter)
+            # staged block decode for QUANTIZED caches: per-group
+            # staging buffers, flushed into the main cache once after
+            # the K steps — quantizing once per block instead of the
+            # per-step int8 scatter that measured ~80x the bf16 step
+            # (round 3's server-int8 blocker, now gone). bf16 caches
+            # keep the per-step row scatter: the staged path's
+            # per-layer-step concat of main+staging K/V materializes a
+            # copy of the whole cache, measured WORSE than the scatter
+            # it saves (74.4 vs 95.8 utt/s offline S=64,
+            # results/server_bench.jsonl staged A/B).
+            staged = c.kv_cache_dtype in ("int8", "int4")
             caches = list(caches)
-            for g in inc:
-                off, Sg = groups[g]
-                sshape = (c.n_layer, Sg, c.n_head, K, c.head_dim)
-                caches[g] = caches[g]._replace(
-                    sk=jnp.zeros(sshape, c.compute_dtype),
-                    sv=jnp.zeros(sshape, c.compute_dtype))
+            if staged:
+                for g in inc:
+                    off, Sg = groups[g]
+                    sshape = (c.n_layer, Sg, c.n_head, K, c.head_dim)
+                    caches[g] = caches[g]._replace(
+                        sk=jnp.zeros(sshape, c.compute_dtype),
+                        sv=jnp.zeros(sshape, c.compute_dtype))
             st = (tuple(caches), last, rng, toks, lps0)
             caches, last, rng, toks, lps0 = lax.fori_loop(0, K, body, st)
-            caches = list(caches)
-            for g in inc:
-                caches[g] = gpt2.flush_staging(caches[g], K, c)
+            if staged:
+                caches = [gpt2.flush_staging(ch, K, c) for ch in caches]
             return tuple(caches), last, rng, toks, lps0
 
         self._decode_cache[key] = decode_block
