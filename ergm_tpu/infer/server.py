@@ -69,6 +69,7 @@ production request rates; no reference counterpart exists.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 import time as _time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -1609,7 +1610,10 @@ class ContinuousServer:
             # copy of the whole cache, measured WORSE than the scatter
             # it saves (74.4 vs 95.8 utt/s offline S=64,
             # results/server_bench.jsonl staged A/B).
-            staged = c.kv_cache_dtype in ("int8", "int4")
+            # ERGM_SERVER_STAGED=1/0 overrides the gate for A/B runs
+            _ov = _os.environ.get("ERGM_SERVER_STAGED")
+            staged = (c.kv_cache_dtype in ("int8", "int4")
+                      if _ov is None else _ov not in ("0", "false"))
             caches = list(caches)
             if staged:
                 for g in inc:

@@ -672,14 +672,30 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
                 qk, qv = _unpack_int4(qk), _unpack_int4(qv)
             sk_tail = qk.astype(dt_) * qks.astype(dt_)
             sv_tail = qv.astype(dt_) * qvs.astype(dt_)
-        k_all_ = jnp.concatenate([k_main, sk_tail], axis=2)
-        v_all_ = jnp.concatenate([v_main, sv_tail], axis=2)
-        kv_mask_ = jnp.concatenate(
-            [jnp.broadcast_to(main_mask, (B_, Tm)), stage_mask], axis=-1)
-        out = multihead_attention(
-            q, k_all_, v_all_, causal=False, kv_mask=kv_mask_,
-            scale=_attn_scale(c, li), impl=c.attention_impl,
-        )
+        # Split-softmax: score the main cache and the staging tail
+        # separately and concat only the [B, H, 1, *] SCORE vectors
+        # (tiny) — never a K/V (or dequantized-cache) copy. The
+        # softmax input is identical to the concat-KV formulation, so
+        # greedy parity holds; PV splits into two partial sums. The
+        # first cut of this path concatenated K/V and measured 74.4 vs
+        # 95.8 utt/s offline bf16 S=64 (whole-cache copy per
+        # layer-step); this form reads both operands in place.
+        sc = _attn_scale(c, li)
+        lm = jnp.einsum("bhqd,bhtd->bhqt", q, k_main.astype(q.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision="highest") * sc
+        ls = jnp.einsum("bhqd,bhtd->bhqt", q, sk_tail.astype(q.dtype),
+                        preferred_element_type=jnp.float32,
+                        precision="highest") * sc
+        lm = lm + ((1.0 - jnp.broadcast_to(main_mask, (B_, Tm)))
+                   * -1e9)[:, None, None, :]
+        ls = ls + ((1.0 - stage_mask) * -1e9)[:, None, None, :]
+        probs = jax.nn.softmax(jnp.concatenate([lm, ls], axis=-1), axis=-1)
+        pv_dt = v_main.dtype
+        out = (jnp.einsum("bhqt,bhtd->bhqd", probs[..., :Tm].astype(pv_dt),
+                          v_main, precision="highest")
+               + jnp.einsum("bhqt,bhtd->bhqd", probs[..., Tm:].astype(pv_dt),
+                            sv_tail.astype(pv_dt), precision="highest"))
         return (_attn_project(out, p, c, deterministic, rng),
                 k_full, v_full, ks_full, vs_full, sk_full, sv_full)
     if prefix_prefill and L > 1 and not vec:
