@@ -622,17 +622,14 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         # main cache's flushed prefixes + the staging tail. The server
         # flushes staging into the main cache once per block.
         #
-        # PERF NOTE (measured, round 4): the K/V concat below
-        # materializes a whole-cache copy per layer-step — 74.4 vs
-        # 95.8 utt/s against the per-step scatter on the bf16 offline
-        # S=64 bench, which is why the server gates staging to
-        # QUANTIZED caches (where the alternative was an ~80x
-        # pathological int8 scatter, not a 1.2 ms one). Untried fix:
-        # split-softmax — score main and staging separately, concat the
-        # [B,H,1,T]+[B,H,1,K] SCORES (tiny), softmax once, then
-        # probs_main @ v_main + probs_stage @ v_stage; no K/V copy.
-        # Mathematically identical softmax input, so parity should
-        # hold; needs the parity suite re-run before shipping.
+        # PERF NOTE (measured, round 4): attention here is
+        # SPLIT-SOFTMAX — the first cut concatenated K/V and
+        # materialized a whole-cache copy per layer-step (74.4 vs 95.8
+        # utt/s offline bf16 S=64); splitting lifted int8 65.7 -> 73.6
+        # utt/s. Even so, bf16 staging loses to the per-step scatter
+        # (83.7 vs 95.8, ERGM_SERVER_STAGED=1 A/B), so the server
+        # gates staging to QUANTIZED caches, where the alternative was
+        # an ~80x pathological int8 scatter rather than a 1.16 ms one.
         dt_ = c.compute_dtype
         idx5 = (li_int, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
                 stage_index, jnp.zeros((), jnp.int32))
