@@ -723,9 +723,19 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             k_full = lax.dynamic_update_slice(k_full, k[None].astype(k_full.dtype), idx5)
             v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
         m = None if attn_mask is None else attn_mask[:, :L]
+        impl = c.attention_impl
+        if impl == "auto" and L <= 128 and k.shape[0] >= 64:
+            # measured on v5e (results/prefill_probe.jsonl, B=256
+            # L=128): the XLA fused attention beats the Pallas block
+            # kernel by ~17 ms of a ~102 ms device prefill here — the
+            # short sequence leaves the block kernel a single K block
+            # (no pipelining) while the large batch is all the
+            # parallelism XLA needs. Gate is exactly the measured
+            # regime: batched short-prompt prefill.
+            impl = "xla"
         out = multihead_attention(
             q, k, v, causal=True, kv_mask=m, q_mask=m,
-            scale=_attn_scale(c, li), impl=c.attention_impl,
+            scale=_attn_scale(c, li), impl=impl,
         )
         return (_attn_project(out, p, c, deterministic, rng),
                 k_full, v_full, ks_full, vs_full, sk_full, sv_full)
