@@ -125,6 +125,15 @@ class ModelConfig:
     # lets XLA overlap weight prefetch across layers. Prefill/training
     # keep the rolled scan (compile size).
     decode_scan_unroll: int = 1
+    # Fuse each decode step's LN2+MLP+residual tail into one Pallas
+    # program (ops/fused_decode.py): the device trace shows the step's
+    # trunk is a diffuse floor of 20-70us XLA fusions, and the MLP tail
+    # is the largest fusable run. bf16 weights only (int8 weights keep
+    # XLA's dequant-fused matmul read); falls back automatically when
+    # the shape/dtype gate fails. Default off pending TPU validation in
+    # each deployment (results match the unfused path to bf16 rounding,
+    # not bitwise — MXU accumulation order differs).
+    decode_fused_mlp: bool = False
     # "auto" stores decode K/V in the compute dtype; "int8" quantizes the
     # self-attention cache with per-(token, head) scales, halving the
     # cache-read bandwidth that dominates long decode; "int4" halves it

@@ -1165,9 +1165,21 @@ def transformer(
                 )
             h = h + ca_out
 
-        # MLP (src/model.py:331-334)
-        mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
-        h = h + _mlp_sub(mlp_in, p["mlp"], layer_rng)
+        # MLP (src/model.py:331-334); decode steps may fuse the whole
+        # LN2+MLP+residual tail into one Pallas program (the trace-
+        # measured diffuse trunk floor, ops/fused_decode.py) — math
+        # mirrors the unfused composition, deterministic only (decode
+        # never applies resid dropout anyway when deterministic)
+        if (decode and c.decode_fused_mlp and deterministic):
+            from ergm_tpu.ops import fused_decode
+            if fused_decode.supported(h, p["mlp"], c):
+                h = fused_decode.fused_ln_mlp(h, p["ln_2"], p["mlp"], c)
+            else:
+                mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
+                h = h + _mlp_sub(mlp_in, p["mlp"], layer_rng)
+        else:
+            mlp_in = layer_norm(h, p["ln_2"], c.layer_norm_epsilon)
+            h = h + _mlp_sub(mlp_in, p["mlp"], layer_rng)
         if decode:
             # store freshly computed cross K/V at prefill (skipped when the
             # values came from the cache, or no cross cache was allocated)
