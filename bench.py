@@ -43,11 +43,14 @@ REPS = int(os.environ.get("BENCH_REPS", 3))
 # (37.5k vs 30.2k tok/s measured), >=0.8 greedy token agreement with the
 # bf16 cache in tests. BENCH_KV=auto benchmarks the full-precision cache.
 KV_DTYPE = os.environ.get("BENCH_KV", "int8")
-# Weight dtype for the batch-throughput section. bf16 ("auto") is the
-# default: at B>=128 the decode step is not weight-streaming-bound, so
-# int8 weights were measured a wash there (see results/decode_ablation
-# .jsonl); the B=1 section has its own BENCH_B1_WEIGHT (int8 wins there).
-WEIGHT_DTYPE = os.environ.get("BENCH_WEIGHT", "auto")
+# Weight dtype for the batch-throughput section. "int8_lm_head" is the
+# round-4 default: the tied wte is the one weight whose per-step read
+# (77 MB bf16, the greedy matvec+argmax fusion in the device trace) is
+# big enough to matter at B=256 — quantizing ONLY it measured +3.4%
+# (447.1 -> 462.3 utt/s, results/decode_ablation.jsonl int8_lm_head)
+# while FULL int8 stays a wash there (trunk dequant overhead cancels);
+# the B=1 section has its own BENCH_B1_WEIGHT (full int8 wins there).
+WEIGHT_DTYPE = os.environ.get("BENCH_WEIGHT", "int8_lm_head")
 # Cross-attention cache dtype: int8 with factored per-(token, head)
 # scales is the round-4 default (4.33 vs 4.44 ms/step at B=256,
 # greedy-parity-tested; results/decode_ablation.jsonl int8-combo).

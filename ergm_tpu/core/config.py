@@ -153,7 +153,10 @@ class ModelConfig:
     # (models/gpt2.py quantize_params_int8). Measured +7% at B=1 decode
     # (the step is per-op-latency bound, so halved weight bytes don't
     # pay 2x); quality on a trained model: PPL +0.09%, greedy
-    # agreement 1.0. Training always uses full-precision weights.
+    # agreement 1.0. "int8_lm_head" quantizes ONLY the tied wte read —
+    # the biggest single per-step weight (77 MB bf16 at 50k vocab) —
+    # leaving the trunk bf16 (full int8 measured a wash at large batch).
+    # Training always uses full-precision weights.
     weight_dtype: str = "auto"
 
     # set by models.gpt2.prune_heads: after pruning, attention width is

@@ -189,7 +189,7 @@ def params_for_inference(params: Params, config: ModelConfig) -> Params:
     fp32 weights doubles their HBM residency and leaves the per-use
     bf16 converts to XLA's discretion — measured 1.9x decode throughput
     on gpt2-medium where the 350M-param weight reads dominate."""
-    if config.weight_dtype == "int8":
+    if config.weight_dtype in ("int8", "int8_lm_head"):
         params = quantize_params_int8(params, config)
     dt = config.compute_dtype
     return jax.tree_util.tree_map(
@@ -221,8 +221,16 @@ def quantize_params_int8(params: Params, config: ModelConfig) -> Params:
     highest-precision checkpoint available (call before any bf16 cast —
     params_for_inference orders this correctly). Under TP,
     core/mesh.py's partition specs shard kernel_q/kernel_scale along
-    the same axes as the fp kernels they replace."""
+    the same axes as the fp kernels they replace.
+
+    ``weight_dtype="int8_lm_head"`` quantizes ONLY ``wte`` — the tied
+    lm_head is the single largest per-step decode weight read (77 MB
+    bf16 at gpt2's 50k vocab; the device trace's greedy matvec+argmax
+    fusion reads it at 0.17 ms/step) — while the trunk kernels stay
+    bf16, avoiding the dequant overhead that made full int8 a wash at
+    large batch (round 3)."""
     skip = {"wpe", "emotion_head"}
+    lm_head_only = config.weight_dtype == "int8_lm_head"
 
     def walk(node, name=""):
         if isinstance(node, dict):
@@ -235,7 +243,8 @@ def quantize_params_int8(params: Params, config: ModelConfig) -> Params:
                 q = jnp.clip(jnp.round(emb / s), -127, 127).astype(jnp.int8)
                 return {"embedding_q": q,
                         "embedding_scale": s.astype(config.compute_dtype)}
-            if "kernel" in node and getattr(node["kernel"], "ndim", 0) >= 2:
+            if (not lm_head_only and "kernel" in node
+                    and getattr(node["kernel"], "ndim", 0) >= 2):
                 q, s = _quantize_kernel(node["kernel"])
                 out = {k: v for k, v in node.items() if k != "kernel"}
                 out["kernel_q"] = q
