@@ -69,6 +69,7 @@ production request rates; no reference counterpart exists.
 from __future__ import annotations
 
 import dataclasses
+import numbers as _numbers
 import os as _os
 import time as _time
 from dataclasses import dataclass, field
@@ -155,10 +156,15 @@ def _norm_stop(stop) -> Optional[List[List[int]]]:
     would kill the whole run). Count/length are capped: _done scans
     every sequence tail per harvested token per slot, so an unbounded
     client-supplied list would inflate host-side harvest cost."""
+    if isinstance(stop, np.ndarray):  # tokenizer output; 1-D = one seq
+        stop = stop.tolist()
     if not stop:
         return None
-    if all(isinstance(t, int) and not isinstance(t, bool) for t in stop):
-        stop = [list(stop)]
+    if all(isinstance(t, _numbers.Integral) and not isinstance(t, bool)
+           for t in stop):
+        # flat [ids...] (Python ints OR numpy integer scalars straight
+        # from a tokenizer) means one sequence
+        stop = [[int(t) for t in stop]]
     if len(stop) > _MAX_STOP_SEQS:
         raise ValueError(f"too many stop sequences ({len(stop)} > "
                          f"{_MAX_STOP_SEQS})")
@@ -337,12 +343,15 @@ class ContinuousServer:
                          max(sync_every // 4, 1)}, reverse=True)
         self._block_ladder = [n for n in ladder if n >= 1]
         self.mod_dim = modality_dim or c.modality_dim
-        if c.kv_cache_dtype == "int4":
-            raise ValueError(
-                "kv_cache_dtype='int4' is a generate-path serving option; "
-                "the continuous server's per-slot-cursor scatter writes "
-                "are not validated for the packed-nibble cache (use "
-                "'int8' or 'auto' here)")
+        # int4 KV serves through the SAME staged block decode as int8
+        # (round 5): the packed-nibble layout halves head_dim (the
+        # minor axis), so every per-slot-cursor scatter — join's
+        # window write, the extension-prefill row write, flush_staging
+        # — indexes only batch/time axes and is layout-safe; decode
+        # attention unpacks the main cache in place
+        # (models/gpt2.py _self_attention_cached staged path). Greedy
+        # parity with generate's int4 path:
+        # tests/test_server.py::test_int4_kv_server_matches_generate.
         if c.cross_kv_dtype == "int8":
             raise ValueError(
                 "cross_kv_dtype='int8' is a generate-path option; the "
@@ -443,6 +452,19 @@ class ContinuousServer:
                 raise ValueError("spec_ngram must be >= 1")
             if self.spec_ngram + self.spec_gamma >= self.T:
                 raise ValueError("spec_ngram + spec_gamma must be < cache_len")
+            if c.kv_cache_dtype in ("int8", "int4"):
+                # the staged block decode (one per-block quantize+flush)
+                # only covers _decode_fn; the spec macro-step writes
+                # variable-length accepted prefixes per slot, which the
+                # uniform-index staging cannot express — it would fall
+                # back to the per-step quantized scatter that measured
+                # ~80x the bf16 step (round 3). Refuse rather than run
+                # silently at that cost.
+                raise ValueError(
+                    "spec_gamma > 0 requires kv_cache_dtype='auto'/'bf16' "
+                    "in the server: the speculative decode path has no "
+                    "staged quantized-cache write (the per-step int8 "
+                    "scatter it would use measured ~80x the bf16 step)")
 
         self._prefill_cache: Dict[tuple, object] = {}
         self._join_cache: Dict[tuple, object] = {}
@@ -678,7 +700,9 @@ class ContinuousServer:
         return len(req.prompt_ids) - len(log) + 1
 
     def submit(self, req: Request) -> int:
-        req.stop = _norm_stop(req.stop)
+        # normalize into a COPY — the caller's Request object is never
+        # mutated, so callers may reuse or introspect it after submit
+        changes: dict = {"stop": _norm_stop(req.stop)}
         # mirror request_from_json for library callers constructing
         # Request directly: temperature 0 IS greedy (the usual API
         # convention) — without this, temperature=0.0 would divide
@@ -687,8 +711,9 @@ class ContinuousServer:
         if req.temperature <= 0.0:
             if req.temperature < 0.0:
                 raise ValueError("temperature must be >= 0")
-            req.greedy = True
-            req.temperature = 1.0
+            changes["greedy"] = True
+            changes["temperature"] = 1.0
+        req = dataclasses.replace(req, **changes)
         if len(req.prompt_ids) > self.max_prompt and not self.prefill_chunk:
             # session continuations only prefill the DELTA, so the full
             # dialogue history may exceed the prefill bucket — as long
@@ -1491,7 +1516,10 @@ class ContinuousServer:
                     r -= 1  # the prefill token arrives at this harvest
                 max_rem = max(max_rem, r)
         if max_rem <= 0:
-            return self.sync_every
+            # every active slot is only awaiting its prefill-token
+            # harvest — the whole block is junk steps, so dispatch the
+            # smallest ladder entry, not a maximal block
+            return self._block_ladder[-1]
         for n in reversed(self._block_ladder):  # smallest first
             if n >= max_rem:
                 return n

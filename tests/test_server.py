@@ -240,6 +240,37 @@ def test_int8_kv_server_matches_generate(setup):
         assert results[rid].tokens == want, (p, results[rid].tokens, want)
 
 
+def test_int4_kv_server_matches_generate(setup):
+    """int4 packed-nibble KV through the server's staged block decode
+    (round 5): packing halves head_dim (the minor axis), so the join
+    window scatter, staged flush, and per-row extension writes are all
+    layout-safe. Greedy must match generate on the same int4 config."""
+    cfg, params = setup
+    qcfg = cfg.replace(kv_cache_dtype="int4")
+    rng = np.random.default_rng(16)
+    prompts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 12, 9, 15)]
+    srv = ContinuousServer(params, qcfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=8, greedy=True))
+            for p in prompts]
+    results = srv.run_until_drained()
+    for rid, p in zip(rids, prompts):
+        want, _ = oracle_greedy(params, qcfg, p, 8)
+        assert results[rid].tokens == want, (p, results[rid].tokens, want)
+
+
+def test_spec_gamma_rejects_quantized_kv(setup):
+    """The speculative serve path has no staged quantized-cache write;
+    the constructor must refuse int8/int4 KV with spec_gamma > 0 rather
+    than silently run the ~80x per-step scatter (ADVICE r4 medium)."""
+    cfg, params = setup
+    for dt in ("int8", "int4"):
+        with pytest.raises(ValueError, match="spec_gamma"):
+            ContinuousServer(params, cfg.replace(kv_cache_dtype=dt),
+                             slots=2, eos_id=EOS, sp2_id=SP2, max_prompt=32,
+                             prompt_bucket=16, sync_every=4, spec_gamma=3)
+
+
 def _serve_greedy(params, cfg, prompts, mesh, slots=2):
     srv = ContinuousServer(params, cfg, slots=slots, eos_id=EOS, sp2_id=SP2,
                            max_prompt=32, prompt_bucket=16, sync_every=4,
@@ -1104,6 +1135,25 @@ def test_stop_parsing_and_validation():
     with pytest.raises(ValueError, match="too long"):
         _norm_stop([list(range(65))])
     assert _norm_stop([[1]] * 16) == [[1]] * 16
+    # numpy integer scalars (tokenizer output) behave like Python ints
+    # in the flat-list form (ADVICE r4: np.int64 failed the isinstance
+    # check, so the flat list was treated as nested and raised)
+    assert _norm_stop([np.int64(5), np.int64(6)]) == [[5, 6]]
+    assert _norm_stop(np.array([5, 6])) == [[5, 6]]
+
+
+def test_submit_does_not_mutate_request(setup):
+    """submit() normalizes into a copy: callers may reuse or introspect
+    their Request after submission (ADVICE r4)."""
+    cfg, params = setup
+    srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4)
+    req = Request(prompt_ids=[1, 2, 3], max_new_tokens=4,
+                  temperature=0.0, stop=[5, 6])
+    srv.submit(req)
+    assert req.temperature == 0.0 and req.greedy is False
+    assert req.stop == [5, 6]
+    srv.run_until_drained()
 
 
 def test_stop_sequences_spec_mode(setup):
