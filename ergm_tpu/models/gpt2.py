@@ -50,6 +50,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ergm_tpu.core.config import ModelConfig
+from ergm_tpu.ops import cross_decode
 from ergm_tpu.ops.attention import multihead_attention
 
 Params = Dict[str, Any]
@@ -399,6 +400,12 @@ class KVCache(NamedTuple):
     sv: Optional[jnp.ndarray] = None
 
 
+def _cross_scale_pad(config: ModelConfig) -> int:
+    """Cross-cache scale buffers pad the head axis to the 128-lane tile
+    (physically free: f32 minor-dim tiling pads to 128 in HBM anyway)."""
+    return -(-config.n_head // 128) * 128
+
+
 def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
                   caption_len: int = 0, dtype=None,
                   per_row_index: bool = False) -> KVCache:
@@ -428,8 +435,15 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
         cv = jnp.zeros(cshape, jnp.int8 if cquant else c.compute_dtype)
         if cquant:
             # per-(token, head) scales, factored OUT of the lane-grouped
-            # decode reductions (_cross_attention)
-            csshape = (c.n_layer, batch, caption_len, c.n_head)
+            # decode reductions (_cross_attention). The head axis is
+            # EXPLICITLY padded to the 128-lane tile: a [.., Lc, H] f32
+            # array already occupies [.., Lc, 128] bytes in TPU HBM
+            # (minor-dim tiling), so the padding is physically free and
+            # makes the buffer a legal Pallas block for the fused cross
+            # decode kernel (ops/cross_decode.py), whose Mosaic tiling
+            # rejects a 12-lane minor dim. Pad lanes stay zero; readers
+            # slice [..., :H].
+            csshape = (c.n_layer, batch, caption_len, _cross_scale_pad(c))
             cks = jnp.zeros(csshape, jnp.float32)
             cvs = jnp.zeros(csshape, jnp.float32)
     index = jnp.zeros((batch,) if per_row_index else (), jnp.int32)
@@ -1119,6 +1133,22 @@ def transformer(
         if c.remat_policy == "mlp":
             _cross_sub = jax.checkpoint(_cross_sub, prevent_cse=False)
 
+    # fused cross-decode kernel (ops/cross_decode.py): decide ONCE per
+    # trace and prepare the stacked kernel operands OUTSIDE the layer
+    # scan — per-layer operand prep inside the scan body measurably
+    # costs more than the kernel saves (round-5 A/B, results/
+    # cross_kernel_bench.jsonl)
+    cross_kp = cross_mask = None
+    if (decode and use_cross and enc is None
+            and cache.ck_scale is not None
+            and cross_decode.supported(
+                h, params["blocks"],
+                (cache.ck, cache.cv, cache.ck_scale, cache.cv_scale), c,
+                deterministic)):
+        cross_kp = cross_decode.prep_params(params["blocks"], c, h.dtype)
+        cross_mask = (jnp.ones((h.shape[0], cache.ck.shape[2]), jnp.float32)
+                      if enc_mask is None else enc_mask.astype(jnp.float32))
+
     def block(carry, xs):
         # decode carries the FULL stacked cache: new-token K/V are written
         # into it with a tiny [B, H, L, D] store and the layer slice is
@@ -1129,12 +1159,26 @@ def transformer(
              cks_full, cvs_full, sk_full, sv_full) = carry
             p, li = xs
             li_int = li.astype(jnp.int32)
-            if ck_full is not None and enc is None:
+            # fused cross sublayer (ops/cross_decode.py): single-token
+            # steps over the QUANTIZED cross cache run ln_cross + q_attn
+            # + grouped attention + c_proj + gate + residual as ONE
+            # Pallas launch per layer, reading the stacked cache AND
+            # stacked params in place via scalar-prefetch indexing — no
+            # per-layer slice or operand prep runs in the scan body, so
+            # the slicing below is skipped too.
+            fuse_cross = cross_kp is not None
+            if ck_full is not None and enc is None and not fuse_cross:
                 ckv = (lax.dynamic_index_in_dim(ck_full, li_int, 0, keepdims=False),
                        lax.dynamic_index_in_dim(cv_full, li_int, 0, keepdims=False))
                 if cks_full is not None:
-                    ckv += (lax.dynamic_index_in_dim(cks_full, li_int, 0, keepdims=False),
-                            lax.dynamic_index_in_dim(cvs_full, li_int, 0, keepdims=False))
+                    # [..., :H]: drop the lane-tile padding of the scale
+                    # buffers (see init_kv_cache) for the XLA read path
+                    ckv += (lax.dynamic_index_in_dim(
+                                cks_full, li_int, 0,
+                                keepdims=False)[..., :c.n_head],
+                            lax.dynamic_index_in_dim(
+                                cvs_full, li_int, 0,
+                                keepdims=False)[..., :c.n_head])
             else:
                 ckv = None
         else:
@@ -1163,7 +1207,14 @@ def transformer(
 
         # optional cross-attention (src/model.py:311-329)
         new_ckv = None
-        if use_cross:
+        if use_cross and decode and fuse_cross:
+            sc = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
+            if c.scale_attn_by_inverse_layer_idx:
+                sc = sc / (li.astype(jnp.float32) + 1.0)
+            h = cross_decode.fused_cross_decode(
+                h, cross_kp, li_int, sc,
+                (ck_full, cv_full, cks_full, cvs_full), cross_mask, c)
+        elif use_cross:
             ca_in = layer_norm(h, p["ln_cross"], c.layer_norm_epsilon)
             if mlp_remat:
                 ca_out = _cross_sub(ca_in, enc, p["cross_attn"], li, layer_rng)
@@ -1205,7 +1256,11 @@ def transformer(
                         b, lc, hd = m.shape
                         g = m.reshape(b, lc, c.n_head, c.head_dim)
                         q, s = _quantize_kv(g)
-                        return q.reshape(b, lc, hd), s[..., 0]
+                        s = s[..., 0]
+                        pad = _cross_scale_pad(c) - c.n_head
+                        if pad:  # lane-tile padding (see init_kv_cache)
+                            s = jnp.pad(s, ((0, 0), (0, 0), (0, pad)))
+                        return q.reshape(b, lc, hd), s
                     mk, sk = _cquant(mk)
                     mv, sv = _cquant(mv)
                     cks_full = lax.dynamic_update_index_in_dim(
