@@ -135,14 +135,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "via rejection sampling).")
     p.add_argument("--spec_gamma", type=int, default=4,
                    help="Speculative proposals per macro step.")
-    p.add_argument("--spec_mode", type=str, default="draft",
-                   choices=["draft", "ngram"],
+    p.add_argument("--spec_mode", type=str, default="auto",
+                   choices=["auto", "none", "draft", "ngram"],
                    help="Speculative draft source: 'draft' = first "
                         "--draft_layers blocks of the model; 'ngram' = "
                         "prompt-lookup (propose the continuation of the "
                         "last n-gram's most recent earlier occurrence — "
                         "zero draft compute, wins whenever dialogue "
-                        "repeats its context). Both are exact.")
+                        "repeats its context). Both are exact. 'auto' "
+                        "(default) applies the measured policy: greedy "
+                        "B=1 -> ngram on; sampled -> off "
+                        "(B1_LATENCY.json, results/spec_bench.jsonl).")
     p.add_argument("--spec_ngram", type=int, default=3,
                    help="Lookup n-gram length for --spec_mode=ngram.")
     p.add_argument("--requests_file", type=str, default=None,
@@ -389,7 +392,7 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         num_beams=args.num_beams, sampler=getattr(args, "sampler", "full_sort"),
         mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
         spec_gamma=getattr(args, "spec_gamma", 4),
-        spec_mode=getattr(args, "spec_mode", "draft"),
+        spec_mode=getattr(args, "spec_mode", "auto"),
         spec_ngram=getattr(args, "spec_ngram", 3))
     hyps, refs, true_labels, losses, preds, contexts = (
         res.hypotheses, res.references, res.true_labels, res.losses,
@@ -434,11 +437,11 @@ def run_infer(cfg: TrainConfig, args) -> dict:
         f.write(f"kv_cache: {getattr(args, 'kv_cache', 'auto')}\n")
         f.write(f"weight_dtype: {getattr(args, 'weight_dtype', 'auto')}\n")
         if getattr(args, "draft_layers", 0) or \
-                getattr(args, "spec_mode", "draft") == "ngram":
-            f.write(f"spec_mode: {getattr(args, 'spec_mode', 'draft')}\n")
+                getattr(args, "spec_mode", "auto") == "ngram":
+            f.write(f"spec_mode: {getattr(args, 'spec_mode', 'auto')}\n")
             f.write(f"draft_layers: {args.draft_layers}\n")
             f.write(f"spec_gamma: {getattr(args, 'spec_gamma', 4)}\n")
-            if getattr(args, "spec_mode", "draft") == "ngram":
+            if getattr(args, "spec_mode", "auto") == "ngram":
                 f.write(f"spec_ngram: {getattr(args, 'spec_ngram', 3)}\n")
     print(f"Results written to {out_path}")
     return metrics
@@ -697,7 +700,7 @@ def run_interact(cfg: TrainConfig, args=None):
              max_turns=cfg.max_turns, top_p=cfg.top_p, seed=cfg.seed,
              mesh=mesh, draft_layers=getattr(args, "draft_layers", 0),
              spec_gamma=getattr(args, "spec_gamma", 4),
-             spec_mode=getattr(args, "spec_mode", "draft"),
+             spec_mode=getattr(args, "spec_mode", "auto"),
              spec_ngram=getattr(args, "spec_ngram", 3))
 
 

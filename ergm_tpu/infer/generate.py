@@ -393,7 +393,7 @@ def generate_batch(
     mesh=None,
     draft_layers: int = 0,
     spec_gamma: int = 4,
-    spec_mode: str = "draft",
+    spec_mode: str = "auto",
     spec_ngram: int = 3,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Host-level batched decode over ragged prompts.
@@ -419,7 +419,25 @@ def generate_batch(
     B, Lp = ids.shape
     cap = min(max_len, config.n_positions)
 
-    if draft_layers or spec_mode == "ngram":
+    if spec_mode == "auto":
+        # Measured default policy (VERDICT r4 #8; B1_LATENCY.json +
+        # results/spec_bench.jsonl): greedy B=1 turns prompt-lookup
+        # drafting ON — it wins even at ZERO acceptance (25.46 vs
+        # 27.48 ms/request random-init; 9.94 vs 11.59 trained) because
+        # the draft is free and the verify batches gamma+1 positions.
+        # SAMPLED requests keep spec OFF: under top-p the rejection
+        # sampler's measured acceptance was 0.0 and the macro step
+        # costs ~1.6x the plain step (18.44 vs 11.59 ms trained).
+        # Explicit draft_layers still routes to the layer-draft path
+        # (bigger wins on trained models, 5.76 vs 12.0 ms, but needs a
+        # model whose early layers predict its own output).
+        if draft_layers:
+            spec_mode = "draft"
+        elif greedy and B == 1 and mesh is None:
+            spec_mode = "ngram"
+        else:
+            spec_mode = "none"
+    if spec_mode != "none" and (draft_layers or spec_mode == "ngram"):
         # B=1 single-device requests route to speculative decoding
         # (multi-token steps; infer/speculative.py): self-drafted from
         # the first draft_layers blocks, or prompt-lookup n-gram drafted

@@ -88,7 +88,7 @@ def run_test(
     mesh=None,
     draft_layers: int = 0,
     spec_gamma: int = 4,
-    spec_mode: str = "draft",
+    spec_mode: str = "auto",
     spec_ngram: int = 3,
 ) -> TestResults:
     """``num_beams > 1`` decodes with beam search instead of nucleus

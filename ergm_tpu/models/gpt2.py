@@ -50,7 +50,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ergm_tpu.core.config import ModelConfig
-from ergm_tpu.ops import cross_decode
+from ergm_tpu.ops import cross_decode, prefill_attention
 from ergm_tpu.ops.attention import multihead_attention
 
 Params = Dict[str, Any]
@@ -747,14 +747,35 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
         m = None if attn_mask is None else attn_mask[:, :L]
         impl = c.attention_impl
-        if impl == "auto" and L <= 128 and k.shape[0] >= 64:
+        B_ = k.shape[0]
+        if (impl == "auto" and L <= 128 and B_ >= 64
+                and prefill_attention.supported(B_, L, c, deterministic)):
+            # Batched short-prompt prefill: the round-5 batched-rows
+            # kernel (ops/prefill_attention.py) replaces BOTH prior
+            # options — XLA (18.7 ms/12 layers at B=256/L=128: f32
+            # [B,H,L,L] probs materialized through transposed batched-
+            # GEMM layouts) and the (batch, head)-grid block kernel
+            # (3072 tiny programs, per-program overhead) — at 4.36 ms
+            # device time for the same 12 layers (device-trace A/B,
+            # results/prefill_kernel_bench.jsonl). Merged-layout
+            # operands also cancel the _split_heads/_merge_heads
+            # transposes on this path.
+            out_m = prefill_attention.prefill_mha(
+                _merge_heads(q), _merge_heads(k), _merge_heads(v), m,
+                n_head=c.n_head, scale=_attn_scale(c, li))
+            proj = dense(out_m, p["c_proj"])
+            proj = _dropout(proj, c.resid_pdrop, deterministic,
+                            None if rng is None else jax.random.fold_in(rng, 2))
+            return (proj, k_full, v_full, ks_full, vs_full, sk_full,
+                    sv_full)
+        if impl == "auto" and L <= 128 and B_ >= 64:
             # measured on v5e (results/prefill_probe.jsonl, B=256
             # L=128): the XLA fused attention beats the Pallas block
             # kernel by ~17 ms of a ~102 ms device prefill here — the
             # short sequence leaves the block kernel a single K block
             # (no pipelining) while the large batch is all the
-            # parallelism XLA needs. Gate is exactly the measured
-            # regime: batched short-prompt prefill.
+            # parallelism XLA needs. (Kept as the fallback when the
+            # batched-rows kernel's shape gate declines.)
             impl = "xla"
         out = multihead_attention(
             q, k, v, causal=True, kv_mask=m, q_mask=m,

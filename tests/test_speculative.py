@@ -347,3 +347,35 @@ def test_spec_mode_validation(setup):
     with pytest.raises(ValueError, match="ngram_n"):
         speculative_generate(params, cfg, ids, 8, max_len=20, eos_id=EOS,
                              sp2_id=SP2, mode="ngram", ngram_n=0)
+
+
+def test_spec_mode_auto_policy(setup, monkeypatch):
+    """spec_mode='auto' (the default; VERDICT r4 #8) applies the
+    measured rule: greedy B=1 single-device routes to prompt-lookup
+    drafting; sampled (or batched) requests stay on the plain path."""
+    import ergm_tpu.infer.generate as G
+
+    cfg, params, _ = setup
+    calls = []
+    real = G._jitted_speculative
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(G, "_jitted_speculative", spy)
+    prompt = [3, 7, 11, 2, 9]
+    kw = dict(max_len=30, eos_id=EOS, sp2_id=SP2, max_new_tokens=8,
+              rng=jax.random.PRNGKey(0))
+    # greedy B=1: spec on (exact — must match an explicit plain decode)
+    auto, _ = G.generate_batch(params, cfg, [prompt], greedy=True, **kw)
+    assert len(calls) == 1
+    plain, _ = G.generate_batch(params, cfg, [prompt], greedy=True,
+                                spec_mode="none", **kw)
+    assert len(calls) == 1 and auto == plain
+    # sampled: spec off
+    G.generate_batch(params, cfg, [prompt], greedy=False, **kw)
+    assert len(calls) == 1
+    # greedy B=2: spec off (B=1-only path)
+    G.generate_batch(params, cfg, [prompt, prompt], greedy=True, **kw)
+    assert len(calls) == 1
