@@ -201,6 +201,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "library default — is the LONGEST prompt's bucket "
                         "there, which would route everything short); with "
                         "--serve_http, max_prompt, with a warning.")
+    p.add_argument("--serve_admit_policy", type=str, default="fifo",
+                   choices=["fifo", "sorted"],
+                   help="serve mode admission order: fifo (latency-fair "
+                        "online default) or sorted (length-sorted cohorts "
+                        "-- co-resident rows finish together; higher "
+                        "throughput for offline/batch --requests_file "
+                        "runs, starvation-prone under live arrivals).")
     p.add_argument("--serve_pipeline", action="store_true",
                    help="serve mode: throughput mode — dispatch each decode "
                         "block before harvesting the previous one, hiding "
@@ -549,7 +556,8 @@ def run_serve(cfg: TrainConfig, args):
             spec_ngram=args.serve_spec_ngram,
             prefill_chunk=args.serve_prefill_chunk,
             long_slots=args.serve_long_slots,
-            long_threshold=args.serve_long_threshold)
+            long_threshold=args.serve_long_threshold,
+            admit_policy=args.serve_admit_policy)
         fe = ServerFrontend(srv, tokenizer=tokenizer, port=args.serve_http,
                             default_top_p=cfg.top_p,
                             default_seed=cfg.seed).start()
@@ -620,7 +628,8 @@ def run_serve(cfg: TrainConfig, args):
         spec_ngram=args.serve_spec_ngram,
         prefill_chunk=args.serve_prefill_chunk,
         long_slots=args.serve_long_slots,
-        long_threshold=long_threshold)
+        long_threshold=long_threshold,
+        admit_policy=args.serve_admit_policy)
 
     order = sorted(range(len(reqs)), key=lambda i: reqs[i][1])
     rid_to_idx = {}

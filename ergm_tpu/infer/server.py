@@ -303,7 +303,8 @@ class ContinuousServer:
                  prefill_chunk: int = 0,
                  long_slots: int = 0,
                  long_threshold: Optional[int] = None,
-                 adaptive_block: bool = True):
+                 adaptive_block: bool = True,
+                 admit_policy: str = "fifo"):
         c = config
         # SPMD serving: pass a jax.sharding.Mesh and params already
         # placed with the TP partition specs (core/mesh.shard_params);
@@ -339,6 +340,17 @@ class ContinuousServer:
         # Synchronous mode only (pipelined walls overlap, so the fit
         # would be garbage); spec blocks keep sync_every macro steps.
         self.adaptive_block = adaptive_block and not pipeline
+        # admission order. "fifo" preserves arrival order (latency-fair,
+        # the online default). "sorted" admits length-sorted cohorts
+        # (stable sort by output budget, largest first): co-resident
+        # rows finish at the same block boundary, so slots refill
+        # together instead of junk-decoding until the block's longest
+        # row ends — the offline-regime lever for the slot_util 0.708
+        # gap (VERDICT r4 next #4). Starvation-prone under continuous
+        # arrivals; use for drain-the-queue batch workloads.
+        if admit_policy not in ("fifo", "sorted"):
+            raise ValueError(f"unknown admit_policy {admit_policy!r}")
+        self.admit_policy = admit_policy
         ladder = sorted({sync_every, max(sync_every // 2, 1),
                          max(sync_every // 4, 1)}, reverse=True)
         self._block_ladder = [n for n in ladder if n >= 1]
@@ -440,6 +452,24 @@ class ContinuousServer:
         else:
             self.long_threshold = None
             self.groups = ((0, slots),)
+        # Per-pool KV cache dtype (VERDICT r4 #6): kv_cache_dtype="auto"
+        # with length-tiered pools resolves to the measured per-regime
+        # choice — bf16 for the short pool (int8 measured 0.73-0.77x
+        # there) and int8 STAGED for the long pool(s), where quantized
+        # KV wins (the long mix; +46% generate-path at T=1024). An
+        # explicit dtype still applies to every pool. Each pool's
+        # programs trace with its own config, so the decode block mixes
+        # a per-step-scatter bf16 pool with a staged int8 pool.
+        # Under speculative serving "auto" resolves to bf16 everywhere:
+        # the spec macro step has no staged quantized write (see the
+        # spec_gamma guard below), and auto means "pick for me".
+        if (c.kv_cache_dtype == "auto" and len(self.groups) > 1
+                and not spec_gamma):
+            self.gcfgs = tuple(
+                [c] + [c.replace(kv_cache_dtype="int8")]
+                * (len(self.groups) - 1))
+        else:
+            self.gcfgs = tuple(c for _ in self.groups)
         self.spec_gamma = int(spec_gamma)
         self.spec_ngram = int(spec_ngram)
         if self.spec_gamma:
@@ -452,7 +482,8 @@ class ContinuousServer:
                 raise ValueError("spec_ngram must be >= 1")
             if self.spec_ngram + self.spec_gamma >= self.T:
                 raise ValueError("spec_ngram + spec_gamma must be < cache_len")
-            if c.kv_cache_dtype in ("int8", "int4"):
+            if any(gc.kv_cache_dtype in ("int8", "int4")
+                   for gc in self.gcfgs):
                 # the staged block decode (one per-block quantize+flush)
                 # only covers _decode_fn; the spec macro-step writes
                 # variable-length accepted prefixes per slot, which the
@@ -644,9 +675,10 @@ class ContinuousServer:
                             + self._per_block_writes() + 1)
         self.Tphys = [t0 for _ in self.groups]
         self.caches = [
-            gpt2.init_kv_cache(c, size, t0, caption_len=self.caption_len,
+            gpt2.init_kv_cache(self.gcfgs[gi], size, t0,
+                               caption_len=self.caption_len,
                                per_row_index=True)
-            for _off, size in self.groups]
+            for gi, (_off, size) in enumerate(self.groups)]
         self.last = jnp.full((self.S, 1), self.eos_id, jnp.int32)
         self.cap_mask = jnp.zeros((self.S, max(self.caption_len, 1)),
                                   jnp.float32)
@@ -869,10 +901,10 @@ class ContinuousServer:
         j = jax.lax.broadcasted_iota(jnp.int32, (length.shape[0], pb), 1)
         return (j >= (pb - length)[:, None]).astype(jnp.float32)
 
-    def _prefill_fn(self, pb: int, gb: int):
-        if (pb, gb) in self._prefill_cache:
-            return self._prefill_cache[(pb, gb)]
-        c, cl = self.cfg, self.caption_len
+    def _prefill_fn(self, pb: int, gb: int, g: int = 0):
+        if (pb, gb, g) in self._prefill_cache:
+            return self._prefill_cache[(pb, gb, g)]
+        c, cl = self.gcfgs[g], self.caption_len
         sp2 = self.sp2_id
 
         @jax.jit
@@ -912,7 +944,7 @@ class ContinuousServer:
             return (out.cache, greedy_tok, sampled, lp_g, lp_s,
                     out.emotion_logits)
 
-        self._prefill_cache[(pb, gb)] = prefill
+        self._prefill_cache[(pb, gb, g)] = prefill
         return prefill
 
     def _join_fn(self, pb: int, gb: int, g: int = 0):
@@ -1067,7 +1099,7 @@ class ContinuousServer:
         def put(x):
             return None if x is None else jnp.asarray(x)
 
-        prefill = self._prefill_fn(pb, gb)
+        prefill = self._prefill_fn(pb, gb, g)
         ids_dev = jnp.asarray(ids)
         meta_dev, topp_dev, temps_dev, cap_mask_dev = (jnp.asarray(meta),
                                                        jnp.asarray(topp),
@@ -1124,7 +1156,7 @@ class ContinuousServer:
         key = (self.Tphys[g], "ext", pbd, g)
         if key in self._decode_cache:
             return self._decode_cache[key]
-        c, cl = self.cfg, self.caption_len
+        c, cl = self.gcfgs[g], self.caption_len
         off, Sg = self.groups[g]
         spec = bool(self.spec_gamma)
         b_ix = jnp.arange(Sg)
@@ -1382,6 +1414,8 @@ class ContinuousServer:
     def _admit(self):
         if not self.queue:
             return
+        if self.admit_policy == "sorted" and len(self.queue) > 1:
+            self.queue.sort(key=lambda q: -q[1].max_new_tokens)
         by_pb: Dict[tuple, List[tuple]] = {}   # (pb, pool) fresh prefills
         by_ext: Dict[tuple, List[dict]] = {}   # (pbd, pool) session deltas
         deferred: List[tuple] = []
@@ -1544,6 +1578,7 @@ class ContinuousServer:
         if key in self._decode_cache:
             return self._decode_cache[key]
         c, S, cl = self.cfg, self.S, self.caption_len
+        gcfgs = self.gcfgs
         K = block_len
         groups = self.groups
         inc = [g for g in range(len(groups)) if actives[g]]
@@ -1569,7 +1604,7 @@ class ContinuousServer:
                     pos = jnp.minimum(cache.index,
                                       c.n_positions - 1)[:, None]
                     out = gpt2.forward(
-                        params, c, last[off:off + Sg],
+                        params, gcfgs[g], last[off:off + Sg],
                         token_type_ids=jnp.full((Sg, 1), self.sp2_id,
                                                 jnp.int32),
                         position_ids=pos, cache=cache, stage_index=i,
@@ -1640,20 +1675,22 @@ class ContinuousServer:
             # results/server_bench.jsonl staged A/B).
             # ERGM_SERVER_STAGED=1/0 overrides the gate for A/B runs
             _ov = _os.environ.get("ERGM_SERVER_STAGED")
-            staged = (c.kv_cache_dtype in ("int8", "int4")
-                      if _ov is None else _ov not in ("0", "false"))
+            staged_gs = [g for g in inc
+                         if (gcfgs[g].kv_cache_dtype in ("int8", "int4")
+                             if _ov is None
+                             else _ov not in ("0", "false"))]
             caches = list(caches)
-            if staged:
-                for g in inc:
-                    off, Sg = groups[g]
-                    sshape = (c.n_layer, Sg, c.n_head, K, c.head_dim)
-                    caches[g] = caches[g]._replace(
-                        sk=jnp.zeros(sshape, c.compute_dtype),
-                        sv=jnp.zeros(sshape, c.compute_dtype))
+            for g in staged_gs:
+                off, Sg = groups[g]
+                sshape = (c.n_layer, Sg, c.n_head, K, c.head_dim)
+                caches[g] = caches[g]._replace(
+                    sk=jnp.zeros(sshape, c.compute_dtype),
+                    sv=jnp.zeros(sshape, c.compute_dtype))
             st = (tuple(caches), last, rng, toks, lps0)
             caches, last, rng, toks, lps0 = lax.fori_loop(0, K, body, st)
-            if staged:
-                caches = [gpt2.flush_staging(ch, K, c) for ch in caches]
+            if staged_gs:
+                caches = [gpt2.flush_staging(ch, K, gcfgs[gi])
+                          for gi, ch in enumerate(caches)]
             return tuple(caches), last, rng, toks, lps0
 
         self._decode_cache[key] = decode_block

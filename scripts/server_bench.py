@@ -67,6 +67,8 @@ LONG_LEN = int(os.environ.get("SERVER_LONG_LEN", 896))
 WINDOW = float(os.environ.get("SERVER_WINDOW", 0.5))
 # finish-aware adaptive block sizing (round 4); 0 pins every block to SYNC
 ADAPTIVE = os.environ.get("SERVER_ADAPTIVE", "1") not in ("0", "false")
+# admission order: fifo (default) or sorted (offline length-sorted cohorts)
+ADMIT = os.environ.get("SERVER_ADMIT", "fifo")
 
 
 def emit(row):
@@ -125,7 +127,7 @@ def main():
                            spec_ngram=SPEC_N, prefill_chunk=CHUNK,
                            long_slots=LONG_SLOTS,
                            long_threshold=LONG_THRESHOLD or None,
-                           adaptive_block=ADAPTIVE)
+                           adaptive_block=ADAPTIVE, admit_policy=ADMIT)
     # warmup pass: trace+compile every (prompt-bucket, group) program
     # (the repo-wide bench convention — compile/startup is reported
     # separately from steady state everywhere)
@@ -145,6 +147,7 @@ def main():
     lats = sorted(r.latency_s for r in results.values())
     emit({"config": f"server_S{SLOTS}_sync{SYNC}_T{cache_len}"
                     + ("_pipe" if PIPE else "")
+                    + (f"_admit-{ADMIT}" if ADMIT != "fifo" else "")
                     + (f"_spec{SPEC}n{SPEC_N}" if SPEC else "")
                     + (f"_chunk{CHUNK}" if CHUNK else "")
                     + (f"_long{LONG_FRAC:g}x{LONG_LEN}" if long_idx else "")

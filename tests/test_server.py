@@ -1270,3 +1270,59 @@ def test_logprobs_request_parsing():
     from ergm_tpu.infer.server import request_from_json
     assert request_from_json({"prompt": [1], "logprobs": True}).logprobs
     assert not request_from_json({"prompt": [1]}).logprobs
+
+
+def test_sorted_admission_policy(setup):
+    """admit_policy='sorted' (offline cohort lever, VERDICT r4 #4):
+    same results as fifo — only the admission ORDER changes — and
+    budget-homogeneous cohorts actually co-reside."""
+    cfg, params = setup
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, 50, (int(n),)).tolist()
+               for n in rng.integers(4, 12, (8,))]
+    budgets = [3, 9, 4, 8, 3, 9, 4, 8]
+
+    def run(policy):
+        srv = ContinuousServer(params, cfg, slots=2, eos_id=EOS,
+                               sp2_id=SP2, max_prompt=32, prompt_bucket=16,
+                               sync_every=4, admit_policy=policy)
+        rids = [srv.submit(Request(prompt_ids=p, max_new_tokens=b,
+                                   greedy=True))
+                for p, b in zip(prompts, budgets)]
+        res = srv.run_until_drained()
+        return [res[r].tokens for r in rids]
+
+    assert run("sorted") == run("fifo")
+    with pytest.raises(ValueError, match="admit_policy"):
+        ContinuousServer(params, cfg, slots=2, eos_id=EOS, sp2_id=SP2,
+                         max_prompt=32, prompt_bucket=16, sync_every=4,
+                         admit_policy="nope")
+
+
+def test_kv_auto_mixed_pools_parity(setup):
+    """kv_cache_dtype='auto' + tiered pools (VERDICT r4 #6): the short
+    pool serves bf16 KV, the long pool int8 staged KV, in the SAME
+    decode block. Short rows must match the bf16 generate oracle, long
+    rows the int8 oracle."""
+    cfg, params = setup
+    srv = ContinuousServer(params, cfg, slots=4, eos_id=EOS, sp2_id=SP2,
+                           max_prompt=32, prompt_bucket=16, sync_every=4,
+                           long_slots=2, long_threshold=24)
+    assert srv.gcfgs[0].kv_cache_dtype == "auto"
+    assert srv.gcfgs[1].kv_cache_dtype == "int8"
+    rng = np.random.default_rng(21)
+    shorts = [rng.integers(0, 50, (n,)).tolist() for n in (6, 11)]
+    longs = [rng.integers(0, 50, (n,)).tolist() for n in (30, 27)]
+    rids = {}
+    for p in shorts:
+        rids[srv.submit(Request(prompt_ids=p, max_new_tokens=6,
+                                greedy=True))] = (p, "auto")
+    for p in longs:
+        rids[srv.submit(Request(prompt_ids=p, max_new_tokens=6,
+                                greedy=True))] = (p, "int8")
+    results = srv.run_until_drained()
+    for rid, (p, kv) in rids.items():
+        want, _ = oracle_greedy(params, cfg.replace(kv_cache_dtype=kv),
+                                p, 6)
+        assert results[rid].tokens == want, (kv, p, results[rid].tokens,
+                                             want)
