@@ -138,3 +138,56 @@ def test_readme_online_serving_p50_matches_artifact():
     assert _close(float(m.group(2)), art["latency_p90_s"], TIGHT), (
         f"README online p90 {m.group(2)} s vs artifact "
         f"{art['latency_p90_s']} s")
+
+
+def _last_matrix_summary(config="matrix_summary_r5"):
+    import json
+    rows = []
+    with open(os.path.join(REPO, "results", "server_bench.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if d.get("config") == config:
+                rows.append(d)
+    assert rows, f"no {config} row — run scripts/server_matrix.py"
+    return rows[-1]
+
+
+def test_readme_longmix_claims_match_matrix():
+    """The round-5 long-mix serving claims quote the ONE-SESSION matrix
+    (VERDICT r4 weak #2/#3): the utt/s, the vs-static ratio, and the
+    int8/int4 vs bf16 ratios in README must equal matrix_summary_r5."""
+    art = _last_matrix_summary()
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    m = re.search(r"\*\*([\d.]+) utt/s offline on this mix — ([\d.]+)× the "
+                  r"static baseline", text)
+    assert m, "README must quote '<v> utt/s offline on this mix — <r>x ...'"
+    assert float(m.group(1)) == art["longmix_server_auto"], (
+        m.group(1), art["longmix_server_auto"])
+    assert float(m.group(2)) == art["longmix_auto_vs_static"], (
+        m.group(2), art["longmix_auto_vs_static"])
+    m = re.search(r"int8 KV is ([\d.]+)× the bf16 server here "
+                  r"\(int4 ([\d.]+)×\)", text)
+    assert m, "README must quote the same-session int8/int4 ratios"
+    assert float(m.group(1)) == art["longmix_int8_vs_bf16"]
+    assert float(m.group(2)) == art["longmix_int4_vs_bf16"]
+
+
+def test_serving_doc_quant_claims_match_matrix():
+    """docs/SERVING.md's quantized-KV paragraph quotes the same
+    matrix_summary_r5 ratios (no cross-session serving claims remain)."""
+    art = _last_matrix_summary()
+    with open(os.path.join(REPO, "docs", "SERVING.md")) as f:
+        text = f.read()
+    m = re.search(r"int8 is ([\d.]+)× static / [\d.]+× the bf16 server on "
+                  r"plain\s+offline and ([\d.]+)× the bf16 server on the "
+                  r"8%-long×896 tier8 mix\s+\(int4: ([\d.]+)× there\)", text)
+    assert m, "SERVING.md must quote the matrix int8/int4 ratios"
+    assert float(m.group(1)) == art["plain_int8_vs_static"]
+    assert float(m.group(2)) == art["longmix_int8_vs_bf16"]
+    assert float(m.group(3)) == art["longmix_int4_vs_bf16"]
+    m = re.search(r"reaches ([\d.]+) utt/s offline — \*\*([\d.]+)× the\s+"
+                  r"static\s+baseline", text)
+    assert m, "SERVING.md must quote the tiered bf16 mix numbers"
+    assert float(m.group(1)) == art["longmix_server_auto"]
+    assert float(m.group(2)) == art["longmix_auto_vs_static"]
