@@ -191,3 +191,27 @@ def test_serving_doc_quant_claims_match_matrix():
     assert m, "SERVING.md must quote the tiered bf16 mix numbers"
     assert float(m.group(1)) == art["longmix_server_auto"]
     assert float(m.group(2)) == art["longmix_auto_vs_static"]
+
+
+def test_readme_sorted_admission_claims_match_matrix2():
+    """Round-5 sorted-admission + mixed-pool claims quote
+    matrix2_summary_r5 (same-session follow-up matrix)."""
+    art = _last_matrix_summary("matrix2_summary_r5")
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    m = re.search(r"plain offline \*\*([\d.]+) → ([\d.]+) utt/s\s*\n?"
+                  r"\(\+\d+%\), ([\d.]+)× static\*\*", text)
+    assert m, "README must quote the sorted-admission plain numbers"
+    assert float(m.group(1)) == art["plain_fifo"]
+    assert float(m.group(2)) == art["plain_sorted"]
+    assert float(m.group(3)) == art["plain_sorted_vs_static"]
+    m = re.search(r"8%-long mix\s*\n?\*\*([\d.]+) → ([\d.]+) utt/s "
+                  r"\(\+\d+%\), ([\d.]+)× static\*\*", text)
+    assert m, "README must quote the sorted-admission mix numbers"
+    assert float(m.group(1)) == art["longmix_fifo"]
+    assert float(m.group(2)) == art["longmix_sorted"]
+    assert float(m.group(3)) == art["longmix_sorted_vs_static"]
+    m = re.search(r"\(`kv_cache=auto` \+ tiers[^)]*\): ([\d.]+)× pure bf16",
+                  text, re.S)
+    assert m, "README must quote the mixed-pool ratio"
+    assert float(m.group(1)) == art["longmix_mixed_vs_bf16"]
