@@ -29,6 +29,24 @@ reshapes):
   * scale * k_scale, additive -1e9 tail mask, f32 softmax, p * v_scale,
   then PV against the raw int8 values.
 
+MEASURED (v5e, device trace, scripts/decode_kernel_trace.py round 5):
+a DECLINE, decisively — 34.5 ms vs XLA's 2.31 ms per 12 layers at the
+B=256/T=256 headline shape (0.067x). Two independent causes:
+(1) the kernel body runs ~1.77 ms/layer: the twin-tensor VPU
+multiply-reduce chains over [bt, T/2, 128] f32 lower far below the
+~550 GB/s the cross kernel reached at Lc=32 — the T/2=128 sublane
+reductions and per-head broadcast chains dominate; (2) STRUCTURAL: XLA
+lays the int8 cache out B-minor ({1,4,2,3,0}), so feeding it to any
+pallas_call forces a full-cache relayout copy (2.8 ms per buffer in
+the trace) — a barrier for EVERY Pallas decode kernel over the
+XLA-managed cache, not just this one. Together with the cross-sublayer
+decline (-6.5% in situ) this closes the round-4 "whole-layer fused
+decode kernel" question: on this runtime the XLA decode step's
+attention fusions are within ~2x of the cache read bound and
+unbeatable from Pallas across the relayout toll. The module stays as
+the measured experiment (default-off gate; parity tests keep it
+honest).
+
 Gate: single-token scalar-cursor decode (the generate path), int8 KV,
 head_dim 64, T % 256 == 0. Parity: tests/test_decode_attention.py.
 """
@@ -162,7 +180,9 @@ def _call(idx, scale, qm, kp, vp, ks, vs, *, n_head, bt):
 
 def supported(B: int, T: int, config) -> bool:
     import os
-    if os.environ.get("ERGM_DECODE_KERNEL", "1") in ("0", "false"):
+    # default OFF: measured 0.067x XLA at the headline shape (see
+    # module docstring); opt in with ERGM_DECODE_KERNEL=1 for A/B only
+    if os.environ.get("ERGM_DECODE_KERNEL", "0") in ("0", "false"):
         return False
     c = config
     if c.head_dim != 64 or c.n_head % 2:

@@ -1,6 +1,10 @@
 """Parity: batched-rows int8 decode self-attention kernel vs the
-scale-factored XLA math it replaces (gpt2._self_attention_cached's
-int8 long-cache branch)."""
+scale-factored XLA math (gpt2._self_attention_cached's int8 long-cache
+branch). The kernel is a MEASURED DECLINE (0.067x XLA, device trace)
+and ships default-off as the round-5 whole-layer-kernel experiment;
+these tests keep the experiment honest."""
+import os
+
 import numpy as np
 import pytest
 
@@ -37,7 +41,11 @@ def test_decode_kernel_matches_factored_math(B, H, T, index):
     class Cfg:
         head_dim = Dh
         n_head = H
-    assert decode_attention.supported(B, T, Cfg)
+    os.environ["ERGM_DECODE_KERNEL"] = "1"   # default-off (measured decline)
+    try:
+        assert decode_attention.supported(B, T, Cfg)
+    finally:
+        del os.environ["ERGM_DECODE_KERNEL"]
     got = decode_attention.decode_mha_int8(
         q, kq, vq, ks, vs, index, scale, n_head=H)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
