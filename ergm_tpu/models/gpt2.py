@@ -419,9 +419,14 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
     v = jnp.zeros(shape, dtype)
     ks = vs = None
     if quant:
+        # bf16 scales (see _quantize_kv): halves the per-step scale
+        # buffer read and deletes the per-layer f32->bf16 convert
+        import os as _os2
+        sdt = (jnp.float32 if _os2.environ.get("ERGM_KV_SCALE_F32") == "1"
+               else jnp.bfloat16)
         sshape = (c.n_layer, batch, c.n_head, max_len, 1)
-        ks = jnp.zeros(sshape, jnp.float32)
-        vs = jnp.zeros(sshape, jnp.float32)
+        ks = jnp.zeros(sshape, sdt)
+        vs = jnp.zeros(sshape, sdt)
     ck = cv = cks = cvs = None
     if c.use_cross_attention and caption_len > 0:
         # merged-head layout [L, B, Lc, H*Dh]: the minor dims (Lc, H*Dh)
@@ -452,7 +457,15 @@ def init_kv_cache(config: ModelConfig, batch: int, max_len: int,
 
 
 def _quantize_kv(x: jnp.ndarray, bits: int = 8):
-    """[..., D] -> (int8 values, fp32 scale [..., 1]).
+    """[..., D] -> (int8 values, bf16 scale [..., 1]).
+
+    Scales are ROUNDED TO BF16 BEFORE the divide, then stored bf16
+    (round 5): the decode step reads the whole scale buffer every step
+    ([L, B, H, T, 1] — 38 MB f32 at the headline shape) and the XLA
+    path spent two per-layer convert fusions turning it bf16 anyway;
+    dividing by the already-rounded scale keeps dequantization error at
+    the pure int8 level (the stored ints exactly invert through the
+    stored scale).
 
     ``bits=4``: values quantize to [-7, 7] and PACK two per byte into
     [..., D//2] int8 — the native jnp.int4 dtype cannot transfer
@@ -461,10 +474,13 @@ def _quantize_kv(x: jnp.ndarray, bits: int = 8):
     halves-based (low nibbles hold x[..., :D/2], high nibbles
     x[..., D/2:]) so _unpack_int4's concat restores the original
     element order with no interleave shuffle."""
+    import os as _os2
+    sdt = (jnp.float32 if _os2.environ.get("ERGM_KV_SCALE_F32") == "1"
+           else jnp.bfloat16)  # A/B escape hatch (trace-time)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     lim = 127.0 if bits == 8 else 7.0
-    scale = amax / lim
-    safe = jnp.where(scale == 0.0, 1.0, scale)
+    scale = (amax / lim).astype(sdt)
+    safe = jnp.where(scale == 0.0, 1.0, scale.astype(jnp.float32))
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / safe),
                  -lim, lim).astype(jnp.int8)
     if bits == 4:
@@ -1285,9 +1301,9 @@ def transformer(
                     mk, sk = _cquant(mk)
                     mv, sv = _cquant(mv)
                     cks_full = lax.dynamic_update_index_in_dim(
-                        cks_full, sk, li_int, 0)
+                        cks_full, sk.astype(cks_full.dtype), li_int, 0)
                     cvs_full = lax.dynamic_update_index_in_dim(
-                        cvs_full, sv, li_int, 0)
+                        cvs_full, sv.astype(cvs_full.dtype), li_int, 0)
                 ck_full = lax.dynamic_update_index_in_dim(
                     ck_full, mk.astype(ck_full.dtype), li_int, 0)
                 cv_full = lax.dynamic_update_index_in_dim(
