@@ -746,7 +746,19 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
         # write below; only the attention source changes (fresh bf16
         # k/v vs their quantize->dequantize round trip — strictly less
         # quantization error on the prompt tokens).
+        B_ = k.shape[0]
+        impl = c.attention_impl
+        use_pf_kernel = (
+            impl == "auto" and L <= 128 and B_ >= 64
+            and prefill_attention.supported(B_, L, c, deterministic))
         if ks_full is not None:
+            # NOTE (round-5 layout probe): with the attention kernel
+            # routing, the f32 upcast feeding this quantize divide gets
+            # a 2x100 MB/layer relayout copy; quantizing from the
+            # merged-view [B, L, H, Dh] instead was tried and XLA
+            # canonicalized the transposes straight back (identical
+            # copy inventory) — the relayout is a layout-assignment
+            # artifact, not a formulation choice.
             kv_bits4 = 4 if c.kv_cache_dtype == "int4" else 8
             kq, ksc = _quantize_kv(k, kv_bits4)
             vq, vsc = _quantize_kv(v, kv_bits4)
@@ -762,10 +774,7 @@ def _self_attention_cached(h, p, li, li_int, k_full, v_full, ks_full, vs_full,
             k_full = lax.dynamic_update_slice(k_full, k[None].astype(k_full.dtype), idx5)
             v_full = lax.dynamic_update_slice(v_full, v[None].astype(v_full.dtype), idx5)
         m = None if attn_mask is None else attn_mask[:, :L]
-        impl = c.attention_impl
-        B_ = k.shape[0]
-        if (impl == "auto" and L <= 128 and B_ >= 64
-                and prefill_attention.supported(B_, L, c, deterministic)):
+        if use_pf_kernel:
             # Batched short-prompt prefill: the round-5 batched-rows
             # kernel (ops/prefill_attention.py) replaces BOTH prior
             # options — XLA (18.7 ms/12 layers at B=256/L=128: f32
