@@ -43,6 +43,7 @@ HF Conv1D weights convert with a straight copy and nn.Linear weights
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -966,7 +967,7 @@ def _capless_row_gate(out, enc_mask):
 
 
 def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
-                     deterministic, rng):
+                     deterministic, rng, prefill_kernel_ok: bool = False):
     """Cross-attention: Q from hidden states, K/V from encoder states via a
     shared c_attn (reference: src/model.py:211-226). Non-causal;
     ``enc_mask`` is the raw [B, Lc] caption mask. Rows with an all-zero
@@ -1048,17 +1049,35 @@ def _cross_attention(h, enc, p, li, *, config, enc_mask, cached_kv,
                         None if rng is None else jax.random.fold_in(rng, 4)), cached_kv
     kv = dense(enc, p["c_attn"])
     k, v = jnp.split(kv, 2, axis=-1)
+    km, vm = k, v                           # merged [B, Lc, H*Dh]
     k = _split_heads(k, c.n_head)
     v = _split_heads(v, c.n_head)
     scale = (1.0 / c.head_dim ** 0.5) if c.scale_attn_weights else 1.0
     if c.scale_attn_by_inverse_layer_idx:
         scale = scale / (li + 1.0)
-    out = multihead_attention(
-        q, k, v, causal=False, kv_mask=enc_mask, scale=scale, impl=c.attention_impl,
-        dropout_rate=c.attn_pdrop, deterministic=deterministic,
-        rng=None if rng is None else jax.random.fold_in(rng, 3),
-    )
-    out = _merge_heads(out)
+    B_, Lq, Lc_ = h.shape[0], h.shape[1], km.shape[1]
+    if (prefill_kernel_ok and c.attention_impl == "auto"
+            and B_ >= 64 and Lc_ % 8 == 0
+            and (deterministic or c.attn_pdrop == 0)
+            and _os.environ.get("ERGM_XPREFILL_KERNEL", "1")
+            not in ("0", "false")
+            and prefill_attention.supported(B_, Lq, c, True)):
+        # cross PREFILL attention on the batched-rows kernel
+        # (rectangular non-causal form): kills the f32
+        # [B, H, Lq, Lc] probs materialization and the head
+        # split/merge transposes on this path (decode-side prefill
+        # only — the kernel has no VJP, so training keeps XLA)
+        out = prefill_attention.prefill_mha(
+            _merge_heads(q), km, vm, enc_mask, n_head=c.n_head,
+            scale=scale, causal=False)
+    else:
+        out = multihead_attention(
+            q, k, v, causal=False, kv_mask=enc_mask, scale=scale,
+            impl=c.attention_impl,
+            dropout_rate=c.attn_pdrop, deterministic=deterministic,
+            rng=None if rng is None else jax.random.fold_in(rng, 3),
+        )
+        out = _merge_heads(out)
     out = dense(out, p["c_proj"])
     out = _capless_row_gate(out, enc_mask)
     out = _dropout(out, c.resid_pdrop, deterministic,
@@ -1268,6 +1287,7 @@ def transformer(
                 ca_out, new_ckv = _cross_attention(
                     ca_in, enc, p["cross_attn"], li, config=c, enc_mask=enc_mask,
                     cached_kv=ckv, deterministic=deterministic, rng=layer_rng,
+                    prefill_kernel_ok=decode,
                 )
             h = h + ca_out
 

@@ -55,66 +55,75 @@ def _interpret() -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float, dh: int,
-            has_mask: bool):
+            has_mask: bool, causal: bool):
     f32 = jnp.float32
     Bt, L, W = q_ref.shape                      # W = 128 = 2 heads x dh
+    Lk = k_ref.shape[1]
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (L, W), 1)
     half0 = (lane < dh)
 
-    qpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    causal = (kpos <= qpos)[None]               # [1, L, L]
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (L, Lk), 1)
+        cmask = (kpos <= qpos)[None]            # [1, L, Lk]
     if has_mask:
-        kvb = (1.0 - m_ref[:].astype(f32))[:, None, :] * _NEG_INF  # [Bt,1,L]
+        kvb = (1.0 - m_ref[:].astype(f32))[:, None, :] * _NEG_INF  # [Bt,1,Lk]
 
     nt = (((2,), (2,)), ((0,), (0,)))           # contract lanes, batch Bt
     pv = (((2,), (1,)), ((0,), (0,)))
 
-    def head_half(sel):
+    def head_half(sel, selk):
         qm = jnp.where(sel, q, jnp.zeros_like(q))
         s = lax.dot_general(qm, k, nt, preferred_element_type=f32)
-        s = s * scale                            # [Bt, L, L]
-        s = jnp.where(causal, s, _NEG_INF)
+        s = s * scale                            # [Bt, L, Lk]
+        if causal:
+            s = jnp.where(cmask, s, _NEG_INF)
         if has_mask:
             s = s + kvb
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        vm = jnp.where(sel, v, jnp.zeros_like(v))
+        vm = jnp.where(selk, v, jnp.zeros_like(v))
         return lax.dot_general(p, vm, pv, preferred_element_type=f32)
 
-    out = head_half(half0) + head_half(jnp.logical_not(half0))
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (Lk, W), 1)
+    half0k = (lane_k < dh)
+    out = (head_half(half0, half0k)
+           + head_half(jnp.logical_not(half0), jnp.logical_not(half0k)))
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _pick_bt(B: int, L: int) -> int:
+def _pick_bt(B: int, L: int, Lk: int = 0) -> int:
+    Lk = Lk or L
     for bt in (32, 16, 8):
         if B % bt:
             continue
-        ops = 4 * bt * L * 128 * 2              # q,k,v,out tiles (bf16)
-        tmp = 2 * bt * L * L * 4 + 4 * bt * L * 128 * 2  # scores + masked
+        ops = 2 * bt * (2 * L + 2 * Lk) * 128   # q,out + k,v tiles (bf16)
+        tmp = 2 * bt * L * Lk * 4 + 4 * bt * Lk * 128 * 2  # scores + masked
         if 2 * ops + tmp <= 10 * 1024 * 1024:   # ops double-buffered
             return bt
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "n_head", "bt"))
-def _call(qm, km, vm, mask, *, scale, n_head, bt):
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "n_head", "bt", "causal"))
+def _call(qm, km, vm, mask, *, scale, n_head, bt, causal=True):
     B, L, D = qm.shape
+    Lk = km.shape[1]
     dh = D // n_head
     kern = functools.partial(_kernel, scale=scale, dh=dh,
-                             has_mask=mask is not None)
+                             has_mask=mask is not None, causal=causal)
     tile = pl.BlockSpec((bt, L, 128), lambda b, h: (b, 0, h),
                         memory_space=pltpu.VMEM)
-    in_specs = [tile, tile, tile]
+    ktile = pl.BlockSpec((bt, Lk, 128), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+    in_specs = [tile, ktile, ktile]
     args = [qm, km, vm]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((bt, L), lambda b, h: (b, 0),
+        in_specs.append(pl.BlockSpec((bt, Lk), lambda b, h: (b, 0),
                                      memory_space=pltpu.VMEM))
         args.append(mask)
-    else:
-        kern = functools.partial(_kernel, scale=scale, dh=dh, has_mask=False)
 
     def body(*refs):
         if mask is not None:
@@ -124,7 +133,7 @@ def _call(qm, km, vm, mask, *, scale, n_head, bt):
             m_ref = None
         kern(q_ref, k_ref, v_ref, m_ref, o_ref)
 
-    flops = 4 * B * L * L * 128 * 2
+    flops = 4 * B * L * Lk * 128 * 2
     return pl.pallas_call(
         body,
         out_shape=jax.ShapeDtypeStruct((B, L, D), qm.dtype),
@@ -132,8 +141,8 @@ def _call(qm, km, vm, mask, *, scale, n_head, bt):
         in_specs=in_specs,
         out_specs=tile,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=8 * B * L * D,
-            transcendentals=B * L * L * n_head),
+            flops=flops, bytes_accessed=4 * B * (L + Lk) * D,
+            transcendentals=B * L * Lk * n_head),
         interpret=_interpret(),
     )(*args)
 
@@ -153,15 +162,18 @@ def supported(B: int, L: int, config, deterministic: bool) -> bool:
     return _pick_bt(B, L) > 0
 
 
-def prefill_mha(qm, km, vm, kv_mask, *, n_head, scale):
-    """Causal self-attention over merged-layout [B, L, D] q/k/v.
+def prefill_mha(qm, km, vm, kv_mask, *, n_head, scale, causal=True):
+    """(Rectangular) attention over merged-layout q [B, L, D] and
+    k/v [B, Lk, D].
 
-    ``kv_mask``: [B, L] 1=real key, or None. ``scale`` may be traced
-    (folded into q) or a static float. Returns [B, L, D] merged."""
+    ``kv_mask``: [B, Lk] 1=real key, or None. ``scale`` may be traced
+    (folded into q) or a static float. ``causal=False`` is the cross
+    prefill form (Lk = caption length). Returns [B, L, D] merged."""
     if not isinstance(scale, (int, float)):
         qm = qm * scale.astype(qm.dtype)
         scale = 1.0
     B, L, _ = qm.shape
     return _call(qm, km, vm,
                  None if kv_mask is None else kv_mask.astype(jnp.float32),
-                 scale=float(scale), n_head=n_head, bt=_pick_bt(B, L))
+                 scale=float(scale), n_head=n_head,
+                 bt=_pick_bt(B, L, km.shape[1]), causal=causal)

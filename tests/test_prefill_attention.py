@@ -74,3 +74,28 @@ def test_traced_scale_folds_into_q():
             jnp.float32(sc))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mask_mode", ["none", "ragged"])
+def test_rectangular_noncausal_matches_xla(mask_mode):
+    """The cross-prefill form: Lk != Lq, causal=False, caption mask."""
+    B, H, L, Lk, Dh = 8, 2, 16, 8, 64
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, Dh)), jnp.float32)
+    if mask_mode == "none":
+        mask = None
+    else:
+        m = np.ones((B, Lk), np.float32)
+        for b in range(B):
+            m[b, int(rng.integers(1, Lk)):] = 0.0
+        mask = jnp.asarray(m)
+    scale = 1.0 / Dh ** 0.5
+    bias = attention_bias_from_mask(mask) if mask is not None else None
+    want = xla_attention(q, k, v, causal=False, bias=bias, scale=scale)
+    got = _split(prefill_attention.prefill_mha(
+        _merged(q), _merged(k), _merged(v), mask, n_head=H, scale=scale,
+        causal=False), H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want, np.float32),
+                               rtol=2e-5, atol=2e-5)
